@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table loaders + the synthetic "video manifest" view used to exercise
+  * the video-pipeline operators on the driver testdata (TESTDATA.md): the
+  * `events` table stands in for a video manifest — `value * 60` seconds of
+  * footage per row, a deterministic `/data/videos/video_<id>.mp4` path.
+  * Every query's DuckDB oracle builds the identical view from the same
+  * parquet, so both sides see byte-identical inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads with
+    // this legacy flag (as a nanosecond-epoch LongType column). Set lazily so
+    // the flag holds in whatever session the harness hands us.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events.ts` (nanosecond-epoch long under nanosAsLong) as epoch seconds. */
+  def tsEpochSeconds = (colName: String) =>
+    floor(col(colName) / lit(1000000000L)).cast("long")
+
+  /** Synthetic video manifest from `events` (video_id, file_path, total_duration). */
+  def manifest(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").select(
+      col("event_id").as("video_id"),
+      format_string("/data/videos/video_%d.mp4", col("event_id")).as("file_path"),
+      (col("value") * 60).as("total_duration"))
+
+  /** DuckDB CTE body equivalent to [[manifest]] — prepend as
+    * `WITH manifest AS (<this>) ...` in oracle SQL. */
+  val manifestSql: String =
+    "SELECT event_id AS video_id, " +
+      "printf('/data/videos/video_%d.mp4', event_id) AS file_path, " +
+      "value * 60 AS total_duration FROM events"
+}
