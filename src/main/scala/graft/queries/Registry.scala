@@ -3,5 +3,5 @@ package graft.queries
 /** All registered capability queries. SparkEntry exposes these to the
   * driver harness; each `QueryDef.oracle` is the DuckDB-equivalent SQL. */
 object Registry {
-  def all: Seq[QueryDef] = CoreQueries.defs
+  def all: Seq[QueryDef] = CoreQueries.defs ++ RelationalQueries.defs
 }

@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VideoFunctions._
+import graft.operators.{Agg, GreedyDedup}
+
+/** Batch 2: gates over detections (F3–F9), explosion (G5/G6), grouped &
+  * window aggregations (A1–A6), joins, sorts, sources, record projection.
+  *
+  * Detections are synthesized deterministically from `events` (box count =
+  * event_id % 4, coords/scores from modular arithmetic) so the DuckDB
+  * oracle can rebuild byte-identical inputs from the same parquet.
+  */
+object RelationalQueries {
+  import Tables.{table, manifestSql}
+
+  // ---- shared synthetic detections view -------------------------------
+
+  /** events row → n_boxes = event_id % 4 and an array of (x1,y1,x2,y2)
+    * structs with deterministic modular coords (box_idx is 1-based). */
+  private def boxesDf(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events").select(col("event_id"),
+      (col("event_id") % 4).as("n_boxes"),
+      (lit(400L) + col("event_id") % 600).as("h"),
+      (lit(640L) + col("event_id") % 1280).as("w"))
+    val idxs = when(col("n_boxes") >= 1, sequence(lit(1L), col("n_boxes")))
+      .otherwise(array().cast("array<bigint>"))
+    e.withColumn("boxes", transform(idxs, i => struct(
+      ((col("event_id") * 7 + i * 13) % 600).as("x1"),
+      ((col("event_id") * 11 + i * 17) % 400).as("y1"),
+      ((col("event_id") * 7 + i * 13) % 600 + 50 + (col("event_id") + i) % 200).as("x2"),
+      ((col("event_id") * 11 + i * 17) % 400 + 80 + (col("event_id") * 3 + i) % 240).as("y2"))))
+  }
+
+  /** DuckDB CTEs mirroring [[boxesDf]] in exploded form. */
+  private val boxesCtes =
+    """dims AS (
+        SELECT event_id, event_id % 4 AS n_boxes,
+               400 + event_id % 600 AS h, 640 + event_id % 1280 AS w
+        FROM events),
+      coords AS (
+        SELECT event_id, n_boxes, h, w,
+          UNNEST(generate_series(1, n_boxes)) AS box_idx
+        FROM dims WHERE n_boxes >= 1),
+      boxes AS (
+        SELECT event_id, n_boxes, h, w, box_idx,
+          (event_id*7 + box_idx*13) % 600 AS x1,
+          (event_id*11 + box_idx*17) % 400 AS y1,
+          (event_id*7 + box_idx*13) % 600 + 50 + (event_id + box_idx) % 200 AS x2,
+          (event_id*11 + box_idx*17) % 400 + 80 + (event_id*3 + box_idx) % 240 AS y2
+        FROM coords)"""
+
+  // ---- G5: per-box fan-out (posexplode) --------------------------------
+
+  /** Ref: pipeline/video_extract_frame.py:174-176 (per-box fan-out). */
+  val explodeBoxes = QueryDef("explode_boxes",
+    (s, dir) => boxesDf(s, dir)
+      .select(col("event_id"), col("n_boxes"), posexplode(col("boxes")).as(Seq("pos", "box")))
+      .select(col("event_id"), col("n_boxes"), (col("pos") + 1).cast("long").as("box_idx"),
+        col("box.x1"), col("box.y1"), col("box.x2"), col("box.y2"))
+      .orderBy("event_id", "box_idx"),
+    Some(s"""WITH $boxesCtes
+      SELECT event_id, n_boxes, box_idx, x1, y1, x2, y2
+      FROM boxes ORDER BY event_id, box_idx"""))
+
+  // ---- F3/F4/F5/F6/F8: gates ------------------------------------------
+
+  /** Ref: pipeline/for_high_bg_all_morelittler.py:149-150. */
+  val gateResolution = QueryDef("gate_resolution",
+    (s, dir) => table(s, dir, "part")
+      .select(col("p_partkey"),
+        (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
+        (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
+      .filter(col("h") >= 1000 && col("w") >= 1000)
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, 400 + (p_partkey*37) % 1200 AS h, 600 + (p_partkey*53) % 1600 AS w
+      FROM part
+      WHERE 400 + (p_partkey*37) % 1200 >= 1000 AND 600 + (p_partkey*53) % 1600 >= 1000
+      ORDER BY p_partkey"""))
+
+  /** Ref: pipeline/video_extract_frame.py:171-172 (1 <= persons <= 2). */
+  val filterCountRange = QueryDef("filter_count_range",
+    (s, dir) => boxesDf(s, dir)
+      .filter(size(col("boxes")).between(1, 2))
+      .select(col("event_id"), size(col("boxes")).cast("long").as("n"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, n_boxes AS n
+      FROM (SELECT event_id, event_id % 4 AS n_boxes FROM events)
+      WHERE n_boxes BETWEEN 1 AND 2 ORDER BY event_id"""))
+
+  /** Largest clipped box area <= 40% of image area; array HOF + array_max.
+    * Ref: pipeline/for_high_bg_all_morelittler.py:160-168. */
+  val gateAreaRatio = QueryDef("gate_area_ratio",
+    (s, dir) => boxesDf(s, dir)
+      .filter(size(col("boxes")) >= 1)
+      .withColumn("max_area", array_max(transform(col("boxes"), b =>
+        clippedArea(b.getField("x1"), b.getField("y1"), b.getField("x2"), b.getField("y2"),
+          col("w"), col("h")))))
+      .withColumn("area_ratio", col("max_area") / (col("h") * col("w")).cast("double"))
+      .filter(col("area_ratio") <= 0.4)
+      .select("event_id", "h", "w", "max_area", "area_ratio")
+      .orderBy("event_id"),
+    Some(s"""WITH $boxesCtes,
+      clipped AS (
+        SELECT event_id, h, w,
+          GREATEST(0.0, LEAST(CAST(x2 AS DOUBLE), CAST(w AS DOUBLE)) - GREATEST(CAST(x1 AS DOUBLE), 0.0)) *
+          GREATEST(0.0, LEAST(CAST(y2 AS DOUBLE), CAST(h AS DOUBLE)) - GREATEST(CAST(y1 AS DOUBLE), 0.0)) AS area
+        FROM boxes),
+      agg AS (SELECT event_id, h, w, MAX(area) AS max_area FROM clipped GROUP BY event_id, h, w)
+      SELECT event_id, h, w, max_area, max_area / CAST(h * w AS DOUBLE) AS area_ratio
+      FROM agg WHERE max_area / CAST(h * w AS DOUBLE) <= 0.4
+      ORDER BY event_id"""))
+
+  /** Keep frames with exactly one face above threshold; HOF filter.
+    * Ref: pipeline/video_extract_frame.py:184-187. */
+  val filterScoreExact1 = QueryDef("filter_score_exact1",
+    (s, dir) => {
+      val idxs = when(col("n_boxes") >= 1, sequence(lit(1L), col("n_boxes")))
+        .otherwise(array().cast("array<bigint>"))
+      table(s, dir, "events").select(col("event_id"), (col("event_id") % 4).as("n_boxes"))
+        .withColumn("scores", transform(idxs, i =>
+          ((col("event_id") * 31 + i * 7) % 100) / lit(100.0)))
+        .withColumn("valid", filter(col("scores"), sc => sc >= 0.8))
+        .filter(size(col("valid")) === 1)
+        .select(col("event_id"), element_at(col("valid"), 1).as("score"))
+        .orderBy("event_id")
+    },
+    Some("""WITH d AS (SELECT event_id, event_id % 4 AS n_boxes FROM events),
+      sc AS (SELECT event_id, UNNEST(generate_series(1, n_boxes)) AS box_idx FROM d WHERE n_boxes >= 1),
+      scored AS (SELECT event_id, ((event_id*31 + box_idx*7) % 100) / 100.0 AS score FROM sc)
+      SELECT event_id, MAX(score) FILTER (WHERE score >= 0.8) AS score
+      FROM scored GROUP BY event_id
+      HAVING COUNT(*) FILTER (WHERE score >= 0.8) = 1
+      ORDER BY event_id"""))
+
+  /** Similarity band-pass [0.6, 0.85]. Ref: pipeline/video_extract_frame.py:299-301. */
+  val bandpassSim = QueryDef("bandpass_sim",
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_id"), ((col("event_id") % 100) / lit(100.0)).as("sim"))
+      .filter(col("sim").between(0.6, 0.85))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, (event_id % 100) / 100.0 AS sim FROM events
+      WHERE (event_id % 100) / 100.0 BETWEEN 0.6 AND 0.85 ORDER BY event_id"""))
+
+  // ---- A1/A2/A4/A6 + IoU ----------------------------------------------
+
+  /** Per-frame mean quality/sim + all-ok flag. Ref: pipeline/video_extract_frame.py:292-310. */
+  val frameScoreAggQ = QueryDef("frame_score_agg",
+    (s, dir) => {
+      val per = boxesDf(s, dir)
+        .select(col("event_id"), posexplode(col("boxes")).as(Seq("pos", "box")))
+        .withColumn("box_idx", (col("pos") + 1).cast("long"))
+        .withColumn("q", ((col("event_id") * 13 + col("box_idx") * 11) % 100) / lit(100.0))
+        .withColumn("sim", ((col("event_id") * 29 + col("box_idx") * 3) % 100) / lit(100.0))
+      Agg.frameScoreAgg(per, Seq("event_id"), col("q"), col("sim"), col("q") > 0.35)
+        .select("event_id", "avg_q", "avg_sim", "combined", "all_ok")
+        .orderBy("event_id")
+    },
+    Some(s"""WITH $boxesCtes,
+      scored AS (
+        SELECT event_id,
+          ((event_id*13 + box_idx*11) % 100) / 100.0 AS q,
+          ((event_id*29 + box_idx*3) % 100) / 100.0 AS sim
+        FROM boxes),
+      agg AS (
+        SELECT event_id, ROUND(AVG(q), 6) AS avg_q, ROUND(AVG(sim), 6) AS avg_sim,
+               BOOL_AND(q > 0.35) AS all_ok
+        FROM scored GROUP BY event_id)
+      SELECT event_id, avg_q, avg_sim, ROUND((avg_q + avg_sim) / 2, 6) AS combined, all_ok
+      FROM agg ORDER BY event_id"""))
+
+  /** Top-1 per 150-wide bin by value, tie-broken by event_id.
+    * Ref: pipeline/video_extract_frame.py:312-321. */
+  val top1PerBinQ = QueryDef("top1_per_bin",
+    (s, dir) => Agg.top1PerBin(
+        table(s, dir, "events")
+          .select(col("event_id"), col("value"), floor(col("event_id") / 150).cast("long").as("bin")),
+        Seq("bin"), col("value"), col("event_id"))
+      .select("bin", "event_id", "value")
+      .orderBy("bin"),
+    Some("""WITH b AS (SELECT event_id, value, event_id // 150 AS bin FROM events),
+      r AS (SELECT bin, event_id, value,
+              ROW_NUMBER() OVER (PARTITION BY bin ORDER BY value DESC, event_id ASC) AS rn
+            FROM b)
+      SELECT bin, event_id, value FROM r WHERE rn = 1 ORDER BY bin"""))
+
+  /** argmax via max_by (ties → larger event_id). Ref: pipeline/video_extract_frame.py:296-304. */
+  val argmaxRef = QueryDef("argmax_ref",
+    (s, dir) => Agg.argmaxBy(table(s, dir, "events"), Seq("user_id"),
+        col("event_id"), struct(col("value"), col("event_id")), "best_event")
+      .orderBy("user_id"),
+    Some("""WITH r AS (SELECT user_id, event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+      FROM events)
+      SELECT user_id, event_id AS best_event FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Pure-expression IoU of the first two boxes per frame.
+    * Ref: pipeline/video_extract_frame.py:112-120. */
+  val iouExpr = QueryDef("iou_expr",
+    (s, dir) => {
+      def cx1(i: Int) = (col("event_id") * 7 + i * 13) % 600
+      def cy1(i: Int) = (col("event_id") * 11 + i * 17) % 400
+      def cx2(i: Int) = cx1(i) + 50 + (col("event_id") + i) % 200
+      def cy2(i: Int) = cy1(i) + 80 + (col("event_id") * 3 + i) % 240
+      table(s, dir, "events").select(col("event_id"), (col("event_id") % 4).as("n_boxes"))
+        .filter(col("n_boxes") >= 2)
+        .select(col("event_id"),
+          iou(cx1(1).cast("double"), cy1(1).cast("double"), cx2(1).cast("double"), cy2(1).cast("double"),
+              cx1(2).cast("double"), cy1(2).cast("double"), cx2(2).cast("double"), cy2(2).cast("double"))
+            .as("iou"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH $boxesCtes,
+      pair AS (
+        SELECT a.event_id,
+          CAST(a.x1 AS DOUBLE) AS ax1, CAST(a.y1 AS DOUBLE) AS ay1,
+          CAST(a.x2 AS DOUBLE) AS ax2, CAST(a.y2 AS DOUBLE) AS ay2,
+          CAST(b.x1 AS DOUBLE) AS bx1, CAST(b.y1 AS DOUBLE) AS by1,
+          CAST(b.x2 AS DOUBLE) AS bx2, CAST(b.y2 AS DOUBLE) AS by2
+        FROM boxes a JOIN boxes b ON a.event_id = b.event_id AND a.box_idx = 1 AND b.box_idx = 2),
+      m AS (
+        SELECT event_id,
+          GREATEST(0.0, LEAST(ax2, bx2) - GREATEST(ax1, bx1)) *
+          GREATEST(0.0, LEAST(ay2, by2) - GREATEST(ay1, by1)) AS inter,
+          GREATEST(0.0, ax2 - ax1) * GREATEST(0.0, ay2 - ay1) +
+          GREATEST(0.0, bx2 - bx1) * GREATEST(0.0, by2 - by1) AS areas
+        FROM pair)
+      SELECT event_id,
+        CASE WHEN areas - inter > 0 THEN inter / (areas - inter) ELSE 0.0 END AS iou
+      FROM m ORDER BY event_id"""))
+
+  // ---- G6: stringified-list parse + 1-based zip -----------------------
+
+  /** Ref: common/image/placeholders_op.py:13-49. */
+  val zipWithIndexQ = QueryDef("zip_with_index",
+    (s, dir) => {
+      val raw = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          format_string("[\"/imgs/a_%d.jpg\",\"/imgs/b_%d.jpg\"]", col("doc_id"), col("doc_id")))
+        .otherwise(format_string("[\"/imgs/a_%d.jpg\"]", col("doc_id"))).as("input_images"))
+      raw.withColumn("arr", from_json(col("input_images"),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+        .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "path")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("image_id"), col("path"))
+        .orderBy("doc_id", "image_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0
+               THEN [printf('/imgs/a_%d.jpg', doc_id), printf('/imgs/b_%d.jpg', doc_id)]
+               ELSE [printf('/imgs/a_%d.jpg', doc_id)] END AS l
+        FROM documents),
+      i AS (SELECT doc_id, l, UNNEST(generate_series(1, len(l))) AS image_id FROM t)
+      SELECT doc_id, image_id, l[image_id] AS path FROM i ORDER BY doc_id, image_id"""))
+
+  // ---- S4 / L10 / L2: record projection, prompt assembly, box normalize -
+
+  /** Fixed 4-field training record as a JSON line. Ref: common/io/save_output_op.py:18-23. */
+  val projectRecord = QueryDef("project_record",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), to_json(struct(
+        lit("subject_driven").as("task_type"),
+        col("text").as("instruction"),
+        format_string("/out/img_%d.png", col("doc_id")).as("output_image"))).as("record"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(to_json(struct_pack(
+        task_type := 'subject_driven', instruction := text,
+        output_image := printf('/out/img_%d.png', doc_id))) AS VARCHAR) AS record
+      FROM documents ORDER BY doc_id"""))
+
+  /** Chat-prompt assembly (system + image placeholders + question).
+    * Ref: common/transform/vision_inputs_op.py:25-31. */
+  val assemblePrompt = QueryDef("assemble_prompt",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("n_img", (col("n_chars") % 3 + 1).cast("int"))
+      .withColumn("prompt", expr(
+        "concat('<|system|>You are a captioner.<|user|>', repeat('<image>', n_img), ' Describe: ', substring(text, 1, 40))"))
+      .select("doc_id", "n_img", "prompt")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(n_chars % 3 + 1 AS INT) AS n_img,
+        '<|system|>You are a captioner.<|user|>' || repeat('<image>', CAST(n_chars % 3 + 1 AS INT))
+          || ' Describe: ' || substring(text, 1, 40) AS prompt
+      FROM documents ORDER BY doc_id"""))
+
+  /** Float box → int 4-tuple normalization. Ref: common/image/person_detect_op.py:35-53. */
+  val normalizeBoxesQ = QueryDef("normalize_boxes",
+    (s, dir) => {
+      val fbox = array(col("value") * 1.7, col("value") * 0.3,
+        col("value") * 2.9 + 50, col("value") * 1.1 + 80)
+      table(s, dir, "events").select(col("event_id"), normalizeBoxes(array(fbox)).as("nb"))
+        .select(col("event_id"),
+          element_at(element_at(col("nb"), 1), 1).as("x1"),
+          element_at(element_at(col("nb"), 1), 2).as("y1"),
+          element_at(element_at(col("nb"), 1), 3).as("x2"),
+          element_at(element_at(col("nb"), 1), 4).as("y2"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+        CAST(FLOOR(value * 1.7) AS BIGINT) AS x1, CAST(FLOOR(value * 0.3) AS BIGINT) AS y1,
+        CAST(FLOOR(value * 2.9 + 50) AS BIGINT) AS x2, CAST(FLOOR(value * 1.1 + 80) AS BIGINT) AS y2
+      FROM events ORDER BY event_id"""))
+
+  // ---- sorts, joins, sources ------------------------------------------
+
+  /** Multi-key deterministic sort + limit. Ref: pipeline/video_extract_frame.py:321. */
+  val sortSelected = QueryDef("sort_selected",
+    (s, dir) => table(s, dir, "events")
+      .select("event_id", "event_type", "value")
+      .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)
+      .limit(100),
+    Some("""SELECT event_id, event_type, value FROM events
+      ORDER BY event_type ASC, value DESC, event_id ASC LIMIT 100"""))
+
+  /** Broadcast dim join (customer ⋈ nation ⋈ region → per-region rollup).
+    * The refs×candidates correlation pattern: small side broadcast, zero
+    * shuffle of the big side. Ref: SURVEY §2.7. */
+  val joinBroadcast = QueryDef("join_broadcast",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_acctbal"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_customers,
+        SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** Dead-letter left join: unmatched rows kept with status (F1 pattern). */
+  val joinLeftStatus = QueryDef("join_left_status",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val cHigh = table(s, dir, "customer").filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(cHigh, o("o_custkey") === cHigh("c_custkey"), "left")
+        .select(o("o_orderkey"), o("o_custkey"),
+          when(cHigh("c_custkey").isNull, 0).otherwise(1).as("matched"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS matched,
+        COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+      FROM orders o LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 7000) c
+      ON o.o_custkey = c.c_custkey
+      ORDER BY o_orderkey"""))
+
+  /** S1: header-CSV manifest source (round-trip through a real CSV file).
+    * Ref: pipeline/cut_30min.py:30,137. */
+  val scanCsv = QueryDef("scan_csv",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_scan_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      table(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema("r_regionkey INT, r_name STRING")
+        .csv(tmp).orderBy("r_regionkey")
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  /** S2: JSONL source (round-trip through real JSONL).
+    * Ref: pipeline/for_high_bg_all_morelittler.py:262-268. */
+  val scanJsonl = QueryDef("scan_jsonl",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_scan_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      table(s, dir, "nation").coalesce(1).write.mode("overwrite").json(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(tmp).orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
+  // ---- A3: greedy identity dedup (order-dependent fold; rows-only) -----
+
+  /** Greedy sim+IoU dedup over per-"video" candidate streams synthesized
+    * from the embeddings table (group = label). Not SQL-expressible
+    * (order-dependent in-place fold) → rows-only check + property tests.
+    * Ref: pipeline/video_extract_frame.py:203-230. */
+  val dedupGreedy = QueryDef("dedup_greedy",
+    (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val cands = table(s, dir, "embeddings").select(
+        col("label").cast("long").as("group"),
+        col("vec_id").as("seq"),
+        ((col("vec_id") * 13) % 500).cast("double").as("x1"),
+        ((col("vec_id") * 7) % 300).cast("double").as("y1"),
+        (((col("vec_id") * 13) % 500) + 120).cast("double").as("x2"),
+        (((col("vec_id") * 7) % 300) + 160).cast("double").as("y2"),
+        (((col("vec_id") * 37) % 100) / lit(100.0)).as("quality"),
+        col("embedding")).as[GreedyDedup.Candidate]
+      GreedyDedup.run(cands, simThr = 0.9, iouThr = 0.2).toDF()
+        .select("group", "identity_idx", "seq", "quality")
+        .orderBy("group", "identity_idx")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(
+    explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
+    filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
+    iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
+    sortSelected, joinBroadcast, joinLeftStatus, scanCsv, scanJsonl, dedupGreedy)
+}
