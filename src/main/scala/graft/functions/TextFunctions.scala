@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data curation:
+  * tokenization, shingling, language-ID heuristics, quality scoring,
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) so
+  * they vectorize over a 100 TB `documents` scan and push through Catalyst
+  * untouched. The reference reserves this growth area
+  * (common/text/Text_README.md:3 is an intentional placeholder).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct character n-grams; texts shorter than n collapse to [text]. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
+  /** Distinct word n-grams (space-joined); short docs collapse to the
+    * whole-token join. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
+      .otherwise(array(concat_ws(" ", ts)))
+  }
+
+  /** Fraction of tokens found in `words` (0.0 for empty docs). */
+  def wordlistRatio(text: Column, words: Seq[String]): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val k = size(filter(ts, t => t.isin(words: _*)))
+    when(n > 0, k.cast("double") / n.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** English function words used by the language-ID / quality heuristics. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** n-gram-free language-ID heuristic: stopword-density thresholding
+    * (the cheap first-pass LID of large corpus pipelines). */
+  def langIdHeuristic(text: Column, threshold: Double = 0.08): Column =
+    when(wordlistRatio(text, enStopwords) >= threshold, lit("en")).otherwise(lit("und"))
+
+  /** Composite quality score in [0,1]: length saturation + cleanliness +
+    * stopword density (rounded for cross-engine determinism). */
+  def qualityScore(text: Column): Column =
+    round(
+      least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.3 +
+      wordlistRatio(text, enStopwords) * 0.3, 6)
+
+  /** Deterministic document fingerprint: position-weighted codepoint sum
+    * (weight cycles 1..64). Order-sensitive — reordered text changes the
+    * fingerprint — yet exactly reproducible in any engine. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)),
+        i => (ascii(text.substr(i, lit(1))) * ((i - 1) % 64 + 1)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+}

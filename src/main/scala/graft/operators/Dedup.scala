@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-scale deduplication operators: exact (hash-groupBy), MinHash+LSH
+  * (shingle → signature → banded bucket join), SimHash (64-bit weighted
+  * bit votes + banded Hamming blocking).
+  *
+  * Scale design:
+  *  - exact dedup = one hash aggregate on a 128-bit content key (map-side
+  *    partial; the canonical key is computed in codegen, never collected);
+  *  - MinHash LSH shuffles (band_idx, band_hash) — candidate generation is
+  *    linear in corpus size, never the O(n²) pair space; the self-join hits
+  *    only same-bucket rows, and near-dup verification runs on the
+  *    candidate set only;
+  *  - SimHash blocking: a 64-bit sketch per doc, pairs only within equal
+  *    16-bit bands (pigeonhole: any pair with Hamming distance <= 12 shares
+  *    at least one of 4 bands... guaranteed for <= 3; wider distances are
+  *    caught probabilistically by multiple bands).
+  */
+object Dedup {
+
+  /** Canonical bag-of-words key: sorted distinct tokens, space-joined.
+    * Invariant to token order/repetition — catches shuffled/duplicated
+    * copies that byte-exact hashing misses. */
+  def bagOfWordsKey(text: Column): Column =
+    array_join(array_sort(array_distinct(TextFunctions.tokens(text))), " ")
+
+  /** Exact dedup groups: md5(canonical key) → (content_hash, keep_id =
+    * min id, dup_count). Survivors = rows where id == keep_id. */
+  def exactGroups(df: DataFrame, idCol: String, canonicalKey: Column): DataFrame =
+    df.groupBy(md5(canonicalKey).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** k-permutation MinHash signature over a shingle array: element j is
+    * min over shingles of xxhash64(j, shingle) (seeded by position). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shingles, t => xxhash64(lit(j), t)))): _*)
+
+  /** Estimated Jaccard from two equal-length signatures: matching fraction. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
+  /** LSH banding: (id, band_idx, band_hash) rows — join key for candidate
+    * generation. `bands * rowsPerBand` must equal the signature length. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      val bandSlice = slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
+      struct(lit(b).as("band_idx"), xxhash64(bandSlice).as("band_hash"))
+    }: _*)
+    df.select(col(idCol), col(sigCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col(sigCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs from LSH banding (distinct id pairs sharing any band),
+    * each carrying both signatures for estimation/verification. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val a = lshBands(df, idCol, sigCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "id_a").withColumnRenamed(sigCol, "sig_a")
+    val b = lshBands(df, idCol, sigCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "id_b").withColumnRenamed(sigCol, "sig_b")
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+  }
+
+  /** 64-bit SimHash per row: per-token xxhash64, per-bit +/-1 votes summed
+    * over the doc's tokens, sign → bit. One shuffle (groupBy id) with
+    * map-side partial aggregation of all 64 vote sums. */
+  def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val hashed = df.select(col(idCol), explode(tokensCol).as("_tok"))
+      .select(col(idCol), xxhash64(lit(0), col("_tok")).as("_th"))
+    val votes = (0 until 64).map(j =>
+      sum(when((shiftright(col("_th"), j) % 2 =!= 0), 1).otherwise(-1)).as(s"_v$j"))
+    val grouped = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(j =>
+      when(col(s"_v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    grouped.withColumn("simhash", bits.reduce(_.bitwiseOR(_)))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Near-dup pairs by banded SimHash blocking: pairs sharing any 16-bit
+    * band, kept when Hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
+                   maxHamming: Int): DataFrame = {
+    val banded = df.select(col(idCol), col(simhashCol),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
+        (shiftrightunsigned(col(simhashCol), b * 16).bitwiseAND(lit(0xFFFFL))).as("band_val"))): _*))
+        .as("band"))
+      .select(col(idCol), col(simhashCol), col("band.band_idx"), col("band.band_val"))
+    val a = banded.withColumnRenamed(idCol, "id_a").withColumnRenamed(simhashCol, "sim_a")
+    val b = banded.withColumnRenamed(idCol, "id_b").withColumnRenamed(simhashCol, "sim_b")
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

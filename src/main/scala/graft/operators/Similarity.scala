@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: exact brute-force cosine top-k (broadcast
+  * the query set against a distributed candidate scan) and an LSH-bucketed
+  * approximate variant (random-hyperplane signs → bucket equi-join).
+  *
+  * Scale design: brute-force is a broadcast-nested-loop over the candidate
+  * scan — linear in corpus size, no shuffle of the big side, and the top-k
+  * window partitions by query id (tiny partitions). The LSH path turns the
+  * all-pairs problem into an equi-join on bucket id: one shuffle keyed by
+  * bucket, candidate work proportional to bucket occupancy. Stand-in for
+  * the reference's AdaFace embedding similarity
+  * (common/transform/similarity_op.py:7-24).
+  */
+object Similarity {
+
+  /** Left-fold dot product in double precision — association is the
+    * documented left-to-right fold so any engine replays it bit-exactly. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity, 0.0 when either norm is 0 (reference's missing-
+    * input default, common/transform/similarity_op.py:16-21). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Pairwise cosine from a precomputed-norm pair: computes the dot once
+    * per pair and reuses per-row norms (computed once per side, not once
+    * per pair — at 100 TB the norm column costs one scan, not O(pairs)). */
+  private def cosineWithNorms(vecA: Column, normA: Column, vecB: Column, normB: Column): Column =
+    when(normA > 0 && normB > 0, dot(vecA, vecB) / (normA * normB)).otherwise(lit(0.0))
+
+  /** Exact top-k neighbors for each query vector (excluding self):
+    * broadcast queries × candidate scan → cosine → rank. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cN = candidates.withColumn("_nrm", l2Norm(col(vecCol)))
+    val qN = queries.withColumn("_qnrm", l2Norm(col(qvecCol)))
+    val paired = cN.join(broadcast(qN), col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosineWithNorms(col(vecCol), col("_nrm"), col(qvecCol), col("_qnrm")))
+    val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
+    paired.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian), as literal arrays. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bit per hyperplane packed into a long. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Multi-table hyperplane bucketing: each row explodes into `nTables`
+    * (table_idx, bucket) keys, one independent plane set per table —
+    * classic (L tables × k bits) LSH. A neighbor is a candidate if ANY
+    * table agrees on all k sign bits, which recovers the recall a single
+    * table loses when one hyperplane slices through a cluster. */
+  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+    array((0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim = 64, seed = 42L + t)
+      struct(lit(t).as("table_idx"), hyperplaneBucket(vec, planes).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k: candidates restricted to rows sharing any LSH
+    * table bucket with the query, then exact cosine rank over the
+    * deduplicated candidate set. One shuffle keyed by (table, bucket);
+    * candidate work scales with bucket occupancy, not corpus². */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
+              nTables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cb = candidates
+      .select(col(idCol), col(vecCol), explode(tableBuckets(col(vecCol), nPlanes, nTables)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
+    val qb = queries
+      .select(col(qidCol), col(qvecCol), explode(tableBuckets(col(qvecCol), nPlanes, nTables)).as("tb"))
+      .select(col(qidCol), col(qvecCol), col("tb.table_idx"), col("tb.bucket"))
+    val candidatePairs = cb.join(broadcast(qb), Seq("table_idx", "bucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+      .dropDuplicates(qidCol, idCol)
+    val paired = candidatePairs
+      .withColumn("_nrm", l2Norm(col(vecCol)))
+      .withColumn("_qnrm", l2Norm(col(qvecCol)))
+      .withColumn("sim", cosineWithNorms(col(vecCol), col("_nrm"), col(qvecCol), col("_qnrm")))
+    val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
+    paired.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol), col("sim"))
+  }
+
+  /** All near-duplicate pairs (cosine >= threshold) within `df` — used for
+    * embedding-based near-dup detection. Quadratic in the partition-local
+    * candidate set: callers bound the subset or pre-bucket with LSH. */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      l2Norm(col(vecCol)).as("nrm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      l2Norm(col(vecCol)).as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosineWithNorms(col("vec_a"), col("nrm_a"), col("vec_b"), col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

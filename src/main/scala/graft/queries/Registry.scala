@@ -3,5 +3,6 @@ package graft.queries
 /** All registered capability queries. SparkEntry exposes these to the
   * driver harness; each `QueryDef.oracle` is the DuckDB-equivalent SQL. */
 object Registry {
-  def all: Seq[QueryDef] = CoreQueries.defs ++ RelationalQueries.defs
+  def all: Seq[QueryDef] =
+    CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Embedding similarity-search capability queries over `embeddings`.
+  * Cosine math is a documented left-fold in double precision, so the
+  * DuckDB oracle replays it bit-exactly with list_reduce. */
+object SimilarityQueries {
+  import Tables.table
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+  private val normSql = (a: String) =>
+    s"sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a], (p, q) -> p + q))"
+
+  /** Exact brute-force cosine top-10 per probe vector (broadcast probes). */
+  val cosineTopK = QueryDef("cosine_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries, k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm FROM d WHERE vec_id % 100 = 0),
+      pairs AS (
+        SELECT q.qid, d.vec_id,
+          CASE WHEN d.nrm > 0 AND q.qnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.nrm * q.qnrm)
+               ELSE 0.0 END AS sim
+        FROM d, q WHERE d.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM pairs)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Embedding-cosine near-dup pairs over a bounded subset. */
+  val dedupEmbeddingCosine = QueryDef("dedup_embedding_cosine",
+    (s, dir) => Similarity.nearDupPairs(
+        table(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding")),
+        threshold = 0.35)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+        FROM embeddings WHERE vec_id < 300),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CASE WHEN a.nrm > 0 AND b.nrm > 0
+               THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+               ELSE 0.0 END AS sim
+        FROM d a JOIN d b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
+
+  /** LSH-bucketed approximate top-5 (random hyperplanes; engine-seeded →
+    * rows-only check + recall spec). */
+  val annLshTopK = QueryDef("ann_lsh_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, k = 5, nPlanes = 6)
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK)
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Training-data text-analysis + dedup capability queries over `documents`.
+  * MinHash/SimHash use engine hashing (xxhash64) so they are rows-only
+  * checked (plus property specs); everything else is DuckDB-oracle-backed.
+  */
+object TextQueries {
+  import Tables.table
+
+  private val stopListSql = "['the','a','an','of','and','to','in','is','it','for']"
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Whitespace/BPE-ish token counting. */
+  val tokenCountQ = QueryDef("token_count",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        length(text) AS n_chars_obs
+      FROM documents ORDER BY doc_id"""))
+
+  /** Stopword-density language-ID heuristic. */
+  val langIdQ = QueryDef("lang_id",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), wordlistRatio(col("text"), enStopwords).as("en_ratio"),
+        langIdHeuristic(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS en_ratio
+        FROM t)
+      SELECT doc_id, en_ratio,
+        CASE WHEN en_ratio >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred
+      FROM m ORDER BY doc_id"""))
+
+  /** Composite quality score (length/punct/stopword ratios). */
+  val qualityScoreQ = QueryDef("quality_score",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS ntok,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS pr,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS sr
+        FROM t)
+      SELECT doc_id,
+        ROUND(LEAST(CAST(1.0 AS DOUBLE), ntok / 100.0) * 0.4 + (CAST(1.0 AS DOUBLE) - pr) * 0.3 + sr * 0.3, 6) AS quality
+      FROM m ORDER BY doc_id"""))
+
+  /** Position-weighted rolling document fingerprint. */
+  val docFingerprintQ = QueryDef("doc_fingerprint",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        CAST(list_sum([ascii(text[i]) * ((i-1) % 64 + 1) for i in generate_series(1, length(text))]) AS BIGINT) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Exact dedup on the canonical bag-of-words key (hash-groupBy). */
+  val dedupExact = QueryDef("dedup_exact",
+    (s, dir) => Dedup.exactGroups(table(s, dir, "documents"), "doc_id",
+        Dedup.bagOfWordsKey(col("text")))
+      .orderBy("keep_id"),
+    Some(s"""WITH k AS (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_hash
+      FROM documents)
+      SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      FROM k GROUP BY content_hash ORDER BY keep_id"""))
+
+  /** Char-3-gram Jaccard near-dup pairs (bounded subset; exact set math). */
+  val dedupNgramJaccard = QueryDef("dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), charShingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH s AS (SELECT doc_id,
+        list_distinct([substring(text, i, 3) for i in generate_series(1, length(text) - 2)]) AS sh
+      FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6
+      ORDER BY id_a, id_b"""))
+
+  /** MinHash+LSH near-dup candidates, verified with true shingle Jaccard.
+    * xxhash64-based → rows-only check + property specs. */
+  val dedupMinhashLsh = QueryDef("dedup_minhash_lsh",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), wordShingles(col("text"), 2).as("sh"))
+      val sigs = docs.withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+        .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
+      val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      pairs.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("true_jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("true_jaccard") >= 0.3)
+        .select("id_a", "id_b", "est_jaccard", "true_jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  /** SimHash near-dup pairs via banded Hamming blocking (rows-only). */
+  val dedupSimhash = QueryDef("dedup_simhash",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+      val sketches = Dedup.simhash64(docs, "doc_id", tokens(col("text")))
+      Dedup.simhashPairs(sketches, "doc_id", "simhash", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(
+    tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),                                          // exact dup of 0
+    (2L, base + " tomorrow"),                            // near dup of 0
+    (3L, "completely different words about spark catalyst optimizer rules engine"),
+    (4L, "dog lazy the over jumps fox brown quick the again and again today")  // reordered bag-dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup on bag-of-words collapses exact and reordered dups") {
+    val groups = Dedup.exactGroups(corpus, "doc_id", Dedup.bagOfWordsKey(col("text")))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(groups.map(g => (g._2, g._3)) == Seq((0L, 3L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash estimate tracks true jaccard; exact dups estimate 1.0") {
+    val sh = corpus.select(col("doc_id"), TextFunctions.wordShingles(col("text"), 2).as("sh"))
+    val sigs = sh.withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 64))
+      .select("id_a", "id_b", "est").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)                   // identical shingles
+    assert(pairs.get((0L, 2L)).exists(_ > 0.6))      // near dup caught with high estimate
+    assert(!pairs.contains((0L, 3L)))                // unrelated doc not a candidate
+  }
+
+  test("simhash: identical docs hash equal; unrelated docs far in Hamming") {
+    val sk = Dedup.simhash64(corpus, "doc_id", TextFunctions.tokens(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(sk(0L) == sk(1L))
+    assert(java.lang.Long.bitCount(sk(0L) ^ sk(2L)) <= 6)
+    assert(java.lang.Long.bitCount(sk(0L) ^ sk(3L)) > 10)
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash64(corpus, "doc_id", TextFunctions.tokens(col("text"))),
+      "doc_id", "simhash", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("LSH ANN recall vs brute force on clustered vectors") {
+    val rng = new scala.util.Random(123)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 6)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("brute-force top-k is exact, self-excluded, rank-ordered") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2) == Seq(1L, 2L, 3L))
+  }
+
+  test("text functions: shingles, ratios, fingerprint determinism") {
+    val df = Seq(("ab", "the cat sat")).toDF("short", "text")
+    val sh = df.select(TextFunctions.charShingles(col("short"), 3).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("ab")) // shorter than n collapses to [text]
+    val ws = df.select(TextFunctions.wordShingles(col("text"), 2).as("s")).as[Seq[String]].head()
+    assert(ws == Seq("the cat", "cat sat"))
+    val fp1 = df.select(TextFunctions.fingerprint(col("text")).as("f")).as[Long].head()
+    val fp2 = df.select(TextFunctions.fingerprint(col("text")).as("f")).as[Long].head()
+    assert(fp1 == fp2 && fp1 != 0L)
+    val fpRev = Seq(Tuple1("sat cat the")).toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("f")).as[Long].head()
+    assert(fpRev != fp1) // order-sensitive
+  }
+}
