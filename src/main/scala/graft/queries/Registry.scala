@@ -4,5 +4,6 @@ package graft.queries
   * driver harness; each `QueryDef.oracle` is the DuckDB-equivalent SQL. */
 object Registry {
   def all: Seq[QueryDef] =
-    CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
+    CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
+      SimilarityQueries.defs ++ ExtensionQueries.defs
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+import graft.streaming.EventStream
+
+class StreamingSinksSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("streaming tumbling window agg equals batch over same files") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val want = EventStream.tumblingTypeCounts(batch, 300)
+      .select("window_start_epoch", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+
+    val streamDir = Files.createTempDirectory("graft_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStream.readEventStream(spark, streamDir.toString)
+    val q = EventStream.streamingTumblingTypeCounts(stream, 300, "1 hour")
+      .writeStream
+      .format("memory").queryName("win_agg")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_agg")
+      .select("window_start_epoch", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("append-JSONL sink accumulates across runs; binary sink writes objects") {
+    val root = Files.createTempDirectory("graft_jsonl").toString
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val df2 = Seq((3L, "c")).toDF("id", "v")
+    Sinks.appendJsonl(df1, root)
+    Sinks.appendJsonl(df2, root)
+    val back = Sinks.readJsonl(spark, root, "id BIGINT, v STRING")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    val objRoot = Files.createTempDirectory("graft_store").toString
+    val bin = Seq(("k1/x.bin", Array[Byte](1, 2, 3)), ("k2/y.bin", Array[Byte](9)))
+      .toDF("key", "bytes")
+    val status = Sinks.writeBinary(bin, "key", "bytes", new Sinks.LocalFsStore(objRoot))
+      .as[(String, Boolean, String)].collect().toSet
+    assert(status.map(s => (s._1, s._2)) == Set(("k1/x.bin", true), ("k2/y.bin", true)))
+    assert(Files.readAllBytes(java.nio.file.Paths.get(objRoot, "k1/x.bin")).toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("stub codec decode + frame sampling plumbing") {
+    implicit val sp = spark
+    val items = Seq(
+      graft.multimodal.Multimodal.MediaItem(1L, "video", "/m/1.bin", Array.fill(500)(7.toByte)),
+      graft.multimodal.Multimodal.MediaItem(2L, "image", "/m/2.bin", Array.fill(10)(1.toByte)))
+      .toDS()
+    val meta = graft.multimodal.Multimodal.decodeMeta(items).toDF()
+    val m = meta.as[graft.multimodal.Multimodal.MediaMeta].collect().map(x => x.media_id -> x).toMap
+    assert(m(1L).n_frames == 1L + 500 % 240 && m(2L).n_frames == 1L)
+    assert(m(1L).checksum == 500L * 7 && m(2L).checksum == 10L)
+    val sampled = graft.multimodal.Multimodal.frameSamplePlan(meta, 24)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(sampled(1L) == (500 % 240) / 24 + 1 && sampled(2L) == 1L)
+    val feats = graft.multimodal.Multimodal.stubFeatures(items, 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(math.abs(feats(1L).sum - 1.0) < 1e-9) // L1-normalized
+  }
+}
