@@ -1,0 +1,127 @@
+package graft.ml
+
+/** Pluggable model/tool interfaces with deterministic fakes — the same
+  * constructor-injection seam the reference exposes (`mmdet_model=`
+  * common/image/person_detect_op.py:26, `matcher=`
+  * common/transform/similarity_op.py:8). Pipelines depend only on the
+  * traits; production swaps in ONNX/JNI/ffmpeg implementations, tests and
+  * the harness use the hash-seeded fakes (no GPUs/codecs in container).
+  */
+object Models {
+
+  final case class Box(x1: Int, y1: Int, x2: Int, y2: Int)
+  final case class Face(score: Double, area: Box)
+
+  /** Person detection over a decoded frame (keyed by video/frame — fakes
+    * never need pixels). Ref: common/image/person_detect_op.py:25-126. */
+  trait PersonDetector extends Serializable {
+    def detect(videoId: Long, frameIdx: Long): Seq[Box]
+  }
+
+  /** Face detection within a person crop. Ref: common/image/face_detect_op.py:7-29. */
+  trait FaceDetector extends Serializable {
+    def detect(videoId: Long, frameIdx: Long, slot: Int): Seq[Face]
+  }
+
+  /** Face quality scoring. Ref: common/image/face_quality_op.py:22-174. */
+  trait FaceQualityScorer extends Serializable {
+    def score(videoId: Long, frameIdx: Long, slot: Int): Double
+  }
+
+  /** Face embedding (AdaFace stand-in). Ref: common/transform/similarity_op.py:7-24. */
+  trait FaceEmbedder extends Serializable {
+    def embed(videoId: Long, frameIdx: Long, slot: Int): Array[Float]
+  }
+
+  /** VLM captioning. Ref: common/transform/generate_text_op.py:9-33. */
+  trait Captioner extends Serializable {
+    def caption(prompt: String, imagePaths: Seq[String]): String
+  }
+
+  /** ffprobe/ffmpeg boundary. Ref: common/video/video_probe_op.py:4-53,
+    * common/video/ffmpeg_cut_op.py:10-112. */
+  trait VideoTool extends Serializable {
+    def probe(path: String): Either[String, (Double, Double)] // (duration, fps)
+    def cut(src: String, dst: String, startSec: Double, durSec: Double,
+            attempt: Int): Either[String, Unit]
+  }
+
+  /** Deterministic integer scramble shared by the fakes. */
+  def scramble(x: Long): Long = {
+    var h = x * -7046029254386353131L
+    h ^= (h >>> 32)
+    math.abs(h)
+  }
+
+  // ---- deterministic fakes -------------------------------------------
+
+  final class FakePersonDetector extends PersonDetector {
+    def detect(videoId: Long, frameIdx: Long): Seq[Box] = {
+      val n = (scramble(videoId * 31 + frameIdx) % 4).toInt
+      (0 until n).map { i =>
+        val x1 = (scramble(videoId + frameIdx * 7 + i) % 600).toInt
+        val y1 = (scramble(videoId + frameIdx * 11 + i) % 400).toInt
+        Box(x1, y1, x1 + 120, y1 + 200)
+      }
+    }
+  }
+
+  final class FakeFaceDetector extends FaceDetector {
+    def detect(videoId: Long, frameIdx: Long, slot: Int): Seq[Face] = {
+      val h = scramble(videoId * 131 + frameIdx * 17 + slot)
+      val n = (h % 3).toInt // 0, 1 or 2 faces in crop
+      (0 until n).map { j =>
+        val s = ((scramble(h + j) % 100) / 100.0)
+        Face(s, Box(10 + j, 10, 60 + j, 80))
+      }
+    }
+  }
+
+  final class FakeFaceQualityScorer extends FaceQualityScorer {
+    def score(videoId: Long, frameIdx: Long, slot: Int): Double =
+      (scramble(videoId * 313 + frameIdx * 19 + slot) % 100) / 100.0
+  }
+
+  /** Embeddings lie on a 2-D arc inside R^8: identity picks the base axis
+    * pair, frame index rotates the angle — so same-identity faces across
+    * frames have cosine = cos(delta-angle), exercising the similarity
+    * band-pass exactly like real drifting face embeddings. */
+  final class FakeFaceEmbedder(nIdentities: Int = 5) extends FaceEmbedder {
+    def embed(videoId: Long, frameIdx: Long, slot: Int): Array[Float] = {
+      val identity = (scramble(videoId * 7 + slot) % nIdentities).toInt
+      val theta = 0.18 * ((frameIdx / 50) % 6).toInt
+      val v = new Array[Float](8)
+      v(identity % 4) = math.cos(theta).toFloat
+      v(4 + identity % 4) = math.sin(theta).toFloat
+      v
+    }
+  }
+
+  /** Caption = first 16 hex of md5(prompt + "|" + joined paths) — cheap,
+    * deterministic, and replayable in SQL for the oracle. */
+  final class FakeCaptioner extends Captioner {
+    def caption(prompt: String, imagePaths: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bytes = md.digest((prompt + "|" + imagePaths.mkString(",")).getBytes("UTF-8"))
+      bytes.map("%02x".format(_)).mkString.substring(0, 16)
+    }
+  }
+
+  /** Probe: duration/fps from the path hash; paths containing "corrupt"
+    * fail. Cut: transient failure on attempt 0 for ~1/8 of outputs
+    * (retries recover), permanent failure for paths containing "bad". */
+  final class FakeVideoTool extends VideoTool {
+    def probe(path: String): Either[String, (Double, Double)] =
+      if (path.contains("corrupt")) Left("probe failed: moov atom not found")
+      else {
+        val h = scramble(path.hashCode.toLong)
+        Right(((h % 2400).toDouble, 24.0 + (h % 3)))
+      }
+    def cut(src: String, dst: String, startSec: Double, durSec: Double,
+            attempt: Int): Either[String, Unit] =
+      if (src.contains("bad")) Left("cut failed: invalid stream")
+      else if (scramble(dst.hashCode.toLong) % 8 == 0 && attempt == 0)
+        Left("cut failed: transient io error")
+      else Right(())
+  }
+}

@@ -34,10 +34,11 @@ object GreedyDedup {
                        quality: Double, embedding: Seq[Float])
 
   /** A kept identity: `identity_idx` is the 1-based append order (stable —
-    * in-place replacement keeps the slot). `seq` is the winning candidate's. */
+    * in-place replacement keeps the slot). `seq` is the winning candidate's;
+    * the winning embedding rides along for downstream ref-similarity joins. */
   case class Identity(group: Long, identity_idx: Int, seq: Long,
                       x1: Double, y1: Double, x2: Double, y2: Double,
-                      quality: Double)
+                      quality: Double, embedding: Seq[Float])
 
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -87,7 +88,7 @@ object GreedyDedup {
         kept += new Entry(c.seq, c.x1, c.y1, c.x2, c.y2, c.quality, c.embedding)
     }
     kept.iterator.zipWithIndex.map { case (e, idx) =>
-      Identity(group, idx + 1, e.seq, e.x1, e.y1, e.x2, e.y2, e.quality)
+      Identity(group, idx + 1, e.seq, e.x1, e.y1, e.x2, e.y2, e.quality, e.embedding)
     }
   }
 

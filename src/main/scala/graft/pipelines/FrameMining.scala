@@ -1,0 +1,132 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{ExecutorSingleton, Models}
+import graft.operators.{Agg, GreedyDedup, Similarity, Tiling}
+
+/** E3 — `video_extract_frame` recomposed Spark-first
+  * (ref: pipeline/video_extract_frame.py:144-346): the two-phase training-
+  * pair miner.
+  *
+  * Phase 1 (refs): scan the first `firstFrac` of frames (stride 20) →
+  * person detect → 1–2-person gate → per-box face detect (score ≥ 0.8,
+  * exactly one) → quality gate → greedy sim+IoU identity dedup → videos
+  * with 2–3 reference identities survive.
+  *
+  * Phase 2 (candidates): scan the back 90% (stride `scanStep`) → same
+  * gates (score ≥ 0.5) → broadcast-join the per-video ref set → cosine →
+  * similarity band-pass [0.6, 0.85] → per-frame mean score → top-1 per
+  * `binSize`-frame bin → selected GT frames.
+  *
+  * Scale shape: detection stages are embarrassingly parallel partition
+  * maps; the ref set is tiny (≤3/video) so phase 2 correlation is a
+  * broadcast join — the only shuffles are the per-video dedup group and
+  * the final window, both keyed by video_id which grows with the data. */
+class FrameMining(person: () => Models.PersonDetector,
+                  face: () => Models.FaceDetector,
+                  quality: () => Models.FaceQualityScorer,
+                  embedder: () => Models.FaceEmbedder,
+                  firstFrac: Double = 0.1, refStride: Long = 20,
+                  scanStep: Long = 50, binSize: Long = 150,
+                  refFaceScore: Double = 0.8, candFaceScore: Double = 0.5,
+                  qualityThr: Double = 0.35, matchThr: Double = 0.9,
+                  simLo: Double = 0.6, simHi: Double = 0.85,
+                  minRefs: Int = 2, maxRefs: Int = 3) extends Serializable {
+
+  /** One fused detection stage (person → face → quality → embed) per
+    * frame, all models executor-singletons — mirrors the reference's
+    * single co-resident worker (init_models_in_worker :55-87). Emits one
+    * row per surviving face candidate. */
+  private def extractCandidates(frames: DataFrame, minFaceScore: Double,
+                                loPersons: Int, hiPersons: Int): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val (pf, ff, qf, ef) = (person, face, quality, embedder)
+    val qThr = qualityThr
+    frames.select(col("video_id").cast("long"), col("frame_idx").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val det = ExecutorSingleton.getOrCreate("graft.person_detector")(pf())
+        val fd = ExecutorSingleton.getOrCreate("graft.face_detector")(ff())
+        val qs = ExecutorSingleton.getOrCreate("graft.face_quality")(qf())
+        val em = ExecutorSingleton.getOrCreate("graft.face_embedder")(ef())
+        it.flatMap { case (vid, fidx) =>
+          val boxes = det.detect(vid, fidx)
+          if (boxes.size < loPersons || boxes.size > hiPersons) Iterator.empty
+          else boxes.iterator.zipWithIndex.flatMap { case (b, slot) =>
+            if (b.x2 - b.x1 <= 0 || b.y2 - b.y1 <= 0) Iterator.empty // bbox sanity (F9)
+            else {
+              val valid = fd.detect(vid, fidx, slot).filter(_.score >= minFaceScore)
+              if (valid.size != 1) Iterator.empty // exactly-one-face gate (F6)
+              else {
+                val q = qs.score(vid, fidx, slot)
+                if (q <= qThr) Iterator.empty // quality gate (F7)
+                else Iterator.single((vid, fidx, slot,
+                  b.x1.toDouble, b.y1.toDouble, b.x2.toDouble, b.y2.toDouble,
+                  q, em.embed(vid, fidx, slot).toSeq))
+              }
+            }
+          }
+        }
+      }
+      .toDF("video_id", "frame_idx", "slot", "x1", "y1", "x2", "y2", "quality", "embedding")
+  }
+
+  /** Phase 1: per-video reference identities (greedy dedup fold), gated
+    * to videos with [minRefs, maxRefs] identities. */
+  def mineRefs(manifest: DataFrame): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val upto = greatest(lit(1L), floor(col("total_frames") * firstFrac).cast("long"))
+    val frames = Tiling.sampleEveryK(
+      manifest.withColumn("_upto", upto), "_upto", refStride)
+    val cands = extractCandidates(frames, refFaceScore, 1, 2)
+      .select(col("video_id").as("group"),
+        (col("frame_idx") * 10 + col("slot")).as("seq"),
+        col("x1"), col("y1"), col("x2"), col("y2"), col("quality"), col("embedding"))
+      .as[GreedyDedup.Candidate]
+    implicit val sp: SparkSession = spark
+    val refs = GreedyDedup.run(cands, matchThr, 0.2).toDF()
+    val kept = refs.groupBy("group")
+      .agg(count(lit(1)).as("n_refs"))
+      .filter(col("n_refs").between(minRefs, maxRefs))
+    refs.join(kept, "group")
+      .select(col("group").as("video_id"), col("identity_idx"),
+        col("quality").as("ref_quality"), col("embedding").as("ref_embedding"),
+        col("n_refs"))
+  }
+
+  /** Phase 2: candidate GT frames band-pass-matched against the refs. */
+  def mineCandidates(manifest: DataFrame, refs: DataFrame): DataFrame = {
+    val frames = manifest
+      .withColumn("_from", floor(col("total_frames") / 10).cast("long"))
+      .withColumn("frame_idx", explode(
+        when(col("total_frames") > col("_from"),
+          sequence(col("_from"), col("total_frames") - 1, lit(scanStep)))
+          .otherwise(array().cast("array<bigint>"))))
+    val cands = extractCandidates(frames, candFaceScore, 1, 2)
+    val scored = cands.join(broadcast(refs), "video_id")
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("ref_embedding")))
+      .groupBy(col("video_id"), col("frame_idx"), col("slot"), col("quality"))
+      .agg(max(col("sim")).as("max_sim"),
+        max_by(col("identity_idx"), struct(col("sim"), col("identity_idx"))).as("matched_ref"))
+      .filter(col("max_sim").between(simLo, simHi)) // band-pass (F8)
+    val frameScores = Agg.frameScoreAgg(scored, Seq("video_id", "frame_idx"),
+      col("quality"), col("max_sim"), col("quality") > qualityThr)
+    Agg.top1PerBin(
+      frameScores.withColumn("bin", floor(col("frame_idx") / binSize).cast("long")),
+      Seq("video_id", "bin"), col("combined"), col("frame_idx"))
+      .select("video_id", "bin", "frame_idx", "avg_q", "avg_sim", "combined")
+  }
+
+  /** Full E3: manifest(video_id, total_frames) → selected GT frames with
+    * per-video ref counts. */
+  def run(manifest: DataFrame): DataFrame = {
+    val refs = mineRefs(manifest)
+    mineCandidates(manifest, refs)
+      .join(refs.select("video_id", "n_refs").distinct(), "video_id")
+      .orderBy("video_id", "frame_idx")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Models, Retry}
+import graft.pipelines.{Captioning, FrameMining, VideoSlicing}
+
+class PipelinesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("E1 slicing: probe errors dead-letter, short videos gate, cuts retried to success") {
+    val manifest = Seq(
+      (1L, "/data/good_long.mp4"),
+      (2L, "/data/corrupt_file.mp4"),
+      (3L, "/data/also_good.mp4")).toDF("video_id", "file_path")
+    val p = new VideoSlicing(() => new Models.FakeVideoTool, segDur = 300.0, minDur = 60.0)
+    val out = p.run(manifest).orderBy("video_id")
+      .select("video_id", "status", "reason", "segments_count", "cuts_ok")
+      .as[(Long, Int, String, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(2L)._2 == 0 && byId(2L)._3.contains("probe failed"))
+    // good videos: every tiled segment cut ok (transient failures retried)
+    Seq(1L, 3L).foreach { id =>
+      val (_, status, _, segs, ok) = byId(id)
+      if (status == 1) { assert(segs > 0); assert(ok == segs) }
+    }
+  }
+
+  test("retry envelope: transient failure recovers, permanent failure reported") {
+    var calls = 0
+    val r = Retry.withRetry(3, 0L, 7L) { attempt =>
+      calls += 1
+      if (attempt < 1) Left("transient") else Right("ok")
+    }
+    assert(r == Right("ok") && calls == 2)
+    val fail = Retry.withRetry(3, 0L, 7L)(_ => Left("always"))
+    assert(fail == Left("always"))
+  }
+
+  test("E2 captioning: bare-path fallback, deterministic caption, record shape") {
+    val input = Seq(
+      (1L, "[\"/a.jpg\",\"/b.jpg\"]", "/out/1.png"),
+      (2L, "/single.jpg", "/out/2.png")).toDF("doc_id", "input_images", "output_image")
+    val pipe = new Captioning(() => new Models.FakeCaptioner)
+    val out = pipe.run(input).orderBy("doc_id")
+      .select("doc_id", "images", "caption", "record")
+      .as[(Long, Seq[String], String, String)].collect()
+    assert(out(0)._2 == Seq("/a.jpg", "/b.jpg"))
+    assert(out(1)._2 == Seq("/single.jpg")) // bare path fallback
+    val expectedPrompt = pipe.systemPrompt + "<image><image>" + pipe.question
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expCaption = md.digest((expectedPrompt + "|/a.jpg,/b.jpg").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 16)
+    assert(out(0)._3 == expCaption)
+    assert(out(0)._4.contains("\"task_type\":\"subject_driven\"") &&
+      out(0)._4.contains(expCaption))
+  }
+
+  test("E3 frame mining: produces selected frames within band, deterministic") {
+    val manifest = (0 until 6).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
+    val pipe = new FrameMining(
+      () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
+      () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
+    val out1 = pipe.run(manifest).collect()
+    assert(out1.nonEmpty, "expected some mined GT frames")
+    val rows = pipe.run(manifest)
+      .select("video_id", "frame_idx", "avg_sim", "n_refs")
+      .as[(Long, Long, Double, Long)].collect()
+    rows.foreach { case (_, fidx, sim, nRefs) =>
+      assert(sim >= 0.6 - 1e-9 && sim <= 0.85 + 1e-9) // band-pass held
+      assert(nRefs >= 2 && nRefs <= 3)                // ref-count gate held
+      assert(fidx >= 600)                             // only back-90% frames
+    }
+    val out2 = pipe.run(manifest).collect()
+    assert(out1.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
+  }
+}
