@@ -87,5 +87,22 @@ object PipelineQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining)
+  /** E4 image curation (fake detector boxes → rows-only). */
+  val pipelineBgCuration = QueryDef("pipeline_bg_curation",
+    (s, dir) => {
+      val images = table(s, dir, "part").select(
+        col("p_partkey").as("image_id"),
+        format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
+        (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
+        (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
+      new graft.pipelines.BackgroundCuration(
+        () => new Models.FakePersonDetector,
+        new graft.sources.Sinks.LocalFsStore("/tmp/graft_bg_out"))
+        .run(images)
+        .select("image_id", "h", "w", "max_area", "area_ratio")
+        .orderBy("image_id")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining, pipelineBgCuration)
 }

@@ -76,4 +76,27 @@ class PipelinesSpec extends AnyFunSuite {
     val out2 = pipe.run(manifest).collect()
     assert(out1.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
   }
+
+  test("E4 bg curation: gates enforce resolution, person count, area ratio; masks written") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bg").toString
+    val pipe = new graft.pipelines.BackgroundCuration(
+      () => new Models.FakePersonDetector, new graft.sources.Sinks.LocalFsStore(root))
+    // controlled records straight into the gates (bypassing detection)
+    val recs = Seq(
+      (1L, 1200L, 1800L, Seq((10, 10, 110, 210))),               // passes all gates
+      (2L, 800L, 1800L, Seq((10, 10, 110, 210))),                // too short (h)
+      (3L, 1200L, 1800L, Seq.empty[(Int, Int, Int, Int)]),       // zero persons
+      (4L, 1200L, 1800L, (1 to 4).map(i => (i, i, i + 50, i + 80))), // too many persons
+      (5L, 1000L, 1000L, Seq((0, 0, 1000, 1000))))               // area ratio 1.0 > 0.4
+      .toDF("image_id", "h", "w", "boxes_raw")
+      .withColumn("person_boxes", transform(col("boxes_raw"), t =>
+        struct(t.getField("_1").as("x1"), t.getField("_2").as("y1"),
+          t.getField("_3").as("x2"), t.getField("_4").as("y2"))))
+    val kept = pipe.gates(recs).select("image_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val status = pipe.maskAndSink(pipe.gates(recs))
+      .as[(String, Boolean, String)].collect()
+    assert(status.length == 1 && status.head._2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, status.head._1)))
+  }
 }
