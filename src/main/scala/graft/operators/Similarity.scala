@@ -29,29 +29,29 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v))
 
   /** Cosine similarity, 0.0 when either norm is 0 (reference's missing-
-    * input default, common/transform/similarity_op.py:16-21). */
-  def cosine(a: Column, b: Column): Column = {
+    * input default, common/transform/similarity_op.py:16-21). Uses the
+    * native codegen expression ([[graft.plans.CosineSimilarity]], same
+    * left-fold math → bit-identical results) when a session has it
+    * registered; falls back to the declarative HOF form otherwise. */
+  def cosine(a: Column, b: Column): Column =
+    if (graft.plans.GraftFunctions.nativeAvailable) call_function("graft_cosine", a, b)
+    else cosineHof(a, b)
+
+  /** Declarative HOF cosine (the documented-fold reference form). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
 
-  /** Pairwise cosine from a precomputed-norm pair: computes the dot once
-    * per pair and reuses per-row norms (computed once per side, not once
-    * per pair — at 100 TB the norm column costs one scan, not O(pairs)). */
-  private def cosineWithNorms(vecA: Column, normA: Column, vecB: Column, normB: Column): Column =
-    when(normA > 0 && normB > 0, dot(vecA, vecB) / (normA * normB)).otherwise(lit(0.0))
-
   /** Exact top-k neighbors for each query vector (excluding self):
     * broadcast queries × candidate scan → cosine → rank. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val cN = candidates.withColumn("_nrm", l2Norm(col(vecCol)))
-    val qN = queries.withColumn("_qnrm", l2Norm(col(qvecCol)))
-    val paired = cN.join(broadcast(qN), col(idCol) =!= col(qidCol))
-      .withColumn("sim", cosineWithNorms(col(vecCol), col("_nrm"), col(qvecCol), col("_qnrm")))
+    val paired = candidates.join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
     paired.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -101,9 +101,7 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
       .dropDuplicates(qidCol, idCol)
     val paired = candidatePairs
-      .withColumn("_nrm", l2Norm(col(vecCol)))
-      .withColumn("_qnrm", l2Norm(col(qvecCol)))
-      .withColumn("sim", cosineWithNorms(col(vecCol), col("_nrm"), col(qvecCol), col("_qnrm")))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
     paired.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -115,12 +113,10 @@ object Similarity {
     * candidate set: callers bound the subset or pre-bucket with LSH. */
   def nearDupPairs(df: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      l2Norm(col(vecCol)).as("nrm_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      l2Norm(col(vecCol)).as("nrm_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosineWithNorms(col("vec_a"), col("nrm_a"), col("vec_b"), col("nrm_b")))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

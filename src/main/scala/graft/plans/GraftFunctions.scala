@@ -1,0 +1,53 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]] for sessions built with
+  *    `spark.sql.extensions=graft.plans.GraftExtensions` (the idiomatic
+  *    SparkSessionExtensions hook);
+  *  - [[GraftFunctions.register]] for runtime injection into an existing
+  *    session (the harness constructs its own SparkSession, so the query
+  *    layer calls this lazily per session).
+  */
+object GraftFunctions {
+  private val registered = ConcurrentHashMap.newKeySet[String]()
+
+  /** True once any session has the native expressions (column builders
+    * consult this to pick native vs HOF form at plan-construction time). */
+  @volatile var nativeAvailable: Boolean = false
+
+  private[plans] def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_cosine expects exactly 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  val info = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+
+  /** Idempotent per-session registration of `graft_cosine`. Returns true
+    * when the native expression is available in the session. */
+  def register(spark: SparkSession): Boolean = {
+    val key = System.identityHashCode(spark).toString
+    if (registered.contains(key)) true
+    else try {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_cosine", builder, "built-in")
+      registered.add(key)
+      nativeAvailable = true
+      true
+    } catch { case _: Throwable => false }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.info,
+      GraftFunctions.builder _))
+}

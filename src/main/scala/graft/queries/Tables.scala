@@ -16,6 +16,8 @@ object Tables {
     // this legacy flag (as a nanosecond-epoch LongType column). Set lazily so
     // the flag holds in whatever session the harness hands us.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Native expressions (graft_cosine) into the harness-provided session.
+    graft.plans.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
