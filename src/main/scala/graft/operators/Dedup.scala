@@ -23,6 +23,15 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Intersection size of two DISTINCT, SORTED shingle arrays: sorted-merge
+    * native expression when registered (no per-pair hash-set allocation),
+    * `size(array_intersect(...))` otherwise. Exact integer either way, so
+    * swapping paths can never change a Jaccard oracle result. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    if (graft.plans.GraftFunctions.nativeAvailable)
+      call_function("graft_sorted_intersect_count", a, b)
+    else size(array_intersect(a, b))
+
   /** Canonical bag-of-words key: sorted distinct tokens, space-joined.
     * Invariant to token order/repetition — catches shuffled/duplicated
     * copies that byte-exact hashing misses. */
@@ -72,10 +81,17 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash per row: per-token xxhash64, per-bit +/-1 votes summed
-    * over the doc's tokens, sign → bit. One shuffle (groupBy id) with
-    * map-side partial aggregation of all 64 vote sums. */
-  def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+  /** 64-bit SimHash per row. Native path: one per-row expression
+    * ([[graft.plans.SimHash64]]) — a pure narrow map, zero shuffles, so the
+    * sketch rides the document scan. Fallback (no registration): relational
+    * explode → 64 conditional-sum aggregates → bit reassembly (one shuffle). */
+  def simhash64(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    if (graft.plans.GraftFunctions.nativeAvailable)
+      df.select(col(idCol), call_function("graft_simhash", tokensCol).as("simhash"))
+    else simhash64Relational(df, idCol, tokensCol)
+
+  /** Relational SimHash fallback (engine-builtin hashing via xxhash64). */
+  def simhash64Relational(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val hashed = df.select(col(idCol), explode(tokensCol).as("_tok"))
       .select(col(idCol), xxhash64(lit(0), col("_tok")).as("_th"))
     val votes = (0 until 64).map(j =>

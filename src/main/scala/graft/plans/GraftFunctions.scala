@@ -23,21 +23,29 @@ object GraftFunctions {
     * consult this to pick native vs HOF form at plan-construction time). */
   @volatile var nativeAvailable: Boolean = false
 
-  private[plans] def builder(children: Seq[Expression]): Expression = {
-    require(children.length == 2, "graft_cosine expects exactly 2 arguments")
-    CosineSimilarity(children.head, children(1))
-  }
+  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> { children =>
+      require(children.length == 2, "graft_cosine expects exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    },
+    "graft_simhash" -> { children =>
+      require(children.length == 1, "graft_simhash expects exactly 1 argument")
+      SimHash64(children.head)
+    },
+    "graft_sorted_intersect_count" -> { children =>
+      require(children.length == 2, "graft_sorted_intersect_count expects exactly 2 arguments")
+      SortedIntersectCount(children.head, children(1))
+    })
 
-  val info = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
-
-  /** Idempotent per-session registration of `graft_cosine`. Returns true
-    * when the native expression is available in the session. */
+  /** Idempotent per-session registration. Returns true when the native
+    * expressions are available in the session. */
   def register(spark: SparkSession): Boolean = {
     val key = System.identityHashCode(spark).toString
     if (registered.contains(key)) true
     else try {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_cosine", builder, "built-in")
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
       registered.add(key)
       nativeAvailable = true
       true
@@ -48,6 +56,8 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.info,
-      GraftFunctions.builder _))
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name), b))
+    }
 }

@@ -83,12 +83,16 @@ object TextQueries {
   /** Char-3-gram Jaccard near-dup pairs (bounded subset; exact set math). */
   val dedupNgramJaccard = QueryDef("dedup_ngram_jaccard",
     (s, dir) => {
+      // Cache the (tiny, bounded) shingle frame: without it Catalyst
+      // inlines shingle construction into both join sides and recomputes
+      // it once per PAIR instead of once per doc.
       val sh = table(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), charShingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), array_sort(charShingles(col("text"), 3)).as("sh"))
+        .cache()
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.6)
@@ -110,14 +114,15 @@ object TextQueries {
   val dedupMinhashLsh = QueryDef("dedup_minhash_lsh",
     (s, dir) => {
       val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), wordShingles(col("text"), 2).as("sh"))
+        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+        .cache() // reused by banding (twice) and both verification joins
       val sigs = docs.withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
         .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
       val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       pairs.join(shA, "id_a").join(shB, "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("true_jaccard", col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
         .filter(col("true_jaccard") >= 0.3)
