@@ -46,6 +46,9 @@ object GraftFunctions {
       builders.foreach { case (name, b) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
       }
+      if (!spark.experimental.extraOptimizations.contains(IntersectCountRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ IntersectCountRewrite
       registered.add(key)
       nativeAvailable = true
       true
@@ -55,9 +58,11 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarity].getName, name), b))
     }
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
+  }
 }

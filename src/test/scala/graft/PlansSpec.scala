@@ -46,6 +46,31 @@ class PlansSpec extends AnyFunSuite {
       .contains("graft_sorted_intersect_count"))
   }
 
+  test("optimizer rule rewrites builtin sorted-intersect form to the native kernel") {
+    import spark.implicits._
+    // parquet-backed (a literal frame would constant-fold before the rule)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = docs.select(col("doc_id"), size(array_intersect(
+        array_sort(array_distinct(split(col("text"), " "))),
+        array_sort(array_distinct(split(col("source"), "c"))))).as("n"))
+    assert(plan(df).contains("graft_sorted_intersect_count"),
+      s"rule did not fire:\n${plan(df)}")
+    val builtinEquiv = docs.select(col("doc_id"), size(array_intersect(
+        array_distinct(split(col("text"), " ")),
+        array_distinct(split(col("source"), "c")))).as("n"))
+    assert(df.orderBy("doc_id").as[(Long, Int)].collect().toSeq ==
+      builtinEquiv.orderBy("doc_id").as[(Long, Int)].collect().toSeq)
+    // non-distinct inputs → rule must NOT fire (array_intersect dedups,
+    // the merge scan counts duplicate matches)
+    val nonDistinct = docs.select(size(array_intersect(
+      array_sort(split(col("text"), " ")), array_sort(split(col("text"), " ")))).as("n"))
+    assert(!plan(nonDistinct).contains("graft_sorted_intersect_count"))
+    // custom comparator → rule must NOT fire (merge scan assumes binary order)
+    val custom = docs.selectExpr(
+      "size(array_intersect(array_sort(array_distinct(split(text, ' ')), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END), array_sort(array_distinct(split(text, ' '))))) AS n")
+    assert(!plan(custom).contains("graft_sorted_intersect_count"))
+  }
+
   test("flagship aggregation does map-side partial aggregation") {
     val p = plan(SparkEntry.queries("q1_agg")(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
