@@ -326,7 +326,7 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_acctbal"))
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_acctbal"))
         .orderBy("r_name")
     },
     Some("""SELECT r_name, COUNT(*) AS n_customers,

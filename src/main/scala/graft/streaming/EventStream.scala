@@ -27,7 +27,7 @@ object EventStream {
     withEventTime(df)
       .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -45,7 +45,7 @@ object EventStream {
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 

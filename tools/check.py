@@ -35,6 +35,8 @@ def main():
         sdf = sdf[sorted(sdf.columns)]
         if list(odf.columns) != list(sdf.columns):
             print(f"FAIL {name}: cols spark={list(sdf.columns)} oracle={list(odf.columns)}"); n_fail += 1; continue
+        if [str(t) for t in odf.dtypes] != [str(t) for t in sdf.dtypes]:
+            print(f"FAIL {name}: dtypes spark={[str(t) for t in sdf.dtypes]} oracle={[str(t) for t in odf.dtypes]}"); n_fail += 1; continue
         if len(odf) != len(sdf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}"); n_fail += 1; continue
         bad = None
