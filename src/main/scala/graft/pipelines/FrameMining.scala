@@ -129,4 +129,34 @@ class FrameMining(person: () => Models.PersonDetector,
       .join(refs.select("video_id", "n_refs").distinct(), "video_id")
       .orderBy("video_id", "frame_idx")
   }
+
+  /** S5 pair sink: write ref crops + selected GT frames through the
+    * object store (stub payloads — no codec in container) and append one
+    * 4-field pair record per GT frame to the JSONL root. Returns the
+    * per-object upload status rows (errors as data).
+    * Ref: common/io/save_pairs_op.py:10-52. */
+  def sinkPairs(selected: DataFrame, refs: DataFrame,
+                store: graft.sources.Sinks.ObjectStore, jsonlRoot: String): DataFrame = {
+    val refKeyed = refs.select(
+      format_string("refs/%d/ref_%d.jpg", col("video_id"), col("identity_idx")).as("key"),
+      encode(to_json(struct(col("video_id"), col("identity_idx"), col("ref_quality"))), "UTF-8").as("bytes"))
+    val gtKeyed = selected.select(
+      format_string("gt/%d/gt_%d.jpg", col("video_id"), col("frame_idx")).as("key"),
+      encode(to_json(struct(col("video_id"), col("frame_idx"), col("combined"))), "UTF-8").as("bytes"))
+    val refStatus = graft.sources.Sinks.writeBinary(refKeyed, "key", "bytes", store)
+    val gtStatus = graft.sources.Sinks.writeBinary(gtKeyed, "key", "bytes", store)
+    val refPaths = refs
+      .select(col("video_id"), struct(col("identity_idx"),
+        format_string("refs/%d/ref_%d.jpg", col("video_id"), col("identity_idx")).as("path")).as("rp"))
+      .groupBy("video_id")
+      .agg(transform(array_sort(collect_list(col("rp"))), r => r.getField("path")).as("input_images"))
+    val records = selected.join(refPaths, "video_id")
+      .select(
+        lit("subject_driven").as("task_type"),
+        format_string("frame %d of video %d", col("frame_idx"), col("video_id")).as("instruction"),
+        col("input_images"),
+        format_string("gt/%d/gt_%d.jpg", col("video_id"), col("frame_idx")).as("output_image"))
+    graft.sources.Sinks.appendJsonl(records, jsonlRoot)
+    refStatus.union(gtStatus)
+  }
 }

@@ -77,6 +77,26 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out1.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
   }
 
+  test("E3 pair sink: ref crops + GT frames stored, pair records appended") {
+    val manifest = (0 until 4).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
+    val pipe = new FrameMining(
+      () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
+      () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
+    val refs = pipe.mineRefs(manifest)
+    val selected = pipe.mineCandidates(manifest, refs)
+    val objRoot = java.nio.file.Files.createTempDirectory("graft_pairs").toString
+    val jsonlRoot = java.nio.file.Files.createTempDirectory("graft_pairs_jsonl").toString
+    val status = pipe.sinkPairs(selected, refs, new graft.sources.Sinks.LocalFsStore(objRoot), jsonlRoot)
+      .as[(String, Boolean, String)].collect()
+    assert(status.nonEmpty && status.forall(_._2), "all uploads should succeed")
+    val recs = graft.sources.Sinks.readJsonl(spark, jsonlRoot,
+      "task_type STRING, instruction STRING, input_images ARRAY<STRING>, output_image STRING")
+    assert(recs.count() == selected.count())
+    val r = recs.limit(1).as[(String, String, Seq[String], String)].head()
+    assert(r._1 == "subject_driven" && r._3.nonEmpty && r._4.startsWith("gt/"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(objRoot, status.head._1)))
+  }
+
   test("E4 bg curation: gates enforce resolution, person count, area ratio; masks written") {
     val root = java.nio.file.Files.createTempDirectory("graft_bg").toString
     val pipe = new graft.pipelines.BackgroundCuration(
