@@ -88,6 +88,50 @@ object ExtensionQueries {
       SELECT media_id, UNNEST(generate_series(0, n_frames - 1, 24)) AS frame_idx
       FROM m WHERE n_frames >= 1 ORDER BY media_id, frame_idx"""))
 
+  /** As-of join: for each click, the latest prior view by the same user
+    * (union + per-key window scan — no range explosion). Oracle: DuckDB's
+    * native ASOF JOIN. */
+  val asofJoinQ = QueryDef("join_asof",
+    (s, dir) => {
+      // DuckDB reads TIMESTAMP(NANOS) parquet at microsecond precision, so
+      // truncate our nanosecond longs to µs for identical instants.
+      val e = table(s, dir, "events")
+        .withColumn("ts", col("ts") - col("ts") % 1000)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.asof(clicks, views, "user_id", "ts", "ts", "event_id", "event_id")
+        .select(col("user_id"), col("event_id"), col("ts").as("t_click"),
+          col("matched_event_id").as("matched_view"), col("asof_lag"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      views AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+      SELECT c.user_id, c.event_id, epoch_ns(c.ts) AS t_click,
+        v.event_id AS matched_view,
+        epoch_ns(c.ts) - epoch_ns(v.ts) AS asof_lag
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND v.ts <= c.ts
+      ORDER BY c.user_id, c.event_id"""))
+
+  /** Corpus statistics: per-language doc counts, distinct sources, mean
+    * token count, exact interpolated median chars. */
+  val corpusStats = QueryDef("corpus_stats",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        ROUND(AVG(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE)), 6) AS avg_tokens,
+        quantile_cont(n_chars, 0.5) AS median_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
-    streamWindowAgg, sessionizeQ, multimodalMeta, multimodalFrameSample)
+    streamWindowAgg, sessionizeQ, multimodalMeta, multimodalFrameSample,
+    asofJoinQ, corpusStats)
 }
