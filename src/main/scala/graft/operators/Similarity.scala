@@ -75,12 +75,22 @@ object Similarity {
     * (table_idx, bucket) keys, one independent plane set per table —
     * classic (L tables × k bits) LSH. A neighbor is a candidate if ANY
     * table agrees on all k sign bits, which recovers the recall a single
-    * table loses when one hyperplane slices through a cluster. */
-  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
-    array((0 until nTables).map { t =>
-      val planes = hyperplanes(nPlanes, dim = 64, seed = 42L + t)
-      struct(lit(t).as("table_idx"), hyperplaneBucket(vec, planes).as("bucket"))
-    }: _*)
+    * table loses when one hyperplane slices through a cluster. Native
+    * fused expression when available; declarative per-table dots
+    * otherwise (identical fold math → identical buckets). */
+  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int): Column = {
+    val planeMatrix = Array.tabulate(nTables)(t =>
+      hyperplanes(nPlanes, dim = 64, seed = 42L + t).map(_.clone()).toArray)
+    val native =
+      try Some(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.HyperplaneBuckets(
+          org.apache.spark.sql.graft.ColumnBridge.expression(vec), planeMatrix)))
+      catch { case _: Throwable => None }
+    native.getOrElse(
+      array((0 until nTables).map { t =>
+        hyperplaneBucket(vec, planeMatrix(t).toSeq)
+      }: _*))
+  }
 
   /** Approximate top-k: candidates restricted to rows sharing any LSH
     * table bucket with the query, then exact cosine rank over the
@@ -91,11 +101,11 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val cb = candidates
-      .select(col(idCol), col(vecCol), explode(tableBuckets(col(vecCol), nPlanes, nTables)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
+      .select(col(idCol), col(vecCol),
+        posexplode(tableBuckets(col(vecCol), nPlanes, nTables)).as(Seq("table_idx", "bucket")))
     val qb = queries
-      .select(col(qidCol), col(qvecCol), explode(tableBuckets(col(qvecCol), nPlanes, nTables)).as("tb"))
-      .select(col(qidCol), col(qvecCol), col("tb.table_idx"), col("tb.bucket"))
+      .select(col(qidCol), col(qvecCol),
+        posexplode(tableBuckets(col(qvecCol), nPlanes, nTables)).as(Seq("table_idx", "bucket")))
     val candidatePairs = cb.join(broadcast(qb), Seq("table_idx", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))

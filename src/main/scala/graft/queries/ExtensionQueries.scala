@@ -131,7 +131,36 @@ object ExtensionQueries {
         quantile_cont(n_chars, 0.5) AS median_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** JSON property extraction from the events props column. */
+  val parseJsonProps = QueryDef("parse_json_props",
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+      FROM events ORDER BY event_id"""))
+
+  /** Running per-user total (decimal-exact cumulative window). */
+  val windowRunningSum = QueryDef("window_running_sum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+      FROM events ORDER BY user_id, event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, sessionizeQ, multimodalMeta, multimodalFrameSample,
-    asofJoinQ, corpusStats)
+    asofJoinQ, corpusStats, parseJsonProps, windowRunningSum)
 }
