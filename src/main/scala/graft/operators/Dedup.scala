@@ -45,8 +45,20 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** k-permutation MinHash signature over a shingle array: element j is
-    * min over shingles of xxhash64(j, shingle) (seeded by position). */
-  def minhashSignature(shingles: Column, k: Int): Column =
+    * min over shingles of xxhash64(j, shingle) (seeded by position).
+    * Native single-pass kernel when bridging is available; declarative
+    * fallback is bit-compatible (same XxHash64 chain). */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val native =
+      try Some(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.MinHashSignature(
+          org.apache.spark.sql.graft.ColumnBridge.expression(shingles), k)))
+      catch { case _: Throwable => None }
+    native.getOrElse(minhashSignatureHof(shingles, k))
+  }
+
+  /** Declarative MinHash fallback (k transform+array_min trees). */
+  def minhashSignatureHof(shingles: Column, k: Int): Column =
     array((0 until k).map(j =>
       array_min(transform(shingles, t => xxhash64(lit(j), t)))): _*)
 

@@ -402,9 +402,42 @@ object RelationalQueries {
     },
     None)
 
+  /** Set operations (union/except/intersect — Catalyst-native). */
+  val setOps = QueryDef("set_ops",
+    (s, dir) => {
+      val highBal = table(s, dir, "customer").filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey").as("key"))
+      val bigSpenders = table(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("key"))
+      val building = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val haveOrders = table(s, dir, "orders").select(col("o_custkey").as("key"))
+      highBal.union(bigSpenders).distinct().except(building).intersect(haveOrders)
+        .orderBy("key")
+    },
+    Some("""SELECT * FROM (
+        (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 7000
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      INTERSECT SELECT o_custkey FROM orders
+      ORDER BY key"""))
+
+  /** HyperLogLog approximate distinct counting (engine-specific sketch →
+    * rows-only; accuracy bound asserted in spec). */
+  val approxDistinct = QueryDef("approx_distinct",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type"),
+    None)
+
   val defs: Seq[QueryDef] = Seq(
     explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
-    sortSelected, joinBroadcast, joinLeftStatus, scanCsv, scanJsonl, dedupGreedy)
+    sortSelected, joinBroadcast, joinLeftStatus, scanCsv, scanJsonl, dedupGreedy,
+    setOps, approxDistinct)
 }

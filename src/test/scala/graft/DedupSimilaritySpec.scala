@@ -37,6 +37,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 3L)))                // unrelated doc not a candidate
   }
 
+  test("native minhash kernel is bit-compatible with the declarative fallback") {
+    val sh = corpus.select(col("doc_id"),
+      TextFunctions.wordShingles(col("text"), 2).as("sh"))
+    val nat = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = sh.select(col("doc_id"), Dedup.minhashSignatureHof(col("sh"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nat == hof)
+  }
+
   test("simhash: identical docs hash equal; unrelated docs far in Hamming") {
     val sk = Dedup.simhash64(corpus, "doc_id", TextFunctions.tokens(col("text")))
       .as[(Long, Long)].collect().toMap
@@ -77,6 +87,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = Similarity.bruteForceTopK(vecs, q, k = 3)
       .select("rank", "vec_id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got.map(_._2) == Seq(1L, 2L, 3L))
+  }
+
+  test("approx_count_distinct stays within 5% of exact on events") {
+    val rows = SparkEntry.queries("approx_distinct")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx $approx vs exact $exact drifts > 5%")
+    }
   }
 
   test("text functions: shingles, ratios, fingerprint determinism") {
