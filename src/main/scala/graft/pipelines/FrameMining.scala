@@ -124,7 +124,10 @@ class FrameMining(person: () => Models.PersonDetector,
   /** Full E3: manifest(video_id, total_frames) → selected GT frames with
     * per-video ref counts. */
   def run(manifest: DataFrame): DataFrame = {
-    val refs = mineRefs(manifest)
+    // refs are tiny (<= maxRefs rows/video) but cost a full phase-1 scan —
+    // cache so the broadcast join and the n_refs join don't recompute the
+    // detection+fold DAG.
+    val refs = mineRefs(manifest).cache()
     mineCandidates(manifest, refs)
       .join(refs.select("video_id", "n_refs").distinct(), "video_id")
       .orderBy("video_id", "frame_idx")
