@@ -66,5 +66,18 @@ object SimilarityQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK)
+  /** IVF coarse-quantized approximate top-5 (k-means inverted lists,
+    * engine-trained centroids → rows-only check + recall spec). */
+  val annIvfTopK = QueryDef("ann_ivf_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val index = graft.operators.Ivf.build(emb, nLists = 16)
+      graft.operators.Ivf.topK(index, queries, k = 5, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK)
 }

@@ -15,13 +15,18 @@ object TextQueries {
   private val stopListSql = "['the','a','an','of','and','to','in','is','it','for']"
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-  /** Whitespace/BPE-ish token counting. */
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-space symbols — the cheap
+    * pre-tokenizer shape of GPT-style BPE). */
   val tokenCountQ = QueryDef("token_count",
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long").as("n_tokens_bpe"),
         length(col("text")).cast("long").as("n_chars_obs"))
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
         length(text) AS n_chars_obs
       FROM documents ORDER BY doc_id"""))
 

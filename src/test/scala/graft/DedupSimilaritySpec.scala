@@ -78,6 +78,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF ANN recall vs brute force on clustered vectors") {
+    val rng = new scala.util.Random(321)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val index = graft.operators.Ivf.build(vecs, nLists = 8)
+    val approx = graft.operators.Ivf.topK(index, queries, k = 5, nProbe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("brute-force top-k is exact, self-excluded, rank-ordered") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
