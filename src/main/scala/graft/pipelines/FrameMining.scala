@@ -124,10 +124,10 @@ class FrameMining(person: () => Models.PersonDetector,
   /** Full E3: manifest(video_id, total_frames) → selected GT frames with
     * per-video ref counts. */
   def run(manifest: DataFrame): DataFrame = {
-    // refs are tiny (<= maxRefs rows/video) but cost a full phase-1 scan —
-    // cache so the broadcast join and the n_refs join don't recompute the
-    // detection+fold DAG.
-    val refs = mineRefs(manifest).cache()
+    // NOTE: do NOT cache refs here — measured cold-run cost of serializing
+    // the cache materialization exceeds recomputing the (cheap, fully
+    // parallel) phase-1 subtree for the two consumers.
+    val refs = mineRefs(manifest)
     mineCandidates(manifest, refs)
       .join(refs.select("video_id", "n_refs").distinct(), "video_id")
       .orderBy("video_id", "frame_idx")

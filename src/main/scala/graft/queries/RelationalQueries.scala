@@ -370,6 +370,15 @@ object RelationalQueries {
     },
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
 
+  /** Columnar source beyond parquet: ORC round-trip (S1 family). */
+  val scanOrc = QueryDef("scan_orc",
+    (s, dir) => {
+      val tmp = s"/tmp/graft_scan_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      table(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("s_suppkey")
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"))
+
   /** S2: JSONL source (round-trip through real JSONL).
     * Ref: pipeline/for_high_bg_all_morelittler.py:262-268. */
   val scanJsonl = QueryDef("scan_jsonl",
@@ -442,6 +451,6 @@ object RelationalQueries {
     explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
-    sortSelected, joinBroadcast, joinLeftStatus, scanCsv, scanJsonl, dedupGreedy,
-    setOps, approxDistinct)
+    sortSelected, joinBroadcast, joinLeftStatus, scanCsv, scanJsonl, scanOrc,
+    dedupGreedy, setOps, approxDistinct)
 }
