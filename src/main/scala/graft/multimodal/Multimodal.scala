@@ -60,6 +60,21 @@ object Multimodal {
         sequence(lit(0L), col("n_frames") - 1, lit(everyK)))
         .otherwise(array().cast("array<bigint>"))))
 
+  /** Resize plan: aspect-preserving target dimensions capped at `maxSide`
+    * (integer floor math — the metadata half of a resize stage; the pixel
+    * half lives behind [[MediaCodec]] in a real deployment). Images
+    * already within bounds pass through unscaled. */
+  def resizePlan(meta: DataFrame, maxSide: Long): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val needs = longest > maxSide
+    meta
+      .withColumn("out_width",
+        when(needs, floor(col("width") * maxSide / longest)).otherwise(col("width")).cast("long"))
+      .withColumn("out_height",
+        when(needs, floor(col("height") * maxSide / longest)).otherwise(col("height")).cast("long"))
+      .withColumn("resized", needs)
+  }
+
   /** Feature-extract stub: fixed-size feature vector from bytes (real impl:
     * image embedding model). Deterministic: byte histogram projected to
     * `dim` buckets, L1-normalized. */

@@ -88,6 +88,26 @@ object ExtensionQueries {
       SELECT media_id, UNNEST(generate_series(0, n_frames - 1, 24)) AS frame_idx
       FROM m WHERE n_frames >= 1 ORDER BY media_id, frame_idx"""))
 
+  /** Aspect-preserving resize planning over decoded metadata (cap 256). */
+  val multimodalResize = QueryDef("multimodal_resize",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.resizePlan(Multimodal.decodeMeta(mediaItems(s, dir)).toDF(), 256)
+        .select("media_id", "width", "height", "out_width", "out_height", "resized")
+        .orderBy("media_id")
+    },
+    Some("""WITH m AS (
+        SELECT doc_id AS media_id,
+          64 + strlen(text) % 512 AS width,
+          64 + (strlen(text) * 3) % 512 AS height
+        FROM documents),
+      s AS (SELECT *, GREATEST(width, height) AS longest FROM m)
+      SELECT media_id, width, height,
+        CASE WHEN longest > 256 THEN CAST(FLOOR(width * 256 / longest) AS BIGINT) ELSE width END AS out_width,
+        CASE WHEN longest > 256 THEN CAST(FLOOR(height * 256 / longest) AS BIGINT) ELSE height END AS out_height,
+        longest > 256 AS resized
+      FROM s ORDER BY media_id"""))
+
   /** As-of join: for each click, the latest prior view by the same user
     * (union + per-key window scan — no range explosion). Oracle: DuckDB's
     * native ASOF JOIN. */
@@ -162,5 +182,5 @@ object ExtensionQueries {
 
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, sessionizeQ, multimodalMeta, multimodalFrameSample,
-    asofJoinQ, corpusStats, parseJsonProps, windowRunningSum)
+    multimodalResize, asofJoinQ, corpusStats, parseJsonProps, windowRunningSum)
 }
