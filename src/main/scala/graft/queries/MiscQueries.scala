@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional relational surface: sliding window frames, pivots, temporal
+  * rollups, and edit-distance near-dup — rounding out the §2.8-style
+  * scalar/aggregate coverage and the curation toolbox. */
+object MiscQueries {
+  import Tables.table
+
+  /** Sliding frame: 4-event moving average of value per user. */
+  val slidingAvg = QueryDef("window_sliding_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("moving_avg", round(avg(col("value")).over(w), 6))
+        .select("user_id", "event_id", "moving_avg")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+        ROUND(AVG(value) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** Pivot: per-user event counts by type (fixed column set). */
+  val pivotCounts = QueryDef("pivot_counts",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+        COUNT(*) FILTER (event_type = 'click') AS click,
+        COUNT(*) FILTER (event_type = 'view') AS view,
+        COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS signup,
+        COUNT(*) FILTER (event_type = 'error') AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Temporal rollup: monthly order revenue. */
+  val monthlyRollup = QueryDef("monthly_rollup",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("revenue"))
+      .orderBy("y", "m"),
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m,
+        COUNT(*) AS n_orders,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY y, m"""))
+
+  /** Edit-distance near-dup: Levenshtein over bounded doc prefixes
+    * (exact integer metric, a third dedup similarity next to Jaccard and
+    * embedding cosine). */
+  val dedupLevenshtein = QueryDef("dedup_levenshtein",
+    (s, dir) => {
+      val p = table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+      val a = p.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+      val b = p.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("dist") <= 25)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH p AS (SELECT doc_id, substring(text, 1, 60) AS prefix
+        FROM documents WHERE doc_id < 100)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+      FROM p a JOIN p b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.prefix, b.prefix) <= 25
+      ORDER BY id_a, id_b"""))
+
+  val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup, dedupLevenshtein)
+}

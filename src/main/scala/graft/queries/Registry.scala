@@ -5,5 +5,6 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      SimilarityQueries.defs ++ ExtensionQueries.defs ++ PipelineQueries.defs
+      SimilarityQueries.defs ++ ExtensionQueries.defs ++ PipelineQueries.defs ++
+      MiscQueries.defs
 }
