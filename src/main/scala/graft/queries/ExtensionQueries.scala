@@ -19,7 +19,7 @@ object ExtensionQueries {
       .orderBy("window_start_epoch", "event_type"),
     Some("""SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300 AS window_start_epoch,
         event_type, COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Inactivity-gap sessionization (10-minute gap). */
@@ -170,14 +170,14 @@ object ExtensionQueries {
       table(s, dir, "events")
         .withColumn("running_value",
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+            .cast("double"))
         .select("user_id", "event_id", "running_value")
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       FROM events ORDER BY user_id, event_id"""))
 
   val defs: Seq[QueryDef] = Seq(

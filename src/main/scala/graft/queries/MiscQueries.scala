@@ -49,12 +49,12 @@ object MiscQueries {
         month(col("o_orderdate")).cast("long").as("m"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("revenue"))
+          .cast("double").as("revenue"))
       .orderBy("y", "m"),
     Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         CAST(month(o_orderdate) AS BIGINT) AS m,
         COUNT(*) AS n_orders,
-        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1, 2 ORDER BY y, m"""))
 
   /** Edit-distance near-dup: Levenshtein over bounded doc prefixes

@@ -330,11 +330,11 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_acctbal"))
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_acctbal"))
         .orderBy("r_name")
     },
     Some("""SELECT r_name, COUNT(*) AS n_customers,
-        SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))

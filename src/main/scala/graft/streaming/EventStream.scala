@@ -17,17 +17,21 @@ import org.apache.spark.sql.types.DecimalType
 object EventStream {
 
   /** events with a proper event-time column. `ts` arrives as a
-    * nanosecond-epoch long (nanosAsLong parquet flag); truncate to µs. */
+    * nanosecond-epoch long (nanosAsLong parquet flag); truncate to µs with
+    * integer division — double division has ~256 ns ulp at 1.7e18 and can
+    * flip a window assignment at exact boundaries. */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window per-type aggregation; identical semantics in batch
-    * and streaming. Money-sums via decimal for cross-engine determinism. */
+    * and streaming. Money-sums accumulate in exact decimal (order-independent)
+    * and surface as double — decimal→double is correctly rounded in both
+    * Spark and DuckDB at these magnitudes, so the bits match the oracle. */
   def tumblingTypeCounts(df: DataFrame, windowSec: Int): DataFrame =
     withEventTime(df)
       .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -45,7 +49,7 @@ object EventStream {
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
