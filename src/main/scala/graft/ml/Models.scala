@@ -38,6 +38,33 @@ object Models {
     def caption(prompt: String, imagePaths: Seq[String]): String
   }
 
+  /** Image read boundary (cv2.imread stand-in): dimensions or None for a
+    * missing/undecodable file. Ref: pipeline/for_high_bg_all_morelittler.py:146-152. */
+  trait ImageReader extends Serializable {
+    def dims(path: String): Option[(Int, Int)] // (h, w)
+  }
+
+  /** Grounding/SAM2 mask for a person box: the nonzero-mask bounding rect
+    * on the full image (the reference takes cv2.boundingRect of the
+    * predicted mask), or None when the mask comes back empty.
+    * Ref: common/image/grounding_mask_op.py:15-41,
+    * pipeline/for_high_bg_all_morelittler.py:199-207. */
+  trait GroundingMasker extends Serializable {
+    def maskRect(imageId: Long, box: Box, h: Long, w: Long): Option[Box]
+  }
+
+  /** BEN2 background matting over a person crop; None mirrors the
+    * reference's errors-to-None convention. Ref: common/transform/bg_rm_op.py:8-24. */
+  trait Matting extends Serializable {
+    def removeBackground(imageId: Long, boxIdx: Int): Option[Array[Byte]]
+  }
+
+  /** LBM relighting over a person crop; None on failure.
+    * Ref: common/transform/lbm_op.py:14-32. */
+  trait Relighter extends Serializable {
+    def relight(imageId: Long, boxIdx: Int): Option[Array[Byte]]
+  }
+
   /** ffprobe/ffmpeg boundary. Ref: common/video/video_probe_op.py:4-53,
     * common/video/ffmpeg_cut_op.py:10-112. */
   trait VideoTool extends Serializable {
@@ -104,6 +131,51 @@ object Models {
       val md = java.security.MessageDigest.getInstance("MD5")
       val bytes = md.digest((prompt + "|" + imagePaths.mkString(",")).getBytes("UTF-8"))
       bytes.map("%02x".format(_)).mkString.substring(0, 16)
+    }
+  }
+
+  /** Dims from the path hash; paths containing "missing" are unreadable
+    * (cv2.imread → None in the reference). */
+  final class FakeImageReader extends ImageReader {
+    def dims(path: String): Option[(Int, Int)] =
+      if (path == null || path.isEmpty || path.contains("missing")) None
+      else {
+        val h = scramble(path.hashCode.toLong)
+        Some((400 + (h % 1600).toInt, 600 + ((h >>> 5) % 1600).toInt))
+      }
+  }
+
+  /** Mask rect = person box dilated by a hash-derived margin then clipped
+    * to the image; ~1/16 of masks come back empty (predictor miss). */
+  final class FakeGroundingMasker extends GroundingMasker {
+    def maskRect(imageId: Long, box: Box, h: Long, w: Long): Option[Box] = {
+      val hsh = scramble(imageId * 1543L + box.x1 * 31L + box.y1)
+      if (hsh % 16 == 0) None
+      else {
+        val dx = (hsh % 8).toInt
+        val dy = ((hsh >>> 3) % 8).toInt
+        val x1 = math.max(0, box.x1 - dx)
+        val y1 = math.max(0, box.y1 - dy)
+        val x2 = math.min(w.toInt, box.x2 + dx)
+        val y2 = math.min(h.toInt, box.y2 + dy)
+        if (x2 > x1 && y2 > y1) Some(Box(x1, y1, x2, y2)) else None
+      }
+    }
+  }
+
+  /** Deterministic matte payload; ~1/32 inference failures → None. */
+  final class FakeMatting extends Matting {
+    def removeBackground(imageId: Long, boxIdx: Int): Option[Array[Byte]] = {
+      val h = scramble(imageId * 911L + boxIdx)
+      if (h % 32 == 0) None else Some(s"matte:$imageId:$boxIdx".getBytes("UTF-8"))
+    }
+  }
+
+  /** Deterministic relight payload; ~1/32 inference failures → None. */
+  final class FakeRelighter extends Relighter {
+    def relight(imageId: Long, boxIdx: Int): Option[Array[Byte]] = {
+      val h = scramble(imageId * 977L + boxIdx)
+      if (h % 32 == 0) None else Some(s"relight:$imageId:$boxIdx".getBytes("UTF-8"))
     }
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.ml.Models
@@ -87,7 +88,16 @@ object PipelineQueries {
     },
     None)
 
-  /** E4 image curation (fake detector boxes → rows-only). */
+  private def bgPipeline() = new graft.pipelines.BackgroundCuration(
+    () => new Models.FakePersonDetector,
+    () => new Models.FakeFaceDetector,
+    () => new Models.FakeGroundingMasker,
+    () => new Models.FakeMatting,
+    () => new Models.FakeRelighter,
+    new graft.sources.Sinks.LocalFsStore("/tmp/graft_bg_out"))
+
+  /** E4 image curation end-to-end (fake models → rows-only; the relational
+    * subset is oracle-checked by `bg_save_paths`). */
   val pipelineBgCuration = QueryDef("pipeline_bg_curation",
     (s, dir) => {
       val images = table(s, dir, "part").select(
@@ -95,14 +105,85 @@ object PipelineQueries {
         format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
         (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
         (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
-      new graft.pipelines.BackgroundCuration(
-        () => new Models.FakePersonDetector,
-        new graft.sources.Sinks.LocalFsStore("/tmp/graft_bg_out"))
-        .run(images)
-        .select("image_id", "h", "w", "max_area", "area_ratio")
+      bgPipeline().run(images)
+        .select("image_id", "h", "w", "max_area", "area_ratio", "n_persons")
         .orderBy("image_id")
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining, pipelineBgCuration)
+  /** E4 relational subset, oracle-green: synthetic person boxes from pure
+    * integer arithmetic → resolution/count/area gates → per-box fan-out
+    * with the empty-crop skip → the reference's six save-path composition
+    * (ref pipeline/for_high_bg_all_morelittler.py:171-176,226-234). Runs
+    * the REAL pipeline stages minus the opaque model gates. */
+  val bgSavePaths = QueryDef("bg_save_paths",
+    (s, dir) => {
+      def mkBox(i: Column) = struct(
+        ((col("image_id") * 13 + i * 97) % col("w")).as("x1"),
+        ((col("image_id") * 7 + i * 57) % col("h")).as("y1"),
+        (((col("image_id") * 13 + i * 97) % col("w")) + 150 + col("image_id") % 200).as("x2"),
+        (((col("image_id") * 7 + i * 57) % col("h")) + 250 + col("image_id") % 300).as("y2"))
+      val images = table(s, dir, "part").select(
+        col("p_partkey").as("image_id"),
+        format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
+        (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
+        (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
+        .withColumn("person_boxes",
+          slice(array(mkBox(lit(0)), mkBox(lit(1)), mkBox(lit(2))), lit(1),
+            (col("image_id") % 4).cast("int")))
+        .withColumn("tag", lit("in"))
+      val pipe = bgPipeline()
+      pipe.withSavePaths(pipe.explodeBoxes(pipe.gates(images)))
+        .select(Seq(col("image_id"), col("box_idx"), col("max_area"),
+          col("area_ratio"), col("orig_path")) ++
+          graft.pipelines.BackgroundCuration.outputKinds.map { case (k, _) => col(s"path_$k") }: _*)
+        .orderBy("image_id", "box_idx")
+    },
+    Some("""WITH img AS (
+        SELECT p_partkey AS image_id,
+               printf('/imgs/part_%d.jpg', p_partkey) AS image_path,
+               400 + (p_partkey * 37) % 1200 AS h,
+               600 + (p_partkey * 53) % 1600 AS w
+        FROM part
+        WHERE 400 + (p_partkey * 37) % 1200 >= 1000
+          AND 600 + (p_partkey * 53) % 1600 >= 1000
+          AND p_partkey % 4 BETWEEN 1 AND 3),
+      b AS (
+        SELECT image_id, image_path, h, w, CAST(i AS BIGINT) AS box_idx,
+          (image_id * 13 + i * 97) % w AS x1,
+          (image_id * 7 + i * 57) % h AS y1,
+          (image_id * 13 + i * 97) % w + 150 + image_id % 200 AS x2,
+          (image_id * 7 + i * 57) % h + 250 + image_id % 300 AS y2
+        FROM img, UNNEST([0, 1, 2]) AS t(i)
+        WHERE i < image_id % 4),
+      areas AS (
+        SELECT *, GREATEST(0, LEAST(x2, w) - GREATEST(x1, 0))
+                * GREATEST(0, LEAST(y2, h) - GREATEST(y1, 0)) AS clipped
+        FROM b),
+      gated AS (
+        SELECT *,
+          CAST(MAX(clipped) OVER (PARTITION BY image_id) AS DOUBLE) AS max_area,
+          CAST(MAX(clipped) OVER (PARTITION BY image_id) AS DOUBLE) / CAST(h * w AS DOUBLE) AS area_ratio
+        FROM areas),
+      kept AS (
+        SELECT * FROM gated
+        WHERE area_ratio <= 0.4
+          AND LEAST(x2, w) > GREATEST(x1, 0) AND LEAST(y2, h) > GREATEST(y1, 0)),
+      named AS (
+        SELECT *,
+          regexp_extract(image_path, '([^/]+)\.[^./]+$', 1) AS file_name,
+          '/out/' || regexp_extract(image_path, '([^/]+)/[^/]+$', 1) || '/in' AS save_dir
+        FROM kept)
+      SELECT image_id, box_idx, max_area, area_ratio,
+        printf('%s/%s.jpg', save_dir, file_name) AS orig_path,
+        printf('%s/%s_in_p%d_mask_bbox.png', save_dir, file_name, box_idx) AS path_mask_bbox,
+        printf('%s/%s_in_p%d_human_bbox.png', save_dir, file_name, box_idx) AS path_human_bbox,
+        printf('%s/%s_in_p%d_human_lbm.jpg', save_dir, file_name, box_idx) AS path_human_lbm,
+        printf('%s/%s_in_p%d_background.png', save_dir, file_name, box_idx) AS path_background,
+        printf('%s/%s_in_p%d_background_mask.png', save_dir, file_name, box_idx) AS path_background_mask,
+        printf('%s/%s_in_p%d_human_full_bgr.png', save_dir, file_name, box_idx) AS path_human_full_bgr
+      FROM named ORDER BY image_id, box_idx"""))
+
+  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
+    pipelineBgCuration, bgSavePaths)
 }

@@ -97,10 +97,19 @@ class PipelinesSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(objRoot, status.head._1)))
   }
 
-  test("E4 bg curation: gates enforce resolution, person count, area ratio; masks written") {
+  private def bgPipe(root: String,
+                     person: () => Models.PersonDetector = () => new Models.FakePersonDetector) =
+    new graft.pipelines.BackgroundCuration(
+      person,
+      () => new Models.FakeFaceDetector,
+      () => new Models.FakeGroundingMasker,
+      () => new Models.FakeMatting,
+      () => new Models.FakeRelighter,
+      new graft.sources.Sinks.LocalFsStore(root))
+
+  test("E4 bg curation: gates enforce resolution, person count, area ratio; outputs written") {
     val root = java.nio.file.Files.createTempDirectory("graft_bg").toString
-    val pipe = new graft.pipelines.BackgroundCuration(
-      () => new Models.FakePersonDetector, new graft.sources.Sinks.LocalFsStore(root))
+    val pipe = bgPipe(root)
     // controlled records straight into the gates (bypassing detection)
     val recs = Seq(
       (1L, 1200L, 1800L, Seq((10, 10, 110, 210))),               // passes all gates
@@ -109,14 +118,101 @@ class PipelinesSpec extends AnyFunSuite {
       (4L, 1200L, 1800L, (1 to 4).map(i => (i, i, i + 50, i + 80))), // too many persons
       (5L, 1000L, 1000L, Seq((0, 0, 1000, 1000))))               // area ratio 1.0 > 0.4
       .toDF("image_id", "h", "w", "boxes_raw")
+      .withColumn("image_path", format_string("/imgs/d%d/img_%d.jpg", col("image_id"), col("image_id")))
+      .withColumn("tag", lit("in"))
       .withColumn("person_boxes", transform(col("boxes_raw"), t =>
         struct(t.getField("_1").as("x1"), t.getField("_2").as("y1"),
           t.getField("_3").as("x2"), t.getField("_4").as("y2"))))
     val kept = pipe.gates(recs).select("image_id").as[Long].collect().toSet
     assert(kept == Set(1L))
-    val status = pipe.maskAndSink(pipe.gates(recs))
-      .as[(String, Boolean, String)].collect()
-    assert(status.length == 1 && status.head._2)
+    val perBox = pipe.withSavePaths(pipe.explodeBoxes(pipe.gates(recs)))
+    val paths = perBox.select("path_mask_bbox", "orig_path").as[(String, String)].collect()
+    assert(paths.nonEmpty && paths.head._1 == "/out/d1/in/img_1_in_p0_mask_bbox.png")
+    assert(paths.head._2 == "/out/d1/in/img_1.jpg")
+    val status = pipe.saveOutputs(perBox).as[(String, Boolean, String)].collect()
+    // six per-box outputs + one original copy, all uploaded
+    assert(status.length == 7 && status.forall(_._2))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, status.head._1)))
   }
+
+  test("E4 run: resolution gate precedes detection (no inference on sub-threshold images)") {
+    graft.ml.ExecutorSingleton.clear() // drop any detector cached by earlier tests
+    PipelinesSpec.detectCalls.set(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_bg_order").toString
+    val pipe = bgPipe(root, person = () => {
+      val inner = new Models.FakePersonDetector
+      new Models.PersonDetector {
+        def detect(videoId: Long, frameIdx: Long): Seq[Models.Box] = {
+          PipelinesSpec.detectCalls.incrementAndGet()
+          inner.detect(videoId, frameIdx)
+        }
+      }
+    })
+    val images = (1L to 40L).toDF("image_id")
+      .withColumn("image_path", format_string("/imgs/d/img_%d.jpg", col("image_id")))
+      .withColumn("h", lit(600L) + col("image_id") * 40)  // h >= 1000 iff id >= 10
+      .withColumn("w", lit(2000L))
+    pipe.run(images).count()
+    val expected = images.filter(col("h") >= 1000 && col("w") >= 1000).count()
+    assert(PipelinesSpec.detectCalls.get() == expected,
+      s"detector ran ${PipelinesSpec.detectCalls.get()} times; post-gate rows = $expected")
+  }
+
+  test("E4 per-box model gates: exactly-one-face >= 0.5, mask rect inside image, statuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bg_box").toString
+    val pipe = bgPipe(root)
+    val images = (1L to 200L).toDF("image_id")
+      .withColumn("image_path", format_string("/imgs/d/img_%d.jpg", col("image_id")))
+      .withColumn("h", lit(1200L)).withColumn("w", lit(1600L))
+    val gated = pipe.boxGates(pipe.detect(pipe.resolutionGate(images)))
+    val perBox = pipe.modelStage(pipe.explodeBoxes(gated))
+    val rows = perBox.select("image_id", "box_idx", "mask_x1", "mask_y1", "mask_x2", "mask_y2")
+      .as[(Long, Long, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, mx1, my1, mx2, my2) =>
+      assert(mx1 >= 0 && my1 >= 0 && mx2 <= 1600 && my2 <= 1200 && mx2 > mx1 && my2 > my1)
+    }
+    // the face gate must drop some boxes (fake emits 0-2 faces per slot)
+    val explodedCount = pipe.explodeBoxes(gated).count()
+    assert(perBox.count() < explodedCount)
+    // replaying the fakes gives exactly the surviving (image, box) pairs
+    val fd = new Models.FakeFaceDetector
+    val gm = new Models.FakeGroundingMasker
+    val expect = pipe.explodeBoxes(gated)
+      .select(col("image_id"), col("box_idx"), col("box.x1"), col("box.y1"), col("box.x2"), col("box.y2"),
+        col("h"), col("w"))
+      .as[(Long, Long, Int, Int, Int, Int, Long, Long)].collect()
+      .filter { case (id, idx, x1, y1, x2, y2, h, w) =>
+        fd.detect(id, 0L, idx.toInt).count(_.score >= 0.5) == 1 &&
+          gm.maskRect(id, Models.Box(x1, y1, x2, y2), h, w).isDefined
+      }.map(t => (t._1, t._2)).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expect)
+  }
+
+  test("E4 runRecords: input_persons/output_persons assembly, any-saved filter, unreadable images") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bg_rec").toString
+    val pipe = bgPipe(root)
+    val records = Seq(
+      (1L, Seq("/d/a.jpg", "/d/b.jpg"), "/d/out1.jpg"),
+      (2L, Seq("/d/missing_x.jpg"), "/d/missing_y.jpg"), // nothing readable → dropped
+      (3L, Seq.empty[String], "/d/out3.jpg"))
+      .toDF("record_id", "input_images", "output_image")
+    val out = pipe.runRecords(records, () => new Models.FakeImageReader)
+    val rows = out.select("record_id", "input_persons", "output_persons").collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(!ids.contains(2L), "record with only unreadable images must be dropped")
+    // kept records: every input_persons entry names a real input path of that record
+    val recIn = records.as[(Long, Seq[String], String)].collect().map(r => r._1 -> r._2).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val inPaths = r.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[String]("path"))
+      assert(inPaths.forall(recIn(id).contains))
+      assert(inPaths == inPaths.sorted || inPaths.size <= 1 || recIn(id).filter(inPaths.contains) == inPaths,
+        "input_persons must preserve input order")
+    }
+  }
+}
+
+object PipelinesSpec {
+  val detectCalls = new java.util.concurrent.atomic.AtomicLong(0)
 }
