@@ -16,7 +16,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop write materializes EVERY output column (count() lets Catalyst
+      // prune projection work away, under-measuring expression-heavy
+      // queries) while still writing nothing.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

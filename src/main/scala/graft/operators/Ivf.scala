@@ -22,13 +22,26 @@ object Ivf {
   final case class Index(centers: Array[Array[Double]], assigned: DataFrame)
 
   /** Train the coarse quantizer and assign every vector to its list.
-    * `assigned` = input columns + `list_id`. Deterministic via seed. */
+    * `assigned` = input columns + `list_id`. Deterministic via seed.
+    *
+    * The quantizer fits on a bounded sample (`sampleCap` rows, default
+    * 100×nLists — the standard billion-vector recipe): centroid quality
+    * converges long before the full corpus is seen, and at 100 TB a
+    * full-corpus k-means would dominate the build. Assignment still
+    * covers every vector (narrow map over the scan). */
   def build(vectors: DataFrame, nLists: Int, seed: Long = 42L,
-            vecCol: String = "embedding", maxIter: Int = 8): Index = {
+            vecCol: String = "embedding", maxIter: Int = 8,
+            sampleCap: Long = 0L): Index = {
+    val cap = if (sampleCap > 0) sampleCap else 100L * nLists
+    val n = vectors.count()
     val featured = vectors.withColumn("_features", array_to_vector(col(vecCol)))
+    val train =
+      if (n <= cap) featured
+      // oversample slightly so the realized sample rarely undershoots cap
+      else featured.sample(withReplacement = false, math.min(1.0, 1.1 * cap / n), seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("list_id")
-      .fit(featured)
+      .fit(train)
     val assigned = model.transform(featured).drop("_features")
     Index(model.clusterCenters.map(_.toArray), assigned)
   }

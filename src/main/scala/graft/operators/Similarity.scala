@@ -78,9 +78,10 @@ object Similarity {
     * table loses when one hyperplane slices through a cluster. Native
     * fused expression when available; declarative per-table dots
     * otherwise (identical fold math → identical buckets). */
-  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int): Column = {
+  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int, dim: Int): Column = {
+    require(dim > 0, "embedding dimension must be positive")
     val planeMatrix = Array.tabulate(nTables)(t =>
-      hyperplanes(nPlanes, dim = 64, seed = 42L + t).map(_.clone()).toArray)
+      hyperplanes(nPlanes, dim, seed = 42L + t).map(_.clone()).toArray)
     val native =
       try Some(org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.HyperplaneBuckets(
@@ -95,17 +96,20 @@ object Similarity {
   /** Approximate top-k: candidates restricted to rows sharing any LSH
     * table bucket with the query, then exact cosine rank over the
     * deduplicated candidate set. One shuffle keyed by (table, bucket);
-    * candidate work scales with bucket occupancy, not corpus². */
+    * candidate work scales with bucket occupancy, not corpus².
+    * `dim` is the embedding dimension — the hyperplanes are drawn at that
+    * length, and the native kernel rejects mismatched vectors instead of
+    * silently truncating the bucket signal. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
-              nTables: Int = 4,
+              dim: Int, nTables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val cb = candidates
       .select(col(idCol), col(vecCol),
-        posexplode(tableBuckets(col(vecCol), nPlanes, nTables)).as(Seq("table_idx", "bucket")))
+        posexplode(tableBuckets(col(vecCol), nPlanes, nTables, dim)).as(Seq("table_idx", "bucket")))
     val qb = queries
       .select(col(qidCol), col(qvecCol),
-        posexplode(tableBuckets(col(qvecCol), nPlanes, nTables)).as(Seq("table_idx", "bucket")))
+        posexplode(tableBuckets(col(qvecCol), nPlanes, nTables, dim)).as(Seq("table_idx", "bucket")))
     val candidatePairs = cb.join(broadcast(qb), Seq("table_idx", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))

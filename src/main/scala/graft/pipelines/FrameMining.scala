@@ -124,10 +124,13 @@ class FrameMining(person: () => Models.PersonDetector,
   /** Full E3: manifest(video_id, total_frames) → selected GT frames with
     * per-video ref counts. */
   def run(manifest: DataFrame): DataFrame = {
-    // NOTE: do NOT cache refs here — measured cold-run cost of serializing
-    // the cache materialization exceeds recomputing the (cheap, fully
-    // parallel) phase-1 subtree for the two consumers.
-    val refs = mineRefs(manifest)
+    // Phase 1 executes ONCE: the ref set is tiny (≤ maxRefs rows/video) so
+    // an eager localCheckpoint materializes it for O(KB) and both
+    // consumers (the broadcast correlation and the n_refs join) read the
+    // checkpointed partitions. Recomputing instead doubles ALL phase-1
+    // inference with real detectors — a scale-killer; a lazy cache() was
+    // measured worse on the cold run than this eager cut of the lineage.
+    val refs = mineRefs(manifest).localCheckpoint()
     mineCandidates(manifest, refs)
       .join(refs.select("video_id", "n_refs").distinct(), "video_id")
       .orderBy("video_id", "frame_idx")

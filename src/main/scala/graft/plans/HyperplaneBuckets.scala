@@ -31,6 +31,13 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // Fail loudly on a dimension mismatch: truncating would silently
+    // hash into wrong buckets (the declarative fallback null-pads
+    // instead, so the two paths would diverge).
+    if (planes.nonEmpty && planes(0).nonEmpty && planes(0)(0).length != n)
+      throw new IllegalArgumentException(
+        s"graft_hyperplane_buckets: embedding dim $n != hyperplane dim ${planes(0)(0).length}; " +
+          "pass the corpus dimension to Similarity.lshTopK")
     val vec = new Array[Double](n)
     var i = 0
     while (i < n) { vec(i) = arr.getFloat(i).toDouble; i += 1 }
@@ -43,9 +50,8 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
       while (j < table.length) {
         val p = table(j)
         var d = 0.0
-        val m = math.min(n, p.length)
         var k = 0
-        while (k < m) { d += vec(k) * p(k); k += 1 }
+        while (k < n) { d += vec(k) * p(k); k += 1 }
         if (d >= 0) bucket |= (1L << j)
         j += 1
       }

@@ -61,7 +61,9 @@ object SimilarityQueries {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(emb, queries, k = 5, nPlanes = 6)
+      // dim = 64: the embeddings-table dimension (TESTDATA.md); the
+      // kernel rejects mismatched vectors rather than mis-bucketing.
+      Similarity.lshTopK(emb, queries, k = 5, nPlanes = 6, dim = 64)
         .orderBy("qid", "rank")
     },
     None)

@@ -72,10 +72,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 6)
+    val approx = Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 6, dim = 64)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("LSH ANN works on a non-64-d corpus and rejects a wrong dim") {
+    val rng = new scala.util.Random(77)
+    val centers = Array.fill(4)(Array.fill(24)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 6, dim = 24)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"24-d recall $recall too low")
+    // wrong dim must fail loudly, not silently truncate the bucket signal
+    val boom = intercept[Exception] {
+      Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 6, dim = 64).collect()
+    }
+    assert(boom.getMessage != null)
   }
 
   test("IVF ANN recall vs brute force on clustered vectors") {
@@ -94,6 +116,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall $recall too low")
+    // sampled training (cap << corpus) must keep recall: same corpus, tiny cap
+    val sampled = graft.operators.Ivf.build(vecs, nLists = 8, sampleCap = 120)
+    val approx2 = graft.operators.Ivf.topK(sampled, queries, k = 5, nProbe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall2 = (exact & approx2).size.toDouble / exact.size
+    assert(recall2 >= 0.8, s"sampled-IVF recall $recall2 too low")
+    assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
   test("brute-force top-k is exact, self-excluded, rank-ordered") {

@@ -77,6 +77,31 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out1.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
   }
 
+  test("E3 run: phase-1 detection executes exactly once (refs checkpointed, not recomputed)") {
+    graft.ml.ExecutorSingleton.clear()
+    PipelinesSpec.detectCalls.set(0)
+    val manifest = (0 until 6).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
+    val pipe = new FrameMining(
+      () => {
+        val inner = new Models.FakePersonDetector
+        new Models.PersonDetector {
+          def detect(videoId: Long, frameIdx: Long): Seq[Models.Box] = {
+            PipelinesSpec.detectCalls.incrementAndGet()
+            inner.detect(videoId, frameIdx)
+          }
+        }
+      },
+      () => new Models.FakeFaceDetector,
+      () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
+    pipe.run(manifest).collect()
+    // phase 1: frames 0..599 stride 20 → 30/video; phase 2: 600..5999
+    // stride 50 → 108/video; one detect per frame per phase = 138/video.
+    val expected = 6 * (30 + 108)
+    assert(PipelinesSpec.detectCalls.get() == expected,
+      s"detector ran ${PipelinesSpec.detectCalls.get()} times, expected $expected " +
+        "(phase-1 recomputation would double its share)")
+  }
+
   test("E3 pair sink: ref crops + GT frames stored, pair records appended") {
     val manifest = (0 until 4).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
     val pipe = new FrameMining(
