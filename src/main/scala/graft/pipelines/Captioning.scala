@@ -19,45 +19,61 @@ class Captioning(captionerFactory: () => Models.Captioner) extends Serializable 
   val systemPrompt = "<|system|>You are a captioner.<|user|>"
   val question = " Describe the subject."
 
-  /** Parse `input_images`: JSON-ish list or single bare path. */
+  /** Parse `input_images`: JSON-ish list or single bare path. Malformed
+    * input surfaces as `vision_inputs_error` data (never an exception) —
+    * the reference short-circuits the record on placeholder/vision-input
+    * failure (pipeline/caption.py:78-80, common/image/placeholders_op.py:19-29). */
   def parsePlaceholders(df: DataFrame): DataFrame =
     df.withColumn("images",
-      when(col("input_images").startsWith("["),
-        from_json(col("input_images"), ArrayType(StringType)))
+      when(col("input_images").isNull, lit(null).cast(ArrayType(StringType)))
+        .when(col("input_images").startsWith("["),
+          from_json(col("input_images"), ArrayType(StringType)))
         .otherwise(array(col("input_images"))))
+      .withColumn("vision_inputs_error",
+        when(col("input_images").isNull, lit("missing input_images"))
+          .when(col("images").isNull,
+            concat(lit("placeholder parse failed: "), col("input_images")))
+          .when(exists(col("images"), x => x.isNull),
+            lit("placeholder list contains null entry")))
 
   /** Fixed chat prompt: system + one <image> placeholder per ref + question.
     * Ref: common/transform/vision_inputs_op.py:25-31, pipeline/caption.py:67-75. */
   def assemblePrompt(df: DataFrame): DataFrame =
-    df.withColumn("prompt", concat(
-      lit(systemPrompt),
-      expr("repeat('<image>', size(images))"),
-      lit(question)))
+    df.withColumn("prompt",
+      when(col("vision_inputs_error").isNull, concat(
+        lit(systemPrompt),
+        expr("repeat('<image>', size(images))"),
+        lit(question))))
 
-  /** Generate stage (executor-singleton model). */
+  /** Generate stage (executor-singleton model). Errored rows SKIP the
+    * model (the reference's short-circuit, pipeline/caption.py:78-80) and
+    * flow through with a null caption. */
   def generate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val factory = captionerFactory
     df.select(col("doc_id").cast("long"), col("prompt"), col("images"),
-        col("output_image").cast("string"))
-      .as[(Long, String, Seq[String], String)]
+        col("output_image").cast("string"), col("vision_inputs_error"))
+      .as[(Long, String, Seq[String], String, String)]
       .mapPartitions { it =>
         val model = ExecutorSingleton.getOrCreate("graft.captioner")(factory())
-        it.map { case (id, prompt, images, out) =>
-          (id, prompt, images, out, model.caption(prompt, images))
+        it.map { case (id, prompt, images, out, err) =>
+          val caption = if (err == null) model.caption(prompt, images) else null
+          (id, prompt, images, out, err, caption)
         }
       }
-      .toDF("doc_id", "prompt", "images", "output_image", "caption")
+      .toDF("doc_id", "prompt", "images", "output_image", "vision_inputs_error", "caption")
   }
 
-  /** 4-field training record (ref: common/io/save_output_op.py:18-23). */
+  /** 4-field training record (ref: common/io/save_output_op.py:18-23);
+    * errored rows keep a null record (not saved) + the error column. */
   def projectRecord(df: DataFrame): DataFrame =
-    df.withColumn("record", to_json(struct(
-      lit("subject_driven").as("task_type"),
-      col("caption").as("instruction"),
-      col("images").as("input_images"),
-      col("output_image").as("output_image"))))
+    df.withColumn("record",
+      when(col("vision_inputs_error").isNull, to_json(struct(
+        lit("subject_driven").as("task_type"),
+        col("caption").as("instruction"),
+        col("images").as("input_images"),
+        col("output_image").as("output_image")))))
 
   def run(df: DataFrame): DataFrame =
     projectRecord(generate(assemblePrompt(parsePlaceholders(df))))

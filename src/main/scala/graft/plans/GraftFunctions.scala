@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,11 +15,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    layer calls this lazily per session).
   */
 object GraftFunctions {
-  private val registered = ConcurrentHashMap.newKeySet[String]()
 
-  /** True once any session has the native expressions (column builders
-    * consult this to pick native vs HOF form at plan-construction time). */
-  @volatile var nativeAvailable: Boolean = false
+  /** Whether THIS thread's active session has the native expressions —
+    * decided per session via its function registry, never via JVM-global
+    * state: a second SparkSession that skipped [[register]] must get the
+    * declarative HOF fallback, or its analysis fails on the unresolved
+    * `graft_*` call. No active session → fall back (always correct). */
+  def nativeAvailable: Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try s.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_cosine"))
+      catch { case _: Throwable => false }
+    }
 
   private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> { children =>
@@ -37,23 +41,22 @@ object GraftFunctions {
       SortedIntersectCount(children.head, children(1))
     })
 
-  /** Idempotent per-session registration. Returns true when the native
-    * expressions are available in the session. */
-  def register(spark: SparkSession): Boolean = {
-    val key = System.identityHashCode(spark).toString
-    if (registered.contains(key)) true
-    else try {
-      builders.foreach { case (name, b) =>
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
-      }
+  /** Idempotent per-session registration (the registry itself is the
+    * book-keeping — no identity-hash session keying, which can collide).
+    * Returns true when the native expressions are available in the
+    * session. */
+  def register(spark: SparkSession): Boolean =
+    try {
+      val reg = spark.sessionState.functionRegistry
+      if (!reg.functionExists(FunctionIdentifier("graft_cosine")))
+        builders.foreach { case (name, b) =>
+          reg.createOrReplaceTempFunction(name, b, "built-in")
+        }
       if (!spark.experimental.extraOptimizations.contains(IntersectCountRewrite))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ IntersectCountRewrite
-      registered.add(key)
-      nativeAvailable = true
       true
     } catch { case _: Throwable => false }
-  }
 }
 
 /** `spark.sql.extensions` entry point. */

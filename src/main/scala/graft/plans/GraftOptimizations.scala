@@ -22,6 +22,7 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
     * unresolved form, so semanticEquals against it can never match an
     * analyzed plan.) */
   private def isDefaultComparator(f: Expression): Boolean = f match {
+    // non-nullable elements: if (l < r) -1 else if (l > r) 1 else 0
     case LambdaFunction(
         If(LessThan(la: NamedLambdaVariable, ra: NamedLambdaVariable), Literal(m, IntegerType),
           If(GreaterThan(lb: NamedLambdaVariable, rb: NamedLambdaVariable),
@@ -30,13 +31,34 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
       m == -1 && p == 1 && z == 0 &&
         la.exprId == l.exprId && ra.exprId == r.exprId &&
         lb.exprId == l.exprId && rb.exprId == r.exprId
+    // nullable elements: the analyzer wraps the same order with a
+    // nulls-LAST prelude — if (isnull(l) && isnull(r)) 0 else
+    // if (isnull(l)) 1 else if (isnull(r)) -1 else <non-null form>.
+    // Nulls-last is exactly what SortedIntersectCount's null handling
+    // assumes, so this shape is safe to rewrite too.
+    case LambdaFunction(
+        If(And(IsNull(n1: NamedLambdaVariable), IsNull(n2: NamedLambdaVariable)), Literal(z0, IntegerType),
+          If(IsNull(n3: NamedLambdaVariable), Literal(p0, IntegerType),
+            If(IsNull(n4: NamedLambdaVariable), Literal(m0, IntegerType),
+              If(LessThan(la: NamedLambdaVariable, ra: NamedLambdaVariable), Literal(m, IntegerType),
+                If(GreaterThan(lb: NamedLambdaVariable, rb: NamedLambdaVariable),
+                  Literal(p, IntegerType), Literal(z, IntegerType)))))),
+        Seq(l: NamedLambdaVariable, r: NamedLambdaVariable), _) =>
+      z0 == 0 && p0 == 1 && m0 == -1 && m == -1 && p == 1 && z == 0 &&
+        n1.exprId == l.exprId && n2.exprId == r.exprId &&
+        n3.exprId == l.exprId && n4.exprId == r.exprId &&
+        la.exprId == l.exprId && ra.exprId == r.exprId &&
+        lb.exprId == l.exprId && rb.exprId == r.exprId
     case _ => false
   }
 
   /** Fire only on `array_sort(array_distinct(...))` with the default
     * comparator: the merge scan counts duplicate matches, while
     * array_intersect dedups its result — the two only agree on DISTINCT
-    * inputs, so distinctness must be statically guaranteed. */
+    * inputs, so distinctness must be statically guaranteed. (Null
+    * elements are fine: sorted-distinct input has at most one null, last,
+    * and [[SortedIntersectCount]] replays array_intersect's both-contain-
+    * null semantics instead of dereferencing the null slot.) */
   private def isDefaultSortedStrings(e: Expression): Boolean =
     e match {
       case ArraySort(arg @ ArrayDistinct(_), f, _) =>

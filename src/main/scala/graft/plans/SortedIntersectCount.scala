@@ -30,17 +30,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
 
+  /** Null elements: the rewrite only feeds this SORTED-DISTINCT inputs,
+    * so each side holds at most one null and array_sort places it LAST.
+    * The merge scan therefore stops at the first null slot, and — matching
+    * `size(array_intersect(...))` — counts one extra when BOTH sides end
+    * with a null (array_intersect keeps null iff both arrays contain it). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val nx = x.numElements(); val ny = y.numElements()
-    while (i < nx && j < ny) {
+    while (i < nx && j < ny && !x.isNullAt(i) && !y.isNullAt(j)) {
       val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
     }
+    if (nx > 0 && ny > 0 && x.isNullAt(nx - 1) && y.isNullAt(ny - 1)) c += 1
     c
   }
 
@@ -52,11 +58,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       s"""
          |int $nx = $x.numElements(); int $ny = $y.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $nx && $j < $ny) {
+         |while ($i < $nx && $j < $ny && !$x.isNullAt($i) && !$y.isNullAt($j)) {
          |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}
+         |if ($nx > 0 && $ny > 0 && $x.isNullAt($nx - 1) && $y.isNullAt($ny - 1)) { $c++; }
          |${ev.value} = $c;
        """.stripMargin
     })

@@ -91,7 +91,10 @@ object TextQueries {
       // Cache the (tiny, bounded) shingle frame: without it Catalyst
       // inlines shingle construction into both join sides and recomputes
       // it once per PAIR instead of once per doc.
-      val sh = table(s, dir, "documents").filter(col("doc_id") < 200)
+      // length(text) >= 3 mirrors the oracle CTE exactly: charShingles
+      // collapses shorter docs to [text], which the oracle's generate_series
+      // form has no row for — latent divergence on short future docs.
+      val sh = table(s, dir, "documents").filter(col("doc_id") < 200 && length(col("text")) >= 3)
         .select(col("doc_id"), array_sort(charShingles(col("text"), 3)).as("sh"))
         .cache()
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

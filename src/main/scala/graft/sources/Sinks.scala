@@ -47,6 +47,33 @@ object Sinks {
     }
   }
 
+  /** Production object-store path: Hadoop-FileSystem-backed, so the same
+    * class serves `s3a://bucket/prefix` on a cluster with the S3A
+    * connector on the classpath (the reference MinIO endpoint/credentials
+    * map onto `fs.s3a.endpoint` / `fs.s3a.access.key` /
+    * `fs.s3a.secret.key` via `confProps`) and `file:///...` in tests —
+    * config-injected, no code change between the two.
+    * Ref: common/io/minio_upload_op.py:14-43.
+    *
+    * The FileSystem handle is rebuilt lazily per executor JVM
+    * (Configuration is not serializable); Hadoop's FileSystem cache
+    * dedups instances per (scheme, authority, ugi). */
+  final class HadoopFsStore(rootUri: String,
+                            confProps: Map[String, String] = Map.empty)
+    extends ObjectStore {
+    @transient private lazy val fsAndRoot = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confProps.foreach { case (k, v) => conf.set(k, v) }
+      val p = new org.apache.hadoop.fs.Path(rootUri)
+      (p.getFileSystem(conf), p)
+    }
+    def put(key: String, bytes: Array[Byte]): Unit = {
+      val (fs, root) = fsAndRoot
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, key), true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
   /** Upload (key, bytes) rows; emits per-object status rows with errors as
     * data (`uploaded`, `upload_error`), executed distributed via
     * mapPartitions — no driver-side loops.

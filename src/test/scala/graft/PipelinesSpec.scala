@@ -58,6 +58,36 @@ class PipelinesSpec extends AnyFunSuite {
       out(0)._4.contains(expCaption))
   }
 
+  test("E2 captioning: malformed placeholders short-circuit generate, error kept as data") {
+    graft.ml.ExecutorSingleton.clear()
+    PipelinesSpec.detectCalls.set(0) // reused as the caption-call counter (static: survives closure serialization)
+    val input = Seq(
+      (1L, "[\"/a.jpg\"", "/out/1.png"),   // malformed JSON list
+      (2L, null.asInstanceOf[String], "/out/2.png"), // missing
+      (3L, "[\"/a.jpg\", null]", "/out/3.png"), // explicit null entry
+      (4L, "/fine.jpg", "/out/4.png"))     // valid
+      .toDF("doc_id", "input_images", "output_image")
+    val pipe = new Captioning(() => new Models.Captioner {
+      def caption(prompt: String, imagePaths: Seq[String]): String = {
+        PipelinesSpec.detectCalls.incrementAndGet()
+        new Models.FakeCaptioner().caption(prompt, imagePaths)
+      }
+    })
+    // no .orderBy here: range-sort sampling would execute the generate
+    // stage a second time and double the call count; sort after collect.
+    val out = pipe.run(input)
+      .select("doc_id", "vision_inputs_error", "caption", "record")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(out.length == 4, "errored rows must flow through, not throw")
+    assert(out(0)._2 != null && out(0)._2.contains("parse failed"))
+    assert(out(1)._2 == "missing input_images")
+    assert(out(2)._2 != null && out(2)._2.contains("null entry"))
+    out.take(3).foreach { r => assert(r._3 == null && r._4 == null) }
+    assert(out(3)._2 == null && out(3)._3 != null && out(3)._4 != null)
+    assert(PipelinesSpec.detectCalls.get() == 1,
+      s"model must run only for the valid row, ran ${PipelinesSpec.detectCalls.get()}")
+  }
+
   test("E3 frame mining: produces selected frames within band, deterministic") {
     val manifest = (0 until 6).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
     val pipe = new FrameMining(

@@ -69,6 +69,21 @@ class PlansSpec extends AnyFunSuite {
     val custom = docs.selectExpr(
       "size(array_intersect(array_sort(array_distinct(split(text, ' ')), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END), array_sort(array_distinct(split(text, ' '))))) AS n")
     assert(!plan(custom).contains("graft_sorted_intersect_count"))
+    // null elements: rewritten plan must match array_intersect semantics
+    // (null kept iff BOTH sides contain it), not NPE on the null slot
+    val withNulls = docs.limit(8).select(col("doc_id"),
+      concat(split(col("text"), " "),
+        when(col("doc_id") % 2 === 0, array(lit(null).cast("string")))
+          .otherwise(array().cast("array<string>"))).as("ta"),
+      concat(split(col("source"), "c"), array(lit(null).cast("string"))).as("sa"))
+    val nulled = withNulls.select(col("doc_id"), size(array_intersect(
+      array_sort(array_distinct(col("ta"))), array_sort(array_distinct(col("sa"))))).as("n"))
+    assert(plan(nulled).contains("graft_sorted_intersect_count"),
+      s"rule did not fire on nullable elements:\n${plan(nulled)}")
+    val nulledBuiltin = withNulls.select(col("doc_id"), size(array_intersect(
+      array_distinct(col("ta")), array_distinct(col("sa")))).as("n"))
+    assert(nulled.orderBy("doc_id").as[(Long, Int)].collect().toSeq ==
+      nulledBuiltin.orderBy("doc_id").as[(Long, Int)].collect().toSeq)
   }
 
   test("flagship aggregation does map-side partial aggregation") {

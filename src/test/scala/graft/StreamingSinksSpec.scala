@@ -55,6 +55,21 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(Files.readAllBytes(java.nio.file.Paths.get(objRoot, "k1/x.bin")).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("HadoopFsStore: config-injected URI store works through the distributed sink") {
+    val objRoot = Files.createTempDirectory("graft_hstore").toString
+    // file:// here; on a cluster the same class takes s3a://bucket/prefix
+    // plus fs.s3a.* confProps — no code change between the two.
+    val store = new Sinks.HadoopFsStore(s"file://$objRoot",
+      confProps = Map("fs.file.impl.disable.cache" -> "false"))
+    val bin = Seq(("a/b/deep.bin", Array[Byte](4, 5)), ("top.bin", Array[Byte](6)))
+      .toDF("key", "bytes")
+    val status = Sinks.writeBinary(bin, "key", "bytes", store)
+      .as[(String, Boolean, String)].collect().toSet
+    assert(status.map(s => (s._1, s._2)) == Set(("a/b/deep.bin", true), ("top.bin", true)))
+    assert(Files.readAllBytes(java.nio.file.Paths.get(objRoot, "a/b/deep.bin")).toSeq == Seq[Byte](4, 5))
+    assert(Files.readAllBytes(java.nio.file.Paths.get(objRoot, "top.bin")).toSeq == Seq[Byte](6))
+  }
+
   test("stub codec decode + frame sampling plumbing") {
     implicit val sp = spark
     val items = Seq(
