@@ -44,6 +44,55 @@ object Multimodal {
     }
   }
 
+  /** Pixel-real image codec on pure-JVM `javax.imageio` (PNG/JPEG/BMP/GIF
+    * — the formats the JDK ships readers for): real width/height from the
+    * decoded raster; bytes that are not a decodable image (or non-image
+    * kinds) fall back to [[StubCodec]]'s deterministic metadata, so mixed
+    * corpora keep flowing — the errors-as-data convention, not an
+    * exception. Ref decode position: common/video/video_info_op.py:6-33. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(item: MediaItem): MediaMeta = {
+      val real =
+        if (item.kind != "image" || item.bytes == null || item.bytes.isEmpty) None
+        else
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.bytes)))
+          catch { case _: Exception => None }
+      real match {
+        case Some(img) =>
+          val stub = StubCodec.decode(item) // byte-sum checksum stays shared
+          stub.copy(width = img.getWidth.toLong, height = img.getHeight.toLong, n_frames = 1L)
+        case None => StubCodec.decode(item)
+      }
+    }
+
+    /** Pixel half of the resize stage: aspect-preserving scale to
+      * `maxSide`, re-encoded as PNG; None when the bytes don't decode.
+      * (The relational half — target-dimension math — is [[resizePlan]];
+      * this must agree with it.) */
+    def resize(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val longest = math.max(w, h)
+          if (longest <= maxSide) bytes
+          else {
+            val (ow, oh) = (w.toLong * maxSide / longest, h.toLong * maxSide / longest)
+            val out = new java.awt.image.BufferedImage(
+              ow.toInt, oh.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow.toInt, oh.toInt, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+          }
+        }
+      } catch { case _: Exception => None }
+  }
+
   /** Decode stage: mapPartitions over typed rows, codec held per executor
     * (the Spark analog of the reference's per-worker lazy model init). */
   def decodeMeta(items: Dataset[MediaItem], codec: MediaCodec = StubCodec)

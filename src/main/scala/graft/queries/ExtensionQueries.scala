@@ -55,11 +55,14 @@ object ExtensionQueries {
       .as[Multimodal.MediaItem]
   }
 
-  /** Binary-column decode via the stub codec (mapPartitions stage). */
+  /** Binary-column decode via the real javax.imageio codec: actual image
+    * bytes get decoded pixel dimensions; non-image payloads (all of this
+    * synthetic corpus) deterministically fall back to the stub metadata,
+    * which keeps the oracle replayable. */
   val multimodalMeta = QueryDef("multimodal_meta",
     (s, dir) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      Multimodal.decodeMeta(mediaItems(s, dir)).toDF()
+      Multimodal.decodeMeta(mediaItems(s, dir), Multimodal.ImageIoCodec).toDF()
         .select("media_id", "kind", "n_bytes", "width", "height", "n_frames", "checksum")
         .orderBy("media_id")
     },

@@ -70,6 +70,40 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(Files.readAllBytes(java.nio.file.Paths.get(objRoot, "top.bin")).toSeq == Seq[Byte](6))
   }
 
+  test("imageio codec: real PNG decodes to true dims, resize scales pixels, garbage falls back") {
+    implicit val sp = spark
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919)) // non-constant content
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val png = pngBytes(320, 200)
+    val items = Seq(
+      graft.multimodal.Multimodal.MediaItem(1L, "image", "/m/real.png", png),
+      graft.multimodal.Multimodal.MediaItem(2L, "image", "/m/garbage.bin", Array.fill(40)(3.toByte)),
+      graft.multimodal.Multimodal.MediaItem(3L, "video", "/m/clip.bin", Array.fill(500)(7.toByte)))
+      .toDS()
+    val m = graft.multimodal.Multimodal
+      .decodeMeta(items, graft.multimodal.Multimodal.ImageIoCodec)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(m(1L).width == 320L && m(1L).height == 200L && m(1L).n_frames == 1L)
+    // garbage + video fall back to the stub shape (deterministic from bytes)
+    val stub2 = graft.multimodal.Multimodal.StubCodec.decode(
+      graft.multimodal.Multimodal.MediaItem(2L, "image", "/m/garbage.bin", Array.fill(40)(3.toByte)))
+    assert(m(2L) == stub2)
+    assert(m(3L).n_frames == 1L + 500 % 240)
+    // pixel resize agrees with the relational resizePlan math
+    val resized = graft.multimodal.Multimodal.ImageIoCodec.resize(png, 160).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 160 && back.getHeight == 100) // 320x200 → cap 160
+    // within-bounds images pass through byte-identical
+    assert(graft.multimodal.Multimodal.ImageIoCodec.resize(png, 512).get.eq(png) ||
+      graft.multimodal.Multimodal.ImageIoCodec.resize(png, 512).get.sameElements(png))
+    assert(graft.multimodal.Multimodal.ImageIoCodec.resize(Array.fill(9)(1.toByte), 64).isEmpty)
+  }
+
   test("stub codec decode + frame sampling plumbing") {
     implicit val sp = spark
     val items = Seq(
