@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,39 +9,95 @@ import org.apache.spark.sql.functions._
   * partition the corpus into `nLists` inverted lists; a query probes its
   * `nProbe` nearest centroids and ranks exactly within those lists only.
   *
-  * Scale shape: centroid training samples the corpus once; assignment is
-  * a narrow map; search is an equi-join on `list_id` (one shuffle keyed
-  * by list), so per-query work is `nProbe/nLists` of the corpus instead
-  * of all of it — the standard billion-vector ANN layout. The centroid
-  * set (nLists × dim doubles) broadcasts as plan literals.
+  * Scale shape — the standard billion-vector recipe:
+  *  - the quantizer fits on a BOUNDED sample (default 100×nLists rows):
+  *    centroid quality converges long before the full corpus is seen, so
+  *    the sample collects to the driver (≤ ~10⁵ small vectors) and Lloyd
+  *    iterations run locally — zero distributed jobs per iteration,
+  *    against Spark ML's one-job-per-iteration KMeans;
+  *  - assignment is a narrow map over the full scan: the centroid set
+  *    (nLists × dim doubles) broadcasts as plan literals and `list_id` is
+  *    a pure argmin expression — codegen'd, no model object, no shuffle;
+  *  - search is an equi-join on `list_id` (one shuffle keyed by list), so
+  *    per-query work is `nProbe/nLists` of the corpus instead of all of it.
   */
 object Ivf {
 
   final case class Index(centers: Array[Array[Double]], assigned: DataFrame)
 
-  /** Train the coarse quantizer and assign every vector to its list.
-    * `assigned` = input columns + `list_id`. Deterministic via seed.
-    *
-    * The quantizer fits on a bounded sample (`sampleCap` rows, default
-    * 100×nLists — the standard billion-vector recipe): centroid quality
-    * converges long before the full corpus is seen, and at 100 TB a
-    * full-corpus k-means would dominate the build. Assignment still
-    * covers every vector (narrow map over the scan). */
-  def build(vectors: DataFrame, nLists: Int, seed: Long = 42L,
-            vecCol: String = "embedding", maxIter: Int = 8,
-            sampleCap: Long = 0L): Index = {
-    val cap = if (sampleCap > 0) sampleCap else 100L * nLists
-    val n = vectors.count()
-    val featured = vectors.withColumn("_features", array_to_vector(col(vecCol)))
-    val train =
-      if (n <= cap) featured
-      // oversample slightly so the realized sample rarely undershoots cap
-      else featured.sample(withReplacement = false, math.min(1.0, 1.1 * cap / n), seed)
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_features").setPredictionCol("list_id")
-      .fit(train)
-    val assigned = model.transform(featured).drop("_features")
-    Index(model.clusterCenters.map(_.toArray), assigned)
+  /** Deterministic k-means++ seeding + Lloyd iterations over an in-memory
+    * sample (all math in double; ties break to the lowest index). */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                               maxIter: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a quantizer on an empty sample")
+    val dim = points(0).length
+    val rng = new scala.util.Random(seed)
+    val n = points.length
+
+    def d2(a: Array[Array[Double]], ci: Int, p: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val c = a(ci)
+      while (i < dim) { val d = p(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+
+    // k-means++: first center uniform, then proportional to squared distance
+    val centers = Array.ofDim[Double](k, dim)
+    centers(0) = points(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val d = d2(centers, c - 1, points(i))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i); i += 1
+      }
+      var pick = rng.nextDouble() * total
+      var j = 0
+      while (j < n - 1 && pick > minD(j)) { pick -= minD(j); j += 1 }
+      centers(c) = points(j).clone()
+      c += 1
+    }
+
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) { // assignment step
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < k) {
+          val d = d2(centers, ci, points(i))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) { // update step
+        val a = assign(i); counts(a) += 1
+        var t = 0
+        while (t < dim) { sums(a)(t) += points(i)(t); t += 1 }
+        i += 1
+      }
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) {
+          var t = 0
+          while (t < dim) { centers(ci)(t) = sums(ci)(t) / counts(ci); t += 1 }
+        } // empty cluster: keep the old center (deterministic)
+        ci += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Squared L2 distance from a float-array column to a literal center. */
@@ -55,11 +109,42 @@ object Ivf {
       }),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Nearest-centroid id as a pure expression (argmin over the literal
+    * centroid set — broadcasts with the plan, codegen-friendly). */
+  private def nearestList(vec: Column, centers: Array[Array[Double]]): Column = {
+    val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
+      struct(distSq(vec, ctr).as("d"), lit(j).as("list_id"))
+    }: _*)
+    element_at(array_sort(scored), 1).getField("list_id")
+  }
+
+  /** Train the coarse quantizer on a bounded sample and assign every
+    * vector to its list. `assigned` = input columns + `list_id`.
+    * Deterministic via seed. */
+  def build(vectors: DataFrame, nLists: Int, seed: Long = 42L,
+            vecCol: String = "embedding", maxIter: Int = 8,
+            sampleCap: Long = 0L): Index = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cap = if (sampleCap > 0) sampleCap else 100L * nLists
+    // one job: count only to size the sample fraction
+    val n = vectors.count()
+    val sampled =
+      if (n <= cap) vectors
+      // oversample slightly so the realized sample rarely undershoots cap
+      else vectors.sample(withReplacement = false, math.min(1.0, 1.1 * cap / n), seed)
+    val points = sampled.select(col(vecCol)).as[Seq[Float]].collect()
+      .map(_.toArray.map(_.toDouble))
+    val centers = lloyd(points, nLists, seed, maxIter)
+    val assigned = vectors.withColumn("list_id", nearestList(col(vecCol), centers))
+    Index(centers, assigned)
+  }
+
   /** The `nProbe` nearest list ids for each query vector (by L2 to the
     * literal centroid set). */
   private def probeLists(qvec: Column, centers: Array[Array[Double]], nProbe: Int): Column = {
-    val scored = array(centers.zipWithIndex.map { case (c, j) =>
-      struct(distSq(qvec, c).as("d"), lit(j).as("list_id"))
+    val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
+      struct(distSq(qvec, ctr).as("d"), lit(j).as("list_id"))
     }: _*)
     transform(slice(array_sort(scored), 1, nProbe), s => s.getField("list_id"))
   }
