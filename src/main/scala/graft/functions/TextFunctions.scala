@@ -70,8 +70,11 @@ object TextFunctions {
     * (weight cycles 1..64). Order-sensitive — reordered text changes the
     * fingerprint — yet exactly reproducible in any engine. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)),
-        i => (ascii(text.substr(i, lit(1))) * ((i - 1) % 64 + 1)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    if (graft.plans.GraftFunctions.nativeAvailable)
+      call_function("graft_fingerprint", text)
+    else
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => (ascii(text.substr(i, lit(1))) * ((i - 1) % 64 + 1)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
 }

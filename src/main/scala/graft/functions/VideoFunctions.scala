@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object VideoFunctions {
 
-  /** POSIX basename. Ref: common/io/generate_save_path_op.py:26 (os.path.basename). */
-  def pathBasename(path: Column): Column = regexp_extract(path, "([^/]+)$", 1)
+  /** POSIX basename. Ref: common/io/generate_save_path_op.py:26 (os.path.basename).
+    * Non-regex (`substring_index`) — this runs once per generated segment
+    * path, so at 100 TB it must stay a cheap byte scan, not a regex match. */
+  def pathBasename(path: Column): Column = substring_index(path, "/", -1)
 
   /** Basename without last extension. Ref: common/io/generate_save_path_op.py:27
-    * (os.path.splitext) and common/video/scene_segmenter_op.py:114. */
-  def pathStem(path: Column): Column =
-    regexp_replace(pathBasename(path), "\\.[^.]*$", "")
+    * (os.path.splitext) and common/video/scene_segmenter_op.py:114.
+    * `locate` on the reversed string finds the last dot without regex;
+    * value-identical to `regexp_replace(base, "\\.[^.]*$", "")` (incl. the
+    * no-dot, trailing-dot, and dotfile edges — VideoFunctionsSpec). */
+  def pathStem(path: Column): Column = {
+    val base = pathBasename(path)
+    val fromEnd = locate(".", reverse(base))
+    when(fromEnd > 0, base.substr(lit(1), length(base) - fromEnd)).otherwise(base)
+  }
 
   /** `HH-MM-SS` label from fractional seconds.
     * Ref: common/video/scene_segmenter_op.py:76-78 (timedelta formatting). */

@@ -100,14 +100,22 @@ class VideoSlicing(toolFactory: () => Models.VideoTool,
         coalesce(col("cuts_ok"), lit(0L)).as("cuts_ok"))
   }
 
-  /** Full E1: manifest(video_id, file_path) → summary. */
+  /** Full E1: manifest(video_id, file_path) → summary.
+    *
+    * The gated probe frame feeds BOTH the segment/cut branch and the
+    * dead-letter summary join; an eager localCheckpoint cuts the lineage so
+    * ffprobe runs exactly once per video (probe output is a few dozen bytes
+    * of metadata per video — cheap to materialize even at 100 TB of video,
+    * while re-probing every file twice is not). */
   def run(manifest: DataFrame): DataFrame = {
-    val gated = gate(probe(manifest))
+    val gated = gate(probe(manifest)).localCheckpoint()
     summary(gated, cut(segments(gated)))
   }
 
   /** `cut_ruidi` variant: durations already on the manifest (no probe).
-    * Ref: pipeline/cut_ruidi.py:41-49. */
+    * Ref: pipeline/cut_ruidi.py:41-49. (No checkpoint: both consumers
+    * re-read only cheap Catalyst projections of the manifest, not an
+    * opaque probe stage.) */
   def runWithKnownDurations(manifest: DataFrame): DataFrame = {
     val gated = gate(manifest.withColumn("probe_error", lit(null).cast("string")))
     summary(gated, cut(segments(gated)))

@@ -39,6 +39,10 @@ object GraftFunctions {
     "graft_sorted_intersect_count" -> { children =>
       require(children.length == 2, "graft_sorted_intersect_count expects exactly 2 arguments")
       SortedIntersectCount(children.head, children(1))
+    },
+    "graft_fingerprint" -> { children =>
+      require(children.length == 1, "graft_fingerprint expects exactly 1 argument")
+      Fingerprint64(children.head)
     })
 
   /** Idempotent per-session registration (the registry itself is the

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -158,5 +159,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val fpRev = Seq(Tuple1("sat cat the")).toDF("text")
       .select(TextFunctions.fingerprint(col("text")).as("f")).as[Long].head()
     assert(fpRev != fp1) // order-sensitive
+  }
+
+  test("native fingerprint kernel matches the declarative HOF form") {
+    // The O(n) kernel must be value-identical to the O(n²) substr form it
+    // replaces, across ASCII, multi-byte codepoints, >64-char weight
+    // wraparound, empty, and null.
+    def hofFingerprint(text: Column): Column =
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => (ascii(text.substr(i, lit(1))) * ((i - 1) % 64 + 1)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val samples = Seq("the cat sat", "café über 世界",
+      "a" * 200, "", "x").map(Tuple1(_)).toDF("text")
+    val rows = samples.select(
+        TextFunctions.fingerprint(col("text")).as("native"),
+        hofFingerprint(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    val nullRow = Seq(Tuple1(null: String)).toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("f"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
   }
 }
