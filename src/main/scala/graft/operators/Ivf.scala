@@ -150,7 +150,8 @@ object Ivf {
   }
 
   /** Approximate top-k: probe `nProbe` lists per query, exact cosine rank
-    * within the probed lists. */
+    * within the probed lists (bounded-heap top-k — see
+    * [[Similarity.rankTopK]]). */
   def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
            idCol: String = "vec_id", vecCol: String = "embedding",
            qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
@@ -159,9 +160,6 @@ object Ivf {
     val paired = index.assigned.join(broadcast(probed), Seq("list_id"))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
-    paired.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol), col("sim"))
+    Similarity.rankTopK(paired, k, qidCol, idCol)
   }
 }

@@ -45,17 +45,36 @@ object Similarity {
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** Top-k `(qid, rank, id, sim)` rows from scored pairs, ties broken by
+    * id asc. Native path: the [[graft.plans.TopKAgg]] bounded-heap
+    * aggregate, whose map-side partial truncates every group to k entries
+    * per input partition — the exchange carries ≤ partitions×k rows per
+    * query instead of the full corpus×queries cross product the
+    * window-rank form shuffles. Fallback: `row_number()` window (identical
+    * output — DedupSimilaritySpec equivalence test). */
+  def rankTopK(paired: DataFrame, k: Int,
+               qidCol: String = "qid", idCol: String = "vec_id"): DataFrame =
+    if (graft.plans.GraftFunctions.nativeAvailable)
+      paired.groupBy(qidCol)
+        .agg(call_function("graft_topk", col("sim"), col(idCol), lit(k)).as("topk"))
+        .select(col(qidCol), posexplode(col("topk")).as(Seq("pos", "entry")))
+        .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
+          col("entry.id").as(idCol), col("entry.score").as("sim"))
+    else {
+      val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
+      paired.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol), col("sim"))
+    }
+
   /** Exact top-k neighbors for each query vector (excluding self):
-    * broadcast queries × candidate scan → cosine → rank. */
+    * broadcast queries × candidate scan → cosine → bounded-heap rank. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val paired = candidates.join(broadcast(queries), col(idCol) =!= col(qidCol))
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
-    paired.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol), col("sim"))
+    rankTopK(paired, k, qidCol, idCol)
   }
 
   /** Deterministic random hyperplanes (seeded Gaussian), as literal arrays. */
@@ -116,10 +135,7 @@ object Similarity {
       .dropDuplicates(qidCol, idCol)
     val paired = candidatePairs
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol).orderBy(col("sim").desc, col(idCol).asc)
-    paired.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol), col("sim"))
+    rankTopK(paired, k, qidCol, idCol)
   }
 
   /** All near-duplicate pairs (cosine >= threshold) within `df` — used for

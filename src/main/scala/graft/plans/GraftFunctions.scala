@@ -43,6 +43,10 @@ object GraftFunctions {
     "graft_fingerprint" -> { children =>
       require(children.length == 1, "graft_fingerprint expects exactly 1 argument")
       Fingerprint64(children.head)
+    },
+    "graft_topk" -> { children =>
+      require(children.length == 3, "graft_topk expects (score, id, k)")
+      TopKAgg(children(0), children(1), children(2))
     })
 
   /** Idempotent per-session registration (the registry itself is the

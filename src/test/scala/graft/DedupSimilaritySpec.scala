@@ -161,6 +161,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fpRev != fp1) // order-sensitive
   }
 
+  test("bounded-heap top-k aggregate matches the window-rank form") {
+    import org.apache.spark.sql.expressions.Window
+    // Duplicate scores on purpose: ties must break by id asc in both forms.
+    val rng = new scala.util.Random(7)
+    val rows = for { q <- 0L to 5L; i <- 0L until 200L }
+      yield (q, i, rng.nextInt(50) / 10.0)
+    val paired = rows.toDF("qid", "vec_id", "sim")
+    val native = Similarity.rankTopK(paired, 10, "qid", "vec_id")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val windowed = paired.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(native.length == 60)
+    assert(native.toSeq == windowed.toSeq)
+    // Fewer rows than k: returns all, still ranked.
+    val tiny = Seq((0L, 1L, 0.5), (0L, 2L, 0.9)).toDF("qid", "vec_id", "sim")
+    val tinyTop = Similarity.rankTopK(tiny, 10, "qid", "vec_id")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(tinyTop.toSeq == Seq((0L, 1L, 2L, 0.9), (0L, 2L, 1L, 0.5)))
+  }
+
   test("native fingerprint kernel matches the declarative HOF form") {
     // The O(n) kernel must be value-identical to the O(n²) substr form it
     // replaces, across ASCII, multi-byte codepoints, >64-char weight

@@ -91,6 +91,16 @@ class PlansSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
 
+  test("ANN top-k ranks via the bounded-heap aggregate, partial before the exchange") {
+    // The window-rank idiom would shuffle every scored pair; the plan must
+    // instead show graft_topk in partial mode (map side) and final mode
+    // after one exchange, and no Window node.
+    val p = plan(SparkEntry.queries("cosine_topk")(spark, sf))
+    assert(p.contains("partial_graft_topk"), s"no partial topk in:\n$p")
+    assert("graft_topk".r.findAllIn(p).size >= 2, s"no final topk in:\n$p")
+    assert(!p.contains("Window"), s"window rank survived in:\n$p")
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + scattered tail
