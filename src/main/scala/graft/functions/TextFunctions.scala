@@ -66,6 +66,45 @@ object TextFunctions {
       (lit(1.0) - punctRatio(text)) * 0.3 +
       wordlistRatio(text, enStopwords) * 0.3, 6)
 
+  /** Email-shaped substrings (conservative syntax shared by Java regex and
+    * RE2, so Spark and the DuckDB oracle mask identically). */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** PII scrub: mask emails then 4+-digit runs (ids, phones, SSNs).
+    * Order matters — emails first, so their digits don't get part-masked. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      "[0-9]{4,}", "<NUM>")
+
+  /** Deterministic split bucket in [0, 100): first 8 md5 hex chars of
+    * `salt:id` as an integer, mod 100. Salted so re-splitting with a new
+    * salt is decorrelated from the old assignment; stable across engines
+    * (md5 of the same bytes everywhere) and across reruns — the property a
+    * train/val/test split must have at 100 TB, where a random() split is
+    * irreproducible. */
+  def splitBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Train/val/test assignment from [[splitBucket]]. */
+  def splitAssign(id: Column, salt: String, trainPct: Int, valPct: Int): Column = {
+    val b = splitBucket(id, salt)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Token repetition ratio: 1 − distinct/total tokens (0.0 for empty).
+    * High values flag boilerplate/spam — a standard corpus quality gate. */
+  def repetitionRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n > 0,
+      round(lit(1.0) - size(array_distinct(ts)).cast("double") / n.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Deterministic document fingerprint: position-weighted codepoint sum
     * (weight cycles 1..64). Order-sensitive — reordered text changes the
     * fingerprint — yet exactly reproducible in any engine. */

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.streaming.EventStream
+
+/** Corpus-curation queries a training-data pipeline runs between ingest and
+  * packing: PII scrubbing, deterministic split assignment, repetition
+  * gating, context-window chunking, and (batch twin of) streaming key
+  * dedup. All pure Catalyst over the `documents`/`events` scans — narrow
+  * maps except the chunker's explode (rows ∝ tokens/chunkSize) and the
+  * dedup's single hash aggregate.
+  */
+object CurationQueries {
+  import Tables.table
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** PII scrub over text with deterministically synthesized PII (the
+    * corpus itself is clean, so both sides inject `user<id>@example.com`
+    * + a numeric id into every third doc, then the masks must agree). */
+  val piiScrubQ = QueryDef("pii_scrub",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          format_string("%s contact user%d@example.com id 9%07d", col("text"),
+            col("doc_id"), col("doc_id")))
+          .otherwise(col("text")).as("raw"))
+      .select(col("doc_id"), piiScrub(col("raw")).as("clean"),
+        (length(col("raw")) - length(piiScrub(col("raw")))).cast("long").as("masked_chars"))
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN printf('%s contact user%d@example.com id 9%07d', text, doc_id, doc_id)
+             ELSE text END AS raw
+      FROM documents),
+      c AS (SELECT doc_id, raw,
+        regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '[0-9]{4,}', '<NUM>', 'g') AS clean
+      FROM r)
+      SELECT doc_id, clean, length(raw) - length(clean) AS masked_chars
+      FROM c ORDER BY doc_id"""))
+
+  /** Deterministic salted train/val/test split (80/10/10). */
+  val splitAssignQ = QueryDef("split_assign",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        splitBucket(col("doc_id"), "graft-v1").as("bucket"),
+        splitAssign(col("doc_id"), "graft-v1", 80, 10).as("split"))
+      .orderBy("doc_id"),
+    Some("""WITH b AS (SELECT doc_id,
+        CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
+  /** Token-repetition quality gate (1 − distinct/total tokens). */
+  val repetitionRatioQ = QueryDef("repetition_ratio",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), repetitionRatio(col("text")).as("rep_ratio"))
+      .filter(col("rep_ratio") < lit(0.9)) // gate out degenerate repeats
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CASE WHEN len(toks) > 0
+             THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+             ELSE 0.0 END AS rep_ratio
+      FROM t)
+      SELECT doc_id, rep_ratio FROM m WHERE rep_ratio < 0.9 ORDER BY doc_id"""))
+
+  /** Context-window chunking: fixed 32-token windows per document (the
+    * sequence-packing precursor). Explode fan-out ∝ n_tokens/32 per row —
+    * bounded per task, no shuffle. */
+  val chunkTokensQ = QueryDef("chunk_tokens",
+    (s, dir) => {
+      val c = 32
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), expr(s"(n_tok + ${c - 1}) div $c - 1"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("toks"),
+            (col("chunk_idx") * c + 1).cast("int"), lit(c))).as("chunk_text"),
+          least(lit(c.toLong), col("n_tok") - col("chunk_idx") * c).as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks, n_tok,
+              UNNEST(generate_series(0, (n_tok + 31) // 32 - 1)) AS chunk_idx
+            FROM n)
+      SELECT doc_id, chunk_idx,
+        array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ') AS chunk_text,
+        LEAST(32, n_tok - chunk_idx * 32) AS chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Batch twin of the streaming key dedup (stream path:
+    * EventStream.streamingDedupKeys, spec-tested with a watermark). */
+  val streamDedupQ = QueryDef("stream_dedup",
+    (s, dir) => EventStream.dedupKeys(table(s, dir, "events"))
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ)
+}

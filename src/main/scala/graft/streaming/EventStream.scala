@@ -53,6 +53,24 @@ object EventStream {
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Batch form of key dedup: distinct business keys. */
+  def dedupKeys(df: DataFrame): DataFrame =
+    df.select("user_id", "event_type").distinct()
+
+  /** Streaming exact-dedup on business keys with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` evicts seen-key state once the
+    * watermark passes it, so an unbounded event stream doesn't grow state
+    * forever (plain `dropDuplicates` on a stream would). Emits each
+    * (user_id, event_type) once — the streaming twin of [[dedupKeys]],
+    * equal on bounded input when nothing arrives later than the delay
+    * (StreamingSinksSpec). */
+  def streamingDedupKeys(stream: DataFrame,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    withEventTime(stream)
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+
   /** Sessionization by inactivity gap — the other canonical streaming agg;
     * expressed with a window-function gap-and-island in batch (oracle-able)
     * and usable as-is on bounded streams via foreachBatch. */

@@ -36,6 +36,30 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming key dedup (watermark-bounded state) equals batch distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val want = EventStream.dedupKeys(batch)
+      .as[(Long, String)].collect().toSet
+
+    val streamDir = Files.createTempDirectory("graft_dedup_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStream.readEventStream(spark, streamDir.toString)
+    // Delay wider than the data's time range: nothing is late, so the
+    // streaming result must equal batch distinct exactly.
+    val q = EventStream.streamingDedupKeys(stream, "30 days")
+      .writeStream
+      .format("memory").queryName("key_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("key_dedup").as[(Long, String)].collect()
+    assert(got.length == got.toSet.size) // each key emitted exactly once
+    assert(got.toSet == want)
+  }
+
   test("append-JSONL sink accumulates across runs; binary sink writes objects") {
     val root = Files.createTempDirectory("graft_jsonl").toString
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
