@@ -106,6 +106,24 @@ object CurationQueries {
     Some("""SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type"""))
 
+  /** Sequence packing: greedy next-fit of documents into 256-token bins
+    * per source shard (order-dependent fold → rows-only; PackingSpec
+    * carries the correctness properties: partition-exactness, budget
+    * bound, greedy tightness, prefix-sum offsets, determinism). */
+  val packSequencesQ = QueryDef("pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      val items = table(s, dir, "documents")
+        .select(col("source").as("group"), col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"))
+        .as[graft.operators.Packing.Item]
+      graft.operators.Packing.run(items, budget = 256L)(s)
+        .toDF()
+        .orderBy("group", "bin_idx", "doc_id")
+    },
+    None)
+
   val defs: Seq[QueryDef] = Seq(
-    piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ)
+    piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ,
+    packSequencesQ)
 }
