@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventStream {
 
+  /** Open-session state for [[streamingSessionize]]: three longs per
+    * active user. */
+  case class Open(start: Long, last: Long, n: Long)
+
   /** events with a proper event-time column. `ts` arrives as a
     * nanosecond-epoch long (nanosAsLong parquet flag); truncate to µs with
     * integer division — double division has ~256 ns ulp at 1.7e18 and can
@@ -70,6 +74,69 @@ object EventStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
+
+  /** Streaming sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` path for semantics windowed aggs can't
+    * express: per-user open-session state (start, last-seen, count) that
+    * extends on every in-gap event and emits exactly when the event-time
+    * watermark passes `last + gap` (EventTimeTimeout). State per key is
+    * three longs — bounded regardless of stream length — and eviction is
+    * watermark-driven, so a 100 TB/day event stream holds state only for
+    * users active inside the watermark horizon.
+    *
+    * Emits the same (user_id, n_events, session_start_epoch,
+    * session_end_epoch) rows as the batch [[sessionize]] once all input is
+    * ingested and the watermark has flushed (StreamingSinksSpec proves
+    * stream == batch on the testdata, modulo session_idx which is a batch
+    * window-numbering artifact). Events must arrive in-order per user
+    * within the gap for identical splits — guaranteed under availableNow
+    * replay of time-ordered files; out-of-order events inside the
+    * watermark merge into the open session like the batch form. */
+  def streamingSessionize(stream: DataFrame, gapSec: Long,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // The watermark must ride the (untouched) timestamp column into the
+    // stateful operator — casting it away would drop the watermark tag.
+    val typed = withEventTime(stream)
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("user_id"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Open, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rawEvents: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Open]) =>
+          val events = rawEvents.map { case (u, ts) => (u, ts.getTime / 1000L) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single((user, s.n, s.start, s.last))
+          } else {
+            val sorted = events.map(_._2).toArray.sorted
+            var closed = List.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapSec =>
+                  cur = Some(Open(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= ((user, s.n, s.start, s.last))
+                  cur = Some(Open(t, t, 1L))
+                case None =>
+                  cur = Some(Open(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session when the watermark passes last + gap
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000L + 1L)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "n_events", "session_start_epoch", "session_end_epoch")
+  }
 
   /** Sessionization by inactivity gap — the other canonical streaming agg;
     * expressed with a window-function gap-and-island in batch (oracle-able)

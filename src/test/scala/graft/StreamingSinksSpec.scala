@@ -60,6 +60,55 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("flatMapGroupsWithState streaming sessionize matches batch sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val gap = 600L
+    val delaySec = 1L
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val want = EventStream.sessionize(batch, gap)
+      .select("user_id", "n_events", "session_start_epoch", "session_end_epoch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val maxTs = EventStream.withEventTime(batch)
+      .select(max(col("event_time").cast("long"))).as[Long].head()
+
+    // Three time-ordered files → three microbatches, so the watermark
+    // advances between batches and event-time timeouts actually fire.
+    val streamDir = Files.createTempDirectory("graft_sess_stream")
+    val ordered = EventStream.withEventTime(batch).orderBy("event_time")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val n = ordered.count()
+    val rows = ordered.collect()
+    rows.grouped((n / 3 + 1).toInt).zipWithIndex.foreach { case (chunk, i) =>
+      val part = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toIndexedSeq, 1), ordered.schema)
+      part.coalesce(1).write.mode("overwrite").parquet(s"$streamDir/tmp_$i")
+      val f = new java.io.File(s"$streamDir/tmp_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, streamDir.resolve(f"$i%03d.parquet"))
+      Thread.sleep(5) // distinct mod times → deterministic file order
+    }
+
+    val stream = EventStream.readEventStream(spark, streamDir.toString)
+      .where(col("event_id").isNotNull) // no-op, keeps schema identical
+    val q = EventStream.streamingSessionize(stream, gap, s"$delaySec seconds")
+      .writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // Every emitted session is exactly a batch session...
+    assert(got.subsetOf(want), s"spurious sessions: ${got.diff(want).take(3)}")
+    // ...and every session the final watermark provably closed was emitted.
+    val mustEmit = want.filter { case (_, _, _, end) => end + gap + 2 < maxTs - delaySec }
+    assert(mustEmit.subsetOf(got),
+      s"missing closed sessions: ${mustEmit.diff(got).take(3)} of ${mustEmit.size}")
+    assert(got.nonEmpty)
+  }
+
   test("append-JSONL sink accumulates across runs; binary sink writes objects") {
     val root = Files.createTempDirectory("graft_jsonl").toString
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
