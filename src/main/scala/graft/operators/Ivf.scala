@@ -109,14 +109,30 @@ object Ivf {
       }),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Nearest-centroid id as a pure expression (argmin over the literal
-    * centroid set — broadcasts with the plan, codegen-friendly). */
-  private def nearestList(vec: Column, centers: Array[Array[Double]]): Column = {
-    val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
-      struct(distSq(vec, ctr).as("d"), lit(j).as("list_id"))
-    }: _*)
-    element_at(array_sort(scored), 1).getField("list_id")
+  /** The `nProbe` nearest centroid ids for a vector column. Native fused
+    * kernel when constructible (centroids baked into ONE expression —
+    * O(1) planning, tight primitive loop); declarative argmin over
+    * literal-struct arrays otherwise (identical order: distance asc, id
+    * asc). The declarative form's nLists×dim literal tree costs seconds
+    * of Catalyst analysis per query — measured 5.9s planning at
+    * nLists=32/dim=64 — so the native path matters even before rows flow. */
+  private def probes(vec: Column, centers: Array[Array[Double]], nProbe: Int): Column = {
+    val native =
+      try Some(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.CentroidProbes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(vec), centers, nProbe)))
+      catch { case _: Throwable => None }
+    native.getOrElse {
+      val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
+        struct(distSq(vec, ctr).as("d"), lit(j).as("list_id"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("list_id"))
+    }
   }
+
+  /** Nearest-centroid id as a pure expression. */
+  private def nearestList(vec: Column, centers: Array[Array[Double]]): Column =
+    element_at(probes(vec, centers, 1), 1)
 
   /** Train the coarse quantizer on a bounded sample and assign every
     * vector to its list. `assigned` = input columns + `list_id`.
@@ -140,14 +156,9 @@ object Ivf {
     Index(centers, assigned)
   }
 
-  /** The `nProbe` nearest list ids for each query vector (by L2 to the
-    * literal centroid set). */
-  private def probeLists(qvec: Column, centers: Array[Array[Double]], nProbe: Int): Column = {
-    val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
-      struct(distSq(qvec, ctr).as("d"), lit(j).as("list_id"))
-    }: _*)
-    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("list_id"))
-  }
+  /** The `nProbe` nearest list ids for each query vector. */
+  private def probeLists(qvec: Column, centers: Array[Array[Double]], nProbe: Int): Column =
+    probes(qvec, centers, nProbe)
 
   /** Approximate top-k: probe `nProbe` lists per query, exact cosine rank
     * within the probed lists (bounded-heap top-k — see

@@ -184,6 +184,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tinyTop.toSeq == Seq((0L, 1L, 2L, 0.9), (0L, 2L, 1L, 0.5)))
   }
 
+  test("CentroidProbes matches the declarative array_sort argmin order") {
+    val rng = new scala.util.Random(3)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val native = vecs.select(col("vec_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.CentroidProbes(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")), centers, 3))
+          .as("probes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val declarative = {
+      val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
+        struct(
+          aggregate(zip_with(col("embedding"), array(ctr.map(lit): _*),
+            (x, c) => { val d = x.cast("double") - c; d * d }),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          lit(j).as("list_id"))
+      }: _*)
+      vecs.select(col("vec_id"),
+          transform(slice(array_sort(scored), 1, 3), s => s.getField("list_id")).as("probes"))
+        .as[(Long, Seq[Int])].collect().toMap
+    }
+    assert(native == declarative)
+  }
+
   test("native fingerprint kernel matches the declarative HOF form") {
     // The O(n) kernel must be value-identical to the O(n²) substr form it
     // replaces, across ASCII, multi-byte codepoints, >64-char weight
