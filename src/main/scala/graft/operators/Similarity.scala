@@ -47,11 +47,12 @@ object Similarity {
 
   /** Top-k `(qid, rank, id, sim)` rows from scored pairs, ties broken by
     * id asc. Native path: the [[graft.plans.TopKAgg]] bounded-heap
-    * aggregate, whose map-side partial truncates every group to k entries
-    * per input partition — the exchange carries ≤ partitions×k rows per
-    * query instead of the full corpus×queries cross product the
-    * window-rank form shuffles. Fallback: `row_number()` window (identical
-    * output — DedupSimilaritySpec equivalence test). */
+    * aggregate — a sort-free O(n log k) single pass whose map-side partial
+    * ships one k-entry buffer per query per partition and needs no Window
+    * node (the window form, even with Spark's InferWindowGroupLimit
+    * pruning, fully sorts every scored row locally before the limit).
+    * Fallback: `row_number()` window (identical output —
+    * DedupSimilaritySpec equivalence test). */
   def rankTopK(paired: DataFrame, k: Int,
                qidCol: String = "qid", idCol: String = "vec_id"): DataFrame =
     if (graft.plans.GraftFunctions.nativeAvailable)

@@ -13,15 +13,16 @@ import org.apache.spark.sql.types._
   * best `(score desc, id asc)` entries per group and emits them best-first
   * as `array<struct<id bigint, score double>>`.
   *
-  * This is the shuffle-shaping replacement for the
-  * `row_number() OVER (PARTITION BY key ORDER BY score DESC) <= k` idiom:
-  * the window form must shuffle EVERY scored row to its key's partition
-  * before discarding all but k, so a 100 TB ANN scan shuffles the whole
-  * corpus × queries cross product. As a TypedImperativeAggregate the
-  * map-side partial aggregation truncates each group to k entries per
-  * input partition, so the exchange carries at most `partitions × k` rows
-  * per key — the classic distributed top-k (e.g. Spark's own
-  * `TakeOrderedAndProject`, generalized per key).
+  * Replaces the `row_number() OVER (PARTITION BY key ORDER BY score DESC)
+  * <= k` idiom. Spark 4's own InferWindowGroupLimit already bounds that
+  * form's shuffle (partial WindowGroupLimit before the exchange), but the
+  * window plan still pays a FULL local sort of every scored row on the map
+  * side (O(n log n)), a second sort + Window pass after the shuffle, and
+  * ships k rows per key per partition. The heap aggregate is a sort-free
+  * single pass (O(n log k), no spillable sort buffer), ships ONE k-entry
+  * buffer per key per partition, and needs no Window node at all — the
+  * classic distributed top-k (Spark's `TakeOrderedAndProject`, generalized
+  * per key).
   *
   * Determinism: total order on (score desc, id asc) — ties broken by id —
   * so results are reproducible and value-identical to the window form

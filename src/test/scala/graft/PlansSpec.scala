@@ -92,9 +92,10 @@ class PlansSpec extends AnyFunSuite {
   }
 
   test("ANN top-k ranks via the bounded-heap aggregate, partial before the exchange") {
-    // The window-rank idiom would shuffle every scored pair; the plan must
-    // instead show graft_topk in partial mode (map side) and final mode
-    // after one exchange, and no Window node.
+    // The window-rank idiom pays two full local sorts + a Window pass even
+    // with InferWindowGroupLimit pruning; the plan must instead show
+    // graft_topk in partial mode (map side) and final mode after one
+    // exchange, and no Window node.
     val p = plan(SparkEntry.queries("cosine_topk")(spark, sf))
     assert(p.contains("partial_graft_topk"), s"no partial topk in:\n$p")
     assert("graft_topk".r.findAllIn(p).size >= 2, s"no final topk in:\n$p")
