@@ -139,6 +139,33 @@ object Similarity {
     rankTopK(paired, k, qidCol, idCol)
   }
 
+  /** Per-vector int8 scalar quantization — the storage-compression step of
+    * a billion-vector ANN index (4 bytes → 1 byte per dim): codes
+    * `q_i = floor((x_i − min)/scale + 0.5)` clipped to [0, 255] with
+    * `scale = (max − min)/255`; constant vectors (scale 0) code to all
+    * zeros. A pure narrow map (no UDF, no shuffle) that rides the
+    * embedding scan; decode is `min + q·scale`. All math in double with
+    * documented left-to-right folds, so the DuckDB oracle replays the
+    * codes AND the reconstruction error bit-exactly. */
+  def quantizeInt8(vec: Column): Column = {
+    val vmin = array_min(vec).cast("double")
+    val scale = (array_max(vec).cast("double") - vmin) / 255.0
+    when(scale > 0,
+      transform(vec, x =>
+        least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - vmin) / scale + 0.5).cast("long")))))
+      .otherwise(transform(vec, _ => lit(0L)))
+  }
+
+  /** Mean absolute reconstruction error of [[quantizeInt8]] (left fold). */
+  def quantizeAbsError(vec: Column): Column = {
+    val vmin = array_min(vec).cast("double")
+    val scale = (array_max(vec).cast("double") - vmin) / 255.0
+    val errs = zip_with(vec, quantizeInt8(vec), (x, q) =>
+      abs(x.cast("double") - (vmin + q.cast("double") * scale)))
+    aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(vec).cast("double")
+  }
+
   /** All near-duplicate pairs (cosine >= threshold) within `df` — used for
     * embedding-based near-dup detection. Quadratic in the partition-local
     * candidate set: callers bound the subset or pre-bucket with LSH. */

@@ -81,5 +81,35 @@ object SimilarityQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK, annIvfTopK)
+  /** Int8 scalar quantization of the embedding column: per-vector codes
+    * summed as a checksum + bit-exact mean absolute reconstruction error
+    * (the ANN index-compression step; 4 bytes → 1 byte per dim). */
+  val quantizeEmbeddings = QueryDef("quantize_embeddings",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      emb.select(col("vec_id"),
+          aggregate(Similarity.quantizeInt8(col("embedding")), lit(0L),
+            (acc, q) => acc + q).as("sum_q"),
+          Similarity.quantizeAbsError(col("embedding")).as("mean_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH m AS (
+        SELECT vec_id, embedding AS v,
+          CAST(list_min(embedding) AS DOUBLE) AS vmin,
+          (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, v, vmin, scale,
+          CASE WHEN scale > 0
+               THEN [LEAST(255, GREATEST(0, CAST(FLOOR((CAST(x AS DOUBLE) - vmin) / scale + 0.5) AS BIGINT))) for x in v]
+               ELSE [CAST(0 AS BIGINT) for x in v] END AS qs
+        FROM m)
+      SELECT vec_id,
+        list_reduce(qs, (a, b) -> a + b) AS sum_q,
+        list_reduce([ABS(CAST(v[i] AS DOUBLE) - (vmin + CAST(qs[i] AS DOUBLE) * scale)) for i in generate_series(1, len(v))],
+                    (a, b) -> a + b) / CAST(len(v) AS DOUBLE) AS mean_abs_err
+      FROM q ORDER BY vec_id"""))
+
+  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
+    annIvfTopK, quantizeEmbeddings)
 }
