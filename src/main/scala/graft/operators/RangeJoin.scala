@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join as an EQUI-join.
+  *
+  * Spark plans a bare `a.v BETWEEN b.lo AND b.hi` join as
+  * BroadcastNestedLoopJoin — O(|points| × |intervals|) comparisons, and a
+  * driver-OOM broadcast once the interval side outgrows the hint — the
+  * classic range-join cliff. Binning restores a shuffle-keyed hash join:
+  * each interval explodes to the bins its span covers, each point maps to
+  * exactly ONE bin, the sides equi-join on `bin`, and a residual
+  * `BETWEEN` filter removes same-bin near-misses. Every qualifying pair
+  * meets in exactly one bin (the point's), so no dedup pass is needed.
+  *
+  * Scale: one shuffle keyed by bin; interval fan-out = span/binWidth + 1
+  * rows, so pick `binWidth` near the typical interval span (fan-out O(1))
+  * — much smaller and the bin key cardinality explodes, much larger and
+  * bins collect unrelated intervals (residual filter does the work).
+  * Degenerate inputs (hi < lo) join nothing and are dropped up front.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame, binWidth: Double,
+                      vCol: String = "v", loCol: String = "lo",
+                      hiCol: String = "hi"): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val binnedIntervals = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("_bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    val binnedPoints = points.withColumn("_bin", bin(col(vCol)))
+    binnedPoints.join(binnedIntervals, "_bin")
+      .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}

@@ -339,6 +339,28 @@ object RelationalQueries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** Binned point-in-interval range join (operators/RangeJoin): lineitem
+    * prices against ±10 price intervals from a part subset. The oracle is
+    * DuckDB's native BETWEEN join; the Spark side must produce the same
+    * pairs through the bin equi-join (PlansSpec asserts no nested-loop). */
+  val joinRange = QueryDef("join_range",
+    (s, dir) => {
+      val intervals = table(s, dir, "part").filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("interval_id"),
+          (col("p_retailprice") - 10).as("lo"), (col("p_retailprice") + 10).as("hi"))
+      val points = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("v"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals, binWidth = 20.0)
+        .select(col("interval_id"), col("l_orderkey"), col("l_linenumber"), col("v"))
+        .orderBy("interval_id", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT i.interval_id, l.l_orderkey, l.l_linenumber, l.l_extendedprice AS v
+      FROM lineitem l JOIN (
+        SELECT p_partkey AS interval_id, p_retailprice - 10 AS lo, p_retailprice + 10 AS hi
+        FROM part WHERE p_partkey % 100 = 0) i
+      ON l.l_extendedprice BETWEEN i.lo AND i.hi
+      ORDER BY interval_id, l_orderkey, l_linenumber"""))
+
   /** Dead-letter left join: unmatched rows kept with status (F1 pattern). */
   val joinLeftStatus = QueryDef("join_left_status",
     (s, dir) => {
@@ -451,6 +473,6 @@ object RelationalQueries {
     explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
-    sortSelected, joinBroadcast, joinLeftStatus, scanCsv, scanJsonl, scanOrc,
-    dedupGreedy, setOps, approxDistinct)
+    sortSelected, joinBroadcast, joinRange, joinLeftStatus, scanCsv, scanJsonl,
+    scanOrc, dedupGreedy, setOps, approxDistinct)
 }

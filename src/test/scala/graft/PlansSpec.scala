@@ -102,6 +102,30 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window rank survived in:\n$p")
   }
 
+  test("range join plans as a bin equi-join, not a nested loop") {
+    val p = plan(SparkEntry.queries("join_range")(spark, sf))
+    assert(!p.contains("NestedLoop"), s"range join fell back to nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"no equi-join in:\n$p")
+  }
+
+  test("binned range join equals the naive BETWEEN join (boundaries included)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val points = Seq.tabulate(500)(i => (i.toLong, rng.nextInt(1000) / 7.0)).toDF("pid", "v")
+    val intervals = (Seq.tabulate(40) { j =>
+        val lo = rng.nextInt(900) / 7.0
+        (j.toLong, lo, lo + rng.nextInt(200) / 7.0)
+      } :+ ((98L, 50.0, 40.0))   // degenerate hi < lo: matches nothing
+        :+ ((99L, 10.0, 10.0)))  // zero-width: only exact hits
+      .toDF("interval_id", "lo", "hi")
+    val binned = graft.operators.RangeJoin.pointInInterval(points, intervals, binWidth = 13.0)
+      .select("interval_id", "pid", "v").as[(Long, Long, Double)].collect().toSet
+    val naive = points.join(intervals, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("interval_id", "pid", "v").as[(Long, Long, Double)].collect().toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + scattered tail
