@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VideoFunctions._
-import graft.operators.{Agg, GreedyDedup}
+import graft.operators.{Agg, GreedyDedup, Skew}
 
 /** Batch 2: gates over detections (F3–F9), explosion (G5/G6), grouped &
   * window aggregations (A1–A6), joins, sorts, sources, record projection.
@@ -469,10 +469,39 @@ object RelationalQueries {
       .orderBy("event_type"),
     None)
 
+  /** Approximate quantiles (Greenwald-Khanna sketch, mergeable across
+    * partitions — the percentile that scales; engine-specific → rows-only,
+    * accuracy vs exact percentiles asserted in spec). */
+  val approxQuantiles = QueryDef("approx_quantiles",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"),
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_q"))
+      .orderBy("event_type"),
+    None)
+
+  /** Two-phase salted aggregation (operators/Skew): result is identical
+    * to the direct groupBy — decimal sums are order-independent — so the
+    * skew-mitigation path itself sits under the DuckDB oracle gate. */
+  val skewSaltedAgg = QueryDef("skew_salted_agg",
+    (s, dir) => Skew.saltedAgg(
+        table(s, dir, "events")
+          .withColumn("v", col("value").cast(DecimalType(18, 2))),
+        Seq("event_type"), col("v"), alias = "value",
+        buckets = 16, saltBy = col("event_id"))
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("cnt_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        COUNT(*) AS cnt_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
     sortSelected, joinBroadcast, joinRange, joinLeftStatus, scanCsv, scanJsonl,
-    scanOrc, dedupGreedy, setOps, approxDistinct)
+    scanOrc, dedupGreedy, setOps, approxDistinct, approxQuantiles, skewSaltedAgg)
 }

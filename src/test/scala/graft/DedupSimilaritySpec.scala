@@ -147,6 +147,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantile sketch lands within 3% RANK of the target quantile") {
+    // The sketch returns an actual data point while exact percentiles
+    // interpolate, so compare in rank space (the GK accuracy guarantee),
+    // not value space: the fraction of values <= the sketch's answer must
+    // sit within 3% of the target quantile.
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("approx_quantiles")(spark, sf)
+      .as[(String, Seq[Double], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    val values = graft.queries.Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val targets = Seq(0.5, 0.9, 0.99)
+    rows.foreach { case (tpe, approx, _) =>
+      val vs = values(tpe)
+      approx.zip(targets).foreach { case (a, q) =>
+        val rank = vs.count(_ <= a).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.03 + 1.0 / vs.length,
+          s"$tpe q=$q: sketch answer $a has true rank $rank")
+      }
+    }
+  }
+
   test("text functions: shingles, ratios, fingerprint determinism") {
     val df = Seq(("ab", "the cat sat")).toDF("short", "text")
     val sh = df.select(TextFunctions.charShingles(col("short"), 3).as("s")).as[Seq[String]].head()
