@@ -80,5 +80,40 @@ object MiscQueries {
       WHERE levenshtein(a.prefix, b.prefix) <= 25
       ORDER BY id_a, id_b"""))
 
-  val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup, dedupLevenshtein)
+  /** CDC merge (operators/Upsert): apply a deterministic changeset
+    * (deletes, full-row updates, inserts) to the customer snapshot; the
+    * oracle replays the same FULL OUTER JOIN merge in DuckDB. */
+  val mergeUpsert = QueryDef("merge_upsert",
+    (s, dir) => {
+      val snap = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val dels = snap.filter(col("c_custkey") % 5 === 0).withColumn("op", lit("D"))
+      val upds = snap.filter(col("c_custkey") % 5 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("op", lit("U"))
+      val ins = snap.filter(col("c_custkey") % 5 === 2)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("new_"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+        .withColumn("op", lit("I"))
+      graft.operators.Upsert.applyChanges(
+          snap, dels.unionByName(upds).unionByName(ins), "c_custkey")
+        .orderBy("c_custkey")
+    },
+    Some("""WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      ch AS (
+        SELECT c_custkey, 'D' AS op, c_name, c_acctbal FROM snap WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, 'U', c_name, c_acctbal + 100 FROM snap WHERE c_custkey % 5 = 1
+        UNION ALL
+        SELECT c_custkey + 10000000, 'I', 'new_' || c_name, 0.0 FROM snap WHERE c_custkey % 5 = 2)
+      SELECT c_custkey,
+        CASE WHEN op IS NOT NULL THEN c.c_name ELSE s.c_name END AS c_name,
+        CASE WHEN op IS NOT NULL THEN c.c_acctbal ELSE s.c_acctbal END AS c_acctbal
+      FROM snap s FULL OUTER JOIN ch c USING (c_custkey)
+      WHERE op IS NULL OR op <> 'D'
+      ORDER BY c_custkey"""))
+
+  val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup,
+    dedupLevenshtein, mergeUpsert)
 }

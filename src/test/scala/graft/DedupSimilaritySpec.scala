@@ -233,6 +233,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(native == declarative)
   }
 
+  test("text functions are total on null/empty/whitespace input under ANSI mode") {
+    // Dirty corpora have null and empty text rows; every scalar must map
+    // them to null/0/empty — never throw (Spark 4 runs ANSI by default).
+    val dirty = Seq(Tuple1(null: String), Tuple1(""), Tuple1("   "), Tuple1("ok text"))
+      .toDF("text")
+    val out = dirty.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang"),
+      TextFunctions.repetitionRatio(col("text")).as("rep"),
+      TextFunctions.piiScrub(col("text")).as("clean"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.charShingles(col("text"), 3).as("sh"))
+      .collect()
+    assert(out.length == 4)
+    // null text: string/long scalars null, ratio-style scores defined
+    assert(out(0).isNullAt(0) && out(0).isNullAt(4) && out(0).isNullAt(5))
+    assert(out(0).getString(2) == "und" && out(0).getDouble(3) == 0.0)
+    // empty text: zero tokens, zero fingerprint, empty scrub, no shingles
+    assert(out(1).getLong(0) == 0L && out(1).getLong(5) == 0L)
+    assert(out(1).getString(4) == "" && out(1).getSeq[String](6) == Seq("")) // short-doc collapse
+    // whitespace-only: no tokens but position-weighted fp of the spaces
+    assert(out(2).getLong(0) == 0L && out(2).getLong(5) == 192L)
+    assert(out(3).getLong(0) == 2L)
+  }
+
   test("native fingerprint kernel matches the declarative HOF form") {
     // The O(n) kernel must be value-identical to the O(n²) substr form it
     // replaces, across ASCII, multi-byte codepoints, >64-char weight
