@@ -149,7 +149,33 @@ object TextQueries {
     },
     None)
 
+  /** Vocabulary building: top-20 tokens per language by corpus frequency.
+    * explode → two-level count (token counts do map-side partial combine)
+    * → window rank. The rank payload is a STRING, so the window form (not
+    * graft_topk, which carries long ids) is correct here — and Spark's
+    * InferWindowGroupLimit bounds its shuffle to k rows per key per
+    * partition. Ties break on token asc for cross-engine determinism. */
+  val vocabTopK = QueryDef("vocab_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("lang", "rank", "token", "cnt")
+        .orderBy("lang", "rank")
+    },
+    Some(s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS token FROM documents),
+      c AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY lang, token),
+      r AS (SELECT lang, token, cnt,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+            FROM c)
+      SELECT lang, rank, token, cnt FROM r WHERE rank <= 20
+      ORDER BY lang, rank"""))
+
   val defs: Seq[QueryDef] = Seq(
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, vocabTopK)
 }
