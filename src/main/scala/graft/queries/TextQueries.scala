@@ -175,7 +175,53 @@ object TextQueries {
       SELECT lang, rank, token, cnt FROM r WHERE rank <= 20
       ORDER BY lang, rank"""))
 
+  /** Pairs → clusters: connected components over the ngram-Jaccard
+    * near-dup edges (operators/Components min-label propagation), keeping
+    * the min-id doc per cluster. Oracle: DuckDB recursive-CTE transitive
+    * closure reduced by MIN(reachable id) — same components. */
+  val dedupComponents = QueryDef("dedup_components",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 200 && length(col("text")) >= 3)
+        .select(col("doc_id"), array_sort(charShingles(col("text"), 3)).as("sh"))
+        .cache()
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val edges = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comps = graft.operators.Components.connectedComponents(
+        sh.select(col("doc_id").as("id")), edges)
+      val sizes = comps.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      comps.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp"), col("n_members"),
+          when(col("id") === col("comp"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+      s AS (SELECT doc_id,
+              list_distinct([substring(text, i, 3) for i in generate_series(1, length(text) - 2)]) AS sh
+            FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+      p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.6),
+      e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+      r AS (SELECT doc_id AS id, doc_id AS reach FROM s
+            UNION
+            SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
+      SELECT c.id AS doc_id, c.comp, z.n_members,
+             CASE WHEN c.id = c.comp THEN 1 ELSE 0 END AS keep
+      FROM comp c JOIN sizes z USING (comp)
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, vocabTopK)
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, vocabTopK,
+    dedupComponents)
 }

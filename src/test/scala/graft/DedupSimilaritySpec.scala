@@ -147,6 +147,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components equal union-find on random graphs, chains, singletons") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress fully, then min-id per root IS the component label
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rng = new scala.util.Random(13)
+    val n = 120
+    // random edges + a 15-node chain (diameter test) + isolated tail nodes
+    val edges = Seq.fill(60)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(e => e._1 != e._2) ++ (85L until 99L).map(i => (i, i + 1))
+    val nodes = (0L until n.toLong).toDF("id")
+    val edgeDf = edges.toDF("src", "dst")
+    val got = graft.operators.Components.connectedComponents(nodes, edgeDf)
+      .as[(Long, Long)].collect().toMap
+    val want = unionFind(n, edges)
+    assert(got == want)
+    assert(got(110L) == 110L) // isolated node keeps its own label
+    assert(got(99L) == got(85L)) // chain fully collapsed
+  }
+
   test("approx quantile sketch lands within 3% RANK of the target quantile") {
     // The sketch returns an actual data point while exact percentiles
     // interpolate, so compare in rank space (the GK accuracy guarantee),
