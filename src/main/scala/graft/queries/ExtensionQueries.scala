@@ -22,6 +22,31 @@ object ExtensionQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Batch twin of the stream-stream attribution join (24h window):
+    * integer-µs arithmetic on both engines so timestamp precision can't
+    * diverge. Streaming path: EventStream.streamingAttributionJoin
+    * (watermarked both sides, bounded state — StreamingSinksSpec). */
+  val streamIntervalJoin = QueryDef("stream_interval_join",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          expr("ts div 1000").as("click_us"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+          expr("ts div 1000").as("view_us"))
+      c.join(v, col("user_id") === col("view_user") &&
+          col("view_us").between(col("click_us") - 86400000000L, col("click_us")))
+        .select("user_id", "click_id", "view_id")
+        .orderBy("click_id", "view_id")
+    },
+    Some("""SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'view'
+       AND epoch_ns(b.ts) // 1000 BETWEEN epoch_ns(a.ts) // 1000 - 86400000000 AND epoch_ns(a.ts) // 1000
+      ORDER BY click_id, view_id"""))
+
   /** Inactivity-gap sessionization (10-minute gap). */
   val sessionizeQ = QueryDef("sessionize",
     (s, dir) => EventStream.sessionize(table(s, dir, "events"), 600)
@@ -184,6 +209,7 @@ object ExtensionQueries {
       FROM events ORDER BY user_id, event_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    streamWindowAgg, sessionizeQ, multimodalMeta, multimodalFrameSample,
-    multimodalResize, asofJoinQ, corpusStats, parseJsonProps, windowRunningSum)
+    streamWindowAgg, sessionizeQ, streamIntervalJoin, multimodalMeta,
+    multimodalFrameSample, multimodalResize, asofJoinQ, corpusStats,
+    parseJsonProps, windowRunningSum)
 }

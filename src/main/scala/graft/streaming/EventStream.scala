@@ -57,6 +57,31 @@ object EventStream {
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream attribution join: each click matched to the SAME
+    * user's views in the preceding `windowSec` seconds. Watermarks on
+    * BOTH sides plus the event-time range condition let Spark bound the
+    * join state: a buffered view is dropped once the click-side watermark
+    * passes `view_time + windowSec`, so an unbounded stream pair joins in
+    * bounded memory — the canonical streaming join shape. Batch twin:
+    * the `stream_interval_join` query (same pairs via integer-µs
+    * arithmetic, DuckDB-oracled); StreamingSinksSpec proves stream ==
+    * batch across multiple microbatches. */
+  def streamingAttributionJoin(stream: DataFrame, windowSec: Long,
+                               watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = withEventTime(stream.filter(col("event_type") === "click"))
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermarkDelay)
+    val v = withEventTime(stream.filter(col("event_type") === "view"))
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    c.join(v, col("user_id") === col("view_user") &&
+        col("view_time") >= col("click_time") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("view_time") <= col("click_time"))
+      .select("user_id", "click_id", "view_id")
+  }
+
   /** Batch form of key dedup: distinct business keys. */
   def dedupKeys(df: DataFrame): DataFrame =
     df.select("user_id", "event_type").distinct()

@@ -60,20 +60,11 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
-  test("flatMapGroupsWithState streaming sessionize matches batch sessions") {
-    val dir = "/root/testdata/sf0.001"
-    val gap = 600L
-    val delaySec = 1L
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val want = EventStream.sessionize(batch, gap)
-      .select("user_id", "n_events", "session_start_epoch", "session_end_epoch")
-      .as[(Long, Long, Long, Long)].collect().toSet
-    val maxTs = EventStream.withEventTime(batch)
-      .select(max(col("event_time").cast("long"))).as[Long].head()
-
-    // Three time-ordered files → three microbatches, so the watermark
-    // advances between batches and event-time timeouts actually fire.
-    val streamDir = Files.createTempDirectory("graft_sess_stream")
+  /** Split sf0.001 events into three TIME-ORDERED files → three
+    * microbatches, so watermarks advance between batches. */
+  private def timeOrderedStreamDir(): String = {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val streamDir = Files.createTempDirectory("graft_ts_stream")
     val ordered = EventStream.withEventTime(batch).orderBy("event_time")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val n = ordered.count()
@@ -87,8 +78,21 @@ class StreamingSinksSpec extends AnyFunSuite {
       Files.move(f.toPath, streamDir.resolve(f"$i%03d.parquet"))
       Thread.sleep(5) // distinct mod times → deterministic file order
     }
+    streamDir.toString
+  }
 
-    val stream = EventStream.readEventStream(spark, streamDir.toString)
+  test("flatMapGroupsWithState streaming sessionize matches batch sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val gap = 600L
+    val delaySec = 1L
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val want = EventStream.sessionize(batch, gap)
+      .select("user_id", "n_events", "session_start_epoch", "session_end_epoch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val maxTs = EventStream.withEventTime(batch)
+      .select(max(col("event_time").cast("long"))).as[Long].head()
+
+    val stream = EventStream.readEventStream(spark, timeOrderedStreamDir())
       .where(col("event_id").isNotNull) // no-op, keeps schema identical
     val q = EventStream.streamingSessionize(stream, gap, s"$delaySec seconds")
       .writeStream
@@ -107,6 +111,28 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(mustEmit.subsetOf(got),
       s"missing closed sessions: ${mustEmit.diff(got).take(3)} of ${mustEmit.size}")
     assert(got.nonEmpty)
+  }
+
+  test("stream-stream attribution join (watermarked both sides) equals batch") {
+    val want = SparkEntry.queries("stream_interval_join")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "click_id", "view_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val stream = EventStream.readEventStream(spark, timeOrderedStreamDir())
+    // Delay wider than the 30-day data span: no state eviction, so the
+    // streaming join must produce exactly the batch pairs — across THREE
+    // microbatches, i.e. clicks matching views buffered in earlier batches.
+    val q = EventStream.streamingAttributionJoin(stream, windowSec = 86400L, "40 days")
+      .writeStream
+      .format("memory").queryName("attr_join")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("attr_join").as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "pair emitted twice")
+    assert(got.toSet == want, s"missing=${want.diff(got.toSet).take(3)} spurious=${got.toSet.diff(want).take(3)}")
+    assert(want.nonEmpty)
   }
 
   test("append-JSONL sink accumulates across runs; binary sink writes objects") {
