@@ -220,8 +220,60 @@ object TextQueries {
       FROM comp c JOIN sizes z USING (comp)
       ORDER BY doc_id"""))
 
+  /** Statistical LM quality scoring (the CCNet-style filter shape): train
+    * a Laplace-smoothed char-bigram model over the corpus — a tiny frame
+    * that BROADCASTS — then score every doc by its mean smoothed bigram
+    * probability. Model-as-data two-pass: no driver state, no UDFs; both
+    * passes ride the document scan. Scored in LINEAR space (mean p, not
+    * mean log p) deliberately: every per-bigram p is one IEEE division
+    * (bit-identical in any engine), log2 is a libm call whose last ulp
+    * differs across engines and would poison an exact-hash oracle. The
+    * mean accumulates in DECIMAL (order-independent), rounded at 9 dp. */
+  val lmScoreQ = QueryDef("lm_score",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = table(s, dir, "documents").filter(length(col("text")) >= 2)
+      val bgs = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2)))).as("bg"))
+      val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val ctxCounts = bgCounts.groupBy(substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum("cnt").as("ctx"))
+      val vDf = ctxCounts.agg(count(lit(1)).as("v"))
+      bgs
+        .join(broadcast(bgCounts), Seq("bg"), "left")
+        .withColumn("c1", substring(col("bg"), 1, 1))
+        .join(broadcast(ctxCounts), Seq("c1"), "left")
+        .crossJoin(broadcast(vDf))
+        .withColumn("p",
+          (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("p").cast(DecimalType(20, 18))).cast("double") /
+            count(lit(1)), 9).as("lm_score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+      bg AS (SELECT doc_id,
+               UNNEST([substring(text, i, 2) for i in generate_series(1, length(text) - 1)]) AS bg
+             FROM d),
+      bc AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg),
+      cc AS (SELECT substring(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS ctx FROM bc GROUP BY 1),
+      v AS (SELECT COUNT(*) AS v FROM cc),
+      sc AS (SELECT b.doc_id,
+               CAST(COALESCE(bc.cnt, 0) + 1 AS DOUBLE) /
+               CAST(COALESCE(cc.ctx, 0) + v.v AS DOUBLE) AS p
+             FROM bg b
+             LEFT JOIN bc USING (bg)
+             LEFT JOIN cc ON substring(b.bg, 1, 1) = cc.c1
+             CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(CAST(p AS DECIMAL(20,18))) AS DOUBLE) / COUNT(*), 9) AS lm_score
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, vocabTopK,
-    dedupComponents)
+    dedupComponents, lmScoreQ)
 }
