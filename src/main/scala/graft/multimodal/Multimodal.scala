@@ -93,6 +93,71 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** 64-bit difference hash (dHash) of decodable image bytes: decode →
+    * 9×8 grayscale downsample → bit (row-major) set when pixel(x,y) <
+    * pixel(x+1,y). Near-identical images (recompression, small edits,
+    * resizes) land within a few Hamming bits. None when the bytes don't
+    * decode. */
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val small = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            def gray(px: Int): Int = {
+              val rgb = small.getRGB(px, y)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            }
+            if (gray(x) < gray(x + 1)) h |= (1L << bit)
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        h
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic content hash for bytes that are NOT a decodable image
+    * (FNV + splitmix64 finisher — same mix family as the text SimHash
+    * token hash), so a mixed corpus still gets exact-duplicate blocking. */
+  def byteContentHash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h += 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Perceptual-hash stage: (media_id, phash, pixel_real). Decodable
+    * images get the perceptual dHash (near-dup robust); everything else
+    * the exact byte-content hash (exact-dup only). Downstream blocking
+    * reuses the SimHash banded join ([[graft.operators.Dedup.simhashPairs]])
+    * unchanged — one shuffle keyed by 16-bit band, never O(n²). */
+  def imageDHash(items: Dataset[MediaItem])
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    items.mapPartitions(_.map { it =>
+      dhash64(if (it.bytes == null) Array.emptyByteArray else it.bytes) match {
+        case Some(h) => (it.media_id, h, true)
+        case None => (it.media_id, byteContentHash(
+          if (it.bytes == null) Array.emptyByteArray else it.bytes), false)
+      }
+    }).toDF("media_id", "phash", "pixel_real")
+  }
+
   /** Decode stage: mapPartitions over typed rows, codec held per executor
     * (the Spark analog of the reference's per-worker lazy model init). */
   def decodeMeta(items: Dataset[MediaItem], codec: MediaCodec = StubCodec)

@@ -208,8 +208,22 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       FROM events ORDER BY user_id, event_id"""))
 
+  /** Perceptual image dedup: dHash per media item (pixel-real for
+    * decodable images — spec'd with real PNGs; exact byte-content hash
+    * otherwise, as here where the synthetic corpus carries text bytes),
+    * then the banded Hamming blocking join reused from text SimHash.
+    * Engine hashing → rows-only; ImageOpsSpec covers the pixel path. */
+  val dedupImageDhash = QueryDef("dedup_image_dhash",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val hashes = Multimodal.imageDHash(mediaItems(s, dir).filter(_.media_id < 300))
+      graft.operators.Dedup.simhashPairs(hashes, "media_id", "phash", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, sessionizeQ, streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, asofJoinQ, corpusStats,
-    parseJsonProps, windowRunningSum)
+    parseJsonProps, windowRunningSum, dedupImageDhash)
 }

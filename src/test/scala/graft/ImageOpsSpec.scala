@@ -12,6 +12,43 @@ class ImageOpsSpec extends AnyFunSuite {
     (0 until n).map(_ => Array.fill(rng.nextInt(60))(rng.nextInt(1000) - 200))
   }
 
+  test("dHash: stable, near-dup robust, far for different content, fallback for garbage") {
+    import graft.multimodal.Multimodal
+    def gradientPng(w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+      if (tweak) img.setRGB(1, 1, 0xffffff) // single-pixel edit
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def checkerPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = Multimodal.dhash64(gradientPng(64, 64, tweak = false)).get
+    val same = Multimodal.dhash64(gradientPng(64, 64, tweak = false)).get
+    val tweaked = Multimodal.dhash64(gradientPng(64, 64, tweak = true)).get
+    val resizedSrc = Multimodal.dhash64(
+      Multimodal.ImageIoCodec.resize(gradientPng(128, 128, tweak = false), 64).get).get
+    val other = Multimodal.dhash64(checkerPng(64, 64)).get
+    assert(base == same)                                          // deterministic
+    assert(java.lang.Long.bitCount(base ^ tweaked) <= 4)          // near-dup close
+    assert(java.lang.Long.bitCount(base ^ resizedSrc) <= 6)       // survives resize
+    assert(java.lang.Long.bitCount(base ^ other) > 10)            // different far
+    assert(Multimodal.dhash64(Array.fill(40)(3.toByte)).isEmpty)  // garbage → None
+    // fallback path: exact byte dups still pair up through the banded join
+    assert(Multimodal.byteContentHash(Array[Byte](1, 2, 3)) ==
+      Multimodal.byteContentHash(Array[Byte](1, 2, 3)))
+    assert(Multimodal.byteContentHash(Array[Byte](1, 2, 3)) !=
+      Multimodal.byteContentHash(Array[Byte](1, 2, 4)))
+  }
+
   test("coercion properties: clip bounds, gray triples, swap is an involution") {
     randomArrays(1L, 100).foreach { raw =>
       val clipped = ImageOps.clipToUint8(Frame(RGB, raw))
