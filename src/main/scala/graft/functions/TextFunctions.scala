@@ -18,12 +18,28 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Distinct character n-grams; texts shorter than n collapse to [text]. */
+  /** Distinct character n-grams; texts shorter than n collapse to [text].
+    * Native one-pass kernel ([[graft.plans.CharNgrams]]) when
+    * constructible; the declarative `substr`-per-window form re-scans the
+    * string per gram (O(len²)/doc) and stays only as the fallback. */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array(text))
+    charNgrams(text, n, distinct = true)
+
+  /** ALL character n-grams in order (duplicates kept) — the LM-training
+    * extraction. Same native/fallback split as [[charShingles]]. */
+  def charNgrams(text: Column, n: Int, distinct: Boolean): Column = {
+    val native =
+      try Some(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.CharNgrams(
+          org.apache.spark.sql.graft.ColumnBridge.expression(text), n, distinct)))
+      catch { case _: Throwable => None }
+    native.getOrElse {
+      val all = transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))
+      when(length(text) >= n, if (distinct) array_distinct(all) else all)
+        .otherwise(array(text))
+    }
+  }
 
   /** Distinct word n-grams (space-joined); short docs collapse to the
     * whole-token join. */

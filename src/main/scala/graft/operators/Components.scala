@@ -27,9 +27,13 @@ object Components {
     * reachable — deterministic. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
+    // Materialize the edge list ONCE: `sym` is re-read every round (join +
+    // convergence count), and an expensive upstream edge derivation (e.g.
+    // the ngram-Jaccard all-pairs) would otherwise re-execute per round.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var round = 0
     var converged = false

@@ -234,9 +234,12 @@ object TextQueries {
       import org.apache.spark.sql.types.DecimalType
       val docs = table(s, dir, "documents").filter(length(col("text")) >= 2)
       val bgs = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text")) - 1),
-          i => col("text").substr(i, lit(2)))).as("bg"))
-      val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        explode(charNgrams(col("text"), 2, distinct = false)).as("bg"))
+      // The trained model is ~1.6k rows; checkpoint it so the corpus-wide
+      // bigram aggregation runs ONCE (ctx counts, V, and the scoring
+      // broadcast all derive from it — uncached, each re-executes the
+      // explode+agg over every document).
+      val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("cnt")).localCheckpoint()
       val ctxCounts = bgCounts.groupBy(substring(col("bg"), 1, 1).as("c1"))
         .agg(sum("cnt").as("ctx"))
       val vDf = ctxCounts.agg(count(lit(1)).as("v"))

@@ -285,6 +285,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3).getLong(0) == 2L)
   }
 
+  test("CharNgrams kernel matches the declarative substr form") {
+    def hofNgrams(text: Column, n: Int, distinct: Boolean): Column = {
+      val all = transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))
+      when(length(text) >= n, if (distinct) array_distinct(all) else all)
+        .otherwise(array(text))
+    }
+    val samples = Seq("the cat sat on the mat", "café über 世界 café", "ab", "", "aaaa")
+      .map(Tuple1(_)).toDF("text")
+    for (n <- Seq(2, 3); d <- Seq(true, false)) {
+      val rows = samples.select(
+          TextFunctions.charNgrams(col("text"), n, d).as("native"),
+          hofNgrams(col("text"), n, d).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (nat, hof) => assert(nat == hof, s"n=$n distinct=$d") }
+    }
+    val nullRow = Seq(Tuple1(null: String)).toDF("text")
+      .select(TextFunctions.charNgrams(col("text"), 3, distinct = true)).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("native fingerprint kernel matches the declarative HOF form") {
     // The O(n) kernel must be value-identical to the O(n²) substr form it
     // replaces, across ASCII, multi-byte codepoints, >64-char weight
