@@ -114,6 +114,31 @@ object MiscQueries {
       WHERE op IS NULL OR op <> 'D'
       ORDER BY c_custkey"""))
 
+  /** Z-order clustering key (sources/Storage.zOrderKey): Morton
+    * interleave of two 16-bit dimensions — the sort key a compaction pass
+    * clusters on so parquet min/max stats prune on EITHER dimension. Pure
+    * bitwise ops, replayed exactly by the oracle's generated shift terms. */
+  val zorderCluster = QueryDef("zorder_cluster", {
+    (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(65536L)).as("dim_x"),
+          pmod(floor(col("value") * 100).cast("long"), lit(65536L)).as("dim_y"))
+        .withColumn("zkey", graft.sources.Storage.zOrderKey(col("dim_x"), col("dim_y")))
+        .orderBy("zkey", "event_id")
+    },
+    Some {
+      val terms = (0 until 16).map(i =>
+        s"((((dim_x >> $i) & 1) << ${2 * i}) | (((dim_y >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH d AS (SELECT event_id,
+          ((user_id % 65536) + 65536) % 65536 AS dim_x,
+          ((CAST(FLOOR(value * 100) AS BIGINT) % 65536) + 65536) % 65536 AS dim_y
+        FROM events)
+      SELECT event_id, dim_x, dim_y, ($terms) AS zkey
+      FROM d ORDER BY zkey, event_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup,
-    dedupLevenshtein, mergeUpsert)
+    dedupLevenshtein, mergeUpsert, zorderCluster)
 }
