@@ -36,6 +36,12 @@ object Models {
   /** VLM captioning. Ref: common/transform/generate_text_op.py:9-33. */
   trait Captioner extends Serializable {
     def caption(prompt: String, imagePaths: Seq[String]): String
+    /** Batched inference hook — a real VLM overrides this to run ONE
+      * forward pass per batch (GPU utilization: the reference feeds
+      * batch-sized request lists, pipeline/caption.py:58-88). Default
+      * delegates per row, so per-row fakes stay bit-identical. */
+    def captionBatch(batch: Seq[(String, Seq[String])]): Seq[String] =
+      batch.map { case (p, imgs) => caption(p, imgs) }
   }
 
   /** Image read boundary (cv2.imread stand-in): dimensions or None for a

@@ -45,10 +45,15 @@ class Captioning(captionerFactory: () => Models.Captioner) extends Serializable 
         expr("repeat('<image>', size(images))"),
         lit(question))))
 
-  /** Generate stage (executor-singleton model). Errored rows SKIP the
-    * model (the reference's short-circuit, pipeline/caption.py:78-80) and
-    * flow through with a null caption. */
-  def generate(df: DataFrame): DataFrame = {
+  /** Generate stage (executor-singleton model), BATCHED: valid rows are
+    * fed to the model `batchSize` at a time through `captionBatch` — one
+    * forward pass per batch on a real VLM (the reference's GPU-batching,
+    * pipeline/caption.py:58-88) — while errored rows SKIP the model (the
+    * reference's short-circuit, :78-80) and flow through with a null
+    * caption, in their original positions. Streaming `grouped` iterator:
+    * memory is O(batchSize), never the partition. */
+  def generate(df: DataFrame, batchSize: Int = 16): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = df.sparkSession
     import spark.implicits._
     val factory = captionerFactory
@@ -57,9 +62,18 @@ class Captioning(captionerFactory: () => Models.Captioner) extends Serializable 
       .as[(Long, String, Seq[String], String, String)]
       .mapPartitions { it =>
         val model = ExecutorSingleton.getOrCreate("graft.captioner")(factory())
-        it.map { case (id, prompt, images, out, err) =>
-          val caption = if (err == null) model.caption(prompt, images) else null
-          (id, prompt, images, out, err, caption)
+        it.grouped(batchSize).flatMap { chunk =>
+          val valid = chunk.filter(_._5 == null)
+          val caps =
+            if (valid.isEmpty) Seq.empty
+            else model.captionBatch(valid.map(r => (r._2, r._3)))
+          require(caps.length == valid.length,
+            s"captionBatch returned ${caps.length} results for ${valid.length} inputs")
+          var vi = 0
+          chunk.map { case (id, prompt, images, out, err) =>
+            val caption = if (err == null) { val c = caps(vi); vi += 1; c } else null
+            (id, prompt, images, out, err, caption)
+          }
         }
       }
       .toDF("doc_id", "prompt", "images", "output_image", "vision_inputs_error", "caption")
@@ -75,6 +89,6 @@ class Captioning(captionerFactory: () => Models.Captioner) extends Serializable 
         col("images").as("input_images"),
         col("output_image").as("output_image")))))
 
-  def run(df: DataFrame): DataFrame =
-    projectRecord(generate(assemblePrompt(parsePlaceholders(df))))
+  def run(df: DataFrame, batchSize: Int = 16): DataFrame =
+    projectRecord(generate(assemblePrompt(parsePlaceholders(df)), batchSize))
 }

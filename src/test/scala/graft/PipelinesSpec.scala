@@ -88,6 +88,38 @@ class PipelinesSpec extends AnyFunSuite {
       s"model must run only for the valid row, ran ${PipelinesSpec.detectCalls.get()}")
   }
 
+  test("E2 batched generate: one captionBatch call per batch, results stay row-aligned") {
+    graft.ml.ExecutorSingleton.clear()
+    PipelinesSpec.detectCalls.set(0) // counts BATCH calls here
+    val input = (1L to 50L).map { i =>
+      // every 7th row malformed → must be skipped without disturbing alignment
+      (i, if (i % 7 == 0) "[broken" else s"/img_$i.jpg", s"/out/$i.png")
+    }.toDF("doc_id", "input_images", "output_image").coalesce(1)
+    val pipe = new Captioning(() => new Models.Captioner {
+      def caption(prompt: String, imagePaths: Seq[String]): String =
+        new Models.FakeCaptioner().caption(prompt, imagePaths)
+      override def captionBatch(batch: Seq[(String, Seq[String])]): Seq[String] = {
+        PipelinesSpec.detectCalls.incrementAndGet()
+        assert(batch.length <= 16, s"batch of ${batch.length} exceeds batchSize")
+        super.captionBatch(batch)
+      }
+    })
+    val out = pipe.run(input, batchSize = 16)
+      .select("doc_id", "vision_inputs_error", "caption")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.length == 50)
+    // alignment: every valid row got ITS OWN caption (fake = f(prompt, imgs))
+    val fake = new Models.FakeCaptioner()
+    out.foreach { case (id, err, cap) =>
+      if (id % 7 == 0) assert(err != null && cap == null)
+      else assert(cap == fake.caption(
+        s"${pipe.systemPrompt}<image>${pipe.question}", Seq(s"/img_$id.jpg")))
+    }
+    // 50 rows in 1 partition, chunked by 16 → 4 batch calls
+    assert(PipelinesSpec.detectCalls.get() == 4,
+      s"expected 4 batch calls, got ${PipelinesSpec.detectCalls.get()}")
+  }
+
   test("E3 frame mining: produces selected frames within band, deterministic") {
     val manifest = (0 until 6).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
     val pipe = new FrameMining(
