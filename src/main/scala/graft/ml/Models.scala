@@ -16,21 +16,32 @@ object Models {
     * never need pixels). Ref: common/image/person_detect_op.py:25-126. */
   trait PersonDetector extends Serializable {
     def detect(videoId: Long, frameIdx: Long): Seq[Box]
+    /** Batched hook — real detectors override with one forward pass per
+      * batch (GPU util); default delegates per item so fakes stay
+      * bit-identical. */
+    def detectBatch(items: Seq[(Long, Long)]): Seq[Seq[Box]] =
+      items.map { case (v, f) => detect(v, f) }
   }
 
   /** Face detection within a person crop. Ref: common/image/face_detect_op.py:7-29. */
   trait FaceDetector extends Serializable {
     def detect(videoId: Long, frameIdx: Long, slot: Int): Seq[Face]
+    def detectBatch(items: Seq[(Long, Long, Int)]): Seq[Seq[Face]] =
+      items.map { case (v, f, s) => detect(v, f, s) }
   }
 
   /** Face quality scoring. Ref: common/image/face_quality_op.py:22-174. */
   trait FaceQualityScorer extends Serializable {
     def score(videoId: Long, frameIdx: Long, slot: Int): Double
+    def scoreBatch(items: Seq[(Long, Long, Int)]): Seq[Double] =
+      items.map { case (v, f, s) => score(v, f, s) }
   }
 
   /** Face embedding (AdaFace stand-in). Ref: common/transform/similarity_op.py:7-24. */
   trait FaceEmbedder extends Serializable {
     def embed(videoId: Long, frameIdx: Long, slot: Int): Array[Float]
+    def embedBatch(items: Seq[(Long, Long, Int)]): Seq[Array[Float]] =
+      items.map { case (v, f, s) => embed(v, f, s) }
   }
 
   /** VLM captioning. Ref: common/transform/generate_text_op.py:9-33. */

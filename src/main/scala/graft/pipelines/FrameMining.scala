@@ -38,9 +38,20 @@ class FrameMining(person: () => Models.PersonDetector,
   /** One fused detection stage (person → face → quality → embed) per
     * frame, all models executor-singletons — mirrors the reference's
     * single co-resident worker (init_models_in_worker :55-87). Emits one
-    * row per surviving face candidate. */
+    * row per surviving face candidate.
+    *
+    * BATCHED tier-wise: frames flow through in `batchSize` chunks and
+    * each model tier gets ONE `*Batch` call per chunk over the rows that
+    * survived the previous tier's gate (re-batching between tiers) — on
+    * real GPU models that is one forward pass per tier per chunk instead
+    * of one per row, while the relational gates still drop work before
+    * the next tier pays for it. Default `*Batch` hooks delegate per item,
+    * so deterministic fakes produce bit-identical candidates to the
+    * per-row formulation (FrameMining spec pins outputs). Memory is
+    * O(batchSize × boxes/frame), never the partition. */
   private def extractCandidates(frames: DataFrame, minFaceScore: Double,
-                                loPersons: Int, hiPersons: Int): DataFrame = {
+                                loPersons: Int, hiPersons: Int,
+                                batchSize: Int = 32): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
     val (pf, ff, qf, ef) = (person, face, quality, embedder)
@@ -52,22 +63,30 @@ class FrameMining(person: () => Models.PersonDetector,
         val fd = ExecutorSingleton.getOrCreate("graft.face_detector")(ff())
         val qs = ExecutorSingleton.getOrCreate("graft.face_quality")(qf())
         val em = ExecutorSingleton.getOrCreate("graft.face_embedder")(ef())
-        it.flatMap { case (vid, fidx) =>
-          val boxes = det.detect(vid, fidx)
-          if (boxes.size < loPersons || boxes.size > hiPersons) Iterator.empty
-          else boxes.iterator.zipWithIndex.flatMap { case (b, slot) =>
-            if (b.x2 - b.x1 <= 0 || b.y2 - b.y1 <= 0) Iterator.empty // bbox sanity (F9)
-            else {
-              val valid = fd.detect(vid, fidx, slot).filter(_.score >= minFaceScore)
-              if (valid.size != 1) Iterator.empty // exactly-one-face gate (F6)
-              else {
-                val q = qs.score(vid, fidx, slot)
-                if (q <= qThr) Iterator.empty // quality gate (F7)
-                else Iterator.single((vid, fidx, slot,
-                  b.x1.toDouble, b.y1.toDouble, b.x2.toDouble, b.y2.toDouble,
-                  q, em.embed(vid, fidx, slot).toSeq))
-              }
+        it.grouped(batchSize).flatMap { chunk =>
+          // tier 1: person boxes, one batch call; person-count gate (F4)
+          val boxesPerFrame = det.detectBatch(chunk.map(f => (f._1, f._2)))
+          val slots = chunk.zip(boxesPerFrame).flatMap { case ((vid, fidx), boxes) =>
+            if (boxes.size < loPersons || boxes.size > hiPersons) Seq.empty
+            else boxes.zipWithIndex.collect {
+              // bbox sanity (F9)
+              case (b, slot) if b.x2 - b.x1 > 0 && b.y2 - b.y1 > 0 =>
+                (vid, fidx, slot, b)
             }
+          }
+          // tier 2: faces per surviving slot; exactly-one-face gate (F6)
+          val faces = fd.detectBatch(slots.map(s => (s._1, s._2, s._3)))
+          val oneFace = slots.zip(faces).collect {
+            case (s, fs) if fs.count(_.score >= minFaceScore) == 1 => s
+          }
+          // tier 3: quality; gate (F7)
+          val quals = qs.scoreBatch(oneFace.map(s => (s._1, s._2, s._3)))
+          val qualified = oneFace.zip(quals).collect { case (s, q) if q > qThr => (s, q) }
+          // tier 4: embeddings for the final survivors only
+          val embs = em.embedBatch(qualified.map { case (s, _) => (s._1, s._2, s._3) })
+          qualified.zip(embs).map { case (((vid, fidx, slot, b), q), e) =>
+            (vid, fidx, slot, b.x1.toDouble, b.y1.toDouble, b.x2.toDouble, b.y2.toDouble,
+              q, e.toSeq)
           }
         }
       }
