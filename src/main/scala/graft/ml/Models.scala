@@ -68,18 +68,24 @@ object Models {
     * pipeline/for_high_bg_all_morelittler.py:199-207. */
   trait GroundingMasker extends Serializable {
     def maskRect(imageId: Long, box: Box, h: Long, w: Long): Option[Box]
+    def maskRectBatch(items: Seq[(Long, Box, Long, Long)]): Seq[Option[Box]] =
+      items.map { case (id, b, h, w) => maskRect(id, b, h, w) }
   }
 
   /** BEN2 background matting over a person crop; None mirrors the
     * reference's errors-to-None convention. Ref: common/transform/bg_rm_op.py:8-24. */
   trait Matting extends Serializable {
     def removeBackground(imageId: Long, boxIdx: Int): Option[Array[Byte]]
+    def removeBackgroundBatch(items: Seq[(Long, Int)]): Seq[Option[Array[Byte]]] =
+      items.map { case (id, i) => removeBackground(id, i) }
   }
 
   /** LBM relighting over a person crop; None on failure.
     * Ref: common/transform/lbm_op.py:14-32. */
   trait Relighter extends Serializable {
     def relight(imageId: Long, boxIdx: Int): Option[Array[Byte]]
+    def relightBatch(items: Seq[(Long, Int)]): Seq[Option[Array[Byte]]] =
+      items.map { case (id, i) => relight(id, i) }
   }
 
   /** ffprobe/ffmpeg boundary. Ref: common/video/video_probe_op.py:4-53,

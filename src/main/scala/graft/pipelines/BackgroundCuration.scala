@@ -65,9 +65,13 @@ class BackgroundCuration(
       .as[(Long, String, Long, Long, String)]
       .mapPartitions { it =>
         val det = ExecutorSingleton.getOrCreate("graft.person_detector")(pf())
-        it.map { case (id, path, h, w, tag) =>
-          val boxes = det.detect(id, 0L).map(b => (b.x1, b.y1, b.x2, b.y2))
-          (id, path, h, w, tag, boxes)
+        // one detectBatch call per 32 images (GPU batching; default hook
+        // delegates per item so fakes are bit-identical)
+        it.grouped(32).flatMap { chunk =>
+          val boxesPerImage = det.detectBatch(chunk.map(r => (r._1, 0L)))
+          chunk.zip(boxesPerImage).map { case ((id, path, h, w, tag), bs) =>
+            (id, path, h, w, tag, bs.map(b => (b.x1, b.y1, b.x2, b.y2)))
+          }
         }
       }
       .toDF("image_id", "image_path", "h", "w", "tag", "person_boxes_raw")
@@ -125,14 +129,23 @@ class BackgroundCuration(
         val gm = ExecutorSingleton.getOrCreate("graft.grounding_masker")(mf())
         val bg = ExecutorSingleton.getOrCreate("graft.matting")(bf())
         val rl = ExecutorSingleton.getOrCreate("graft.relighter")(rf())
-        it.flatMap { case (id, path, h, w, tag, idx, x1, y1, x2, y2) =>
-          val validFaces = fd.detect(id, 0L, idx.toInt).count(_.score >= minScore)
-          if (validFaces != 1) None
-          else gm.maskRect(id, Models.Box(x1, y1, x2, y2), h, w).map { r =>
-            (id, path, h, w, tag, idx, x1, y1, x2, y2,
-              r.x1, r.y1, r.x2, r.y2,
-              bg.removeBackground(id, idx.toInt).isDefined,
-              rl.relight(id, idx.toInt).isDefined)
+        // tier-wise batching (one *Batch call per tier per 32-box chunk,
+        // re-batched over each gate's survivors — see FrameMining note)
+        it.grouped(32).flatMap { chunk =>
+          val faces = fd.detectBatch(chunk.map(r => (r._1, 0L, r._6.toInt)))
+          val gated = chunk.zip(faces).collect {
+            case (r, fs) if fs.count(_.score >= minScore) == 1 => r
+          }
+          val rects = gm.maskRectBatch(gated.map(r =>
+            (r._1, Models.Box(r._7, r._8, r._9, r._10), r._3, r._4)))
+          val masked = gated.zip(rects).collect { case (r, Some(rect)) => (r, rect) }
+          val mattes = bg.removeBackgroundBatch(masked.map { case (r, _) => (r._1, r._6.toInt) })
+          val relights = rl.relightBatch(masked.map { case (r, _) => (r._1, r._6.toInt) })
+          masked.lazyZip(mattes).lazyZip(relights).map {
+            case (((id, path, h, w, tag, idx, x1, y1, x2, y2), rect), matte, rel) =>
+              (id, path, h, w, tag, idx, x1, y1, x2, y2,
+                rect.x1, rect.y1, rect.x2, rect.y2,
+                matte.isDefined, rel.isDefined)
           }
         }
       }
