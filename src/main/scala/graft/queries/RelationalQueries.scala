@@ -498,10 +498,29 @@ object RelationalQueries {
         COUNT(*) AS cnt_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Salted equi-join (operators/Skew): big skewed side salted, small
+    * side replicated buckets× — result provably identical to the plain
+    * join, so the oracle is the plain DuckDB join. */
+  val skewSaltedJoin = QueryDef("skew_salted_join",
+    (s, dir) => {
+      val events = table(s, dir, "events")
+      val userDim = table(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      Skew.saltedJoin(events, userDim, "user_id", buckets = 8,
+          saltBy = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("user_events"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, d.user_events
+      FROM events e JOIN (
+        SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id) d
+      USING (user_id)
+      ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
     sortSelected, joinBroadcast, joinRange, joinLeftStatus, scanCsv, scanJsonl,
-    scanOrc, dedupGreedy, setOps, approxDistinct, approxQuantiles, skewSaltedAgg)
+    scanOrc, dedupGreedy, setOps, approxDistinct, approxQuantiles, skewSaltedAgg, skewSaltedJoin)
 }
