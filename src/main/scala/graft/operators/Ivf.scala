@@ -156,6 +156,34 @@ object Ivf {
     Index(centers, assigned)
   }
 
+  /** Persist a built index: centroids + the list-assigned corpus as
+    * parquet, the assigned side PARTITIONED BY list_id — so a later
+    * search session loads only the probed lists from disk (directory
+    * pruning), the build-once/probe-many shape a production ANN service
+    * needs. At 100 TB, re-deriving assignments per query session is the
+    * cost being avoided. */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted index. The assigned frame reads lazily — a probe
+    * query's `list_id` equi-join prunes unprobed list directories. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$path/centroids")
+      .select(col("list_id"), col("center"))
+      .as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    Index(centers, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** The `nProbe` nearest list ids for each query vector. */
   private def probeLists(qvec: Column, centers: Array[Array[Double]], nProbe: Int): Column =
     probes(qvec, centers, nProbe)

@@ -126,6 +126,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
+  test("IVF index save/load round-trips; loaded index answers identically") {
+    val rng = new scala.util.Random(99)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val built = graft.operators.Ivf.build(vecs, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.Ivf.save(built, dir)
+    val loaded = graft.operators.Ivf.load(spark, dir)
+    assert(loaded.centers.map(_.toSeq).toSeq == built.centers.map(_.toSeq).toSeq)
+    // list-partitioned layout on disk → probed-list directory pruning
+    val dirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("list_id=")) && dirs.nonEmpty)
+    val a = graft.operators.Ivf.topK(built, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = graft.operators.Ivf.topK(loaded, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("brute-force top-k is exact, self-excluded, rank-ordered") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
