@@ -1,0 +1,100 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Packing}
+
+/** End-to-end text-corpus curation — the composed pipeline a training-data
+  * user actually runs, assembled from the engine's text operators:
+  *
+  *   raw docs → PII scrub → quality / language / repetition gates →
+  *   exact dedup (bag-of-words, keep min id) → salted train/val/test
+  *   split → context-window chunking → greedy sequence packing.
+  *
+  * Every stage before packing is pure Catalyst (scrub/gates/split/chunk
+  * ride the scan; dedup is one hash aggregate + one broadcast-able join),
+  * so the whole prefix is a single declarative plan Catalyst can reorder
+  * and push down — and it is oracle-checked END-TO-END as one composed
+  * DuckDB CTE chain (`pipeline_curation`). Packing is the one
+  * order-dependent fold (rows-only, PackingSpec properties).
+  *
+  * Near-dup dedup at corpus scale plugs in between dedup and split:
+  * MinHash-LSH pairs → [[graft.operators.Components]] clusters → keep
+  * min-id per cluster (each piece oracle/spec-checked on its own; wiring
+  * them here is one join, `dedupNearDupsKeep`).
+  */
+class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
+                     allowLangs: Seq[String] = Seq("en"),
+                     chunkTokens: Int = 32, packBudget: Long = 256L,
+                     salt: String = "graft-v1") extends Serializable {
+
+  /** PII scrub onto `clean`; gates evaluate the scrubbed text. */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.withColumn("clean", piiScrub(col("text")))
+
+  /** Quality / language / repetition gates (drop, not dead-letter: a
+    * curation pass filters — lineage tracking would keep a reject sink). */
+  def gates(scrubbed: DataFrame): DataFrame =
+    scrubbed
+      .withColumn("quality", qualityScore(col("clean")))
+      .withColumn("lang_pred", langIdHeuristic(col("clean")))
+      .withColumn("rep_ratio", repetitionRatio(col("clean")))
+      .filter(col("quality") >= minQuality &&
+        col("rep_ratio") <= maxRepetition &&
+        col("lang_pred").isin(allowLangs: _*))
+
+  /** Exact dedup: keep the min doc_id per bag-of-words key. */
+  def dedupExactKeep(gated: DataFrame): DataFrame = {
+    val keep = Dedup.exactGroups(gated, "doc_id", Dedup.bagOfWordsKey(col("clean")))
+      .select(col("keep_id").as("doc_id"))
+    gated.join(keep, Seq("doc_id"))
+  }
+
+  /** Optional near-dup pass: given (id_a, id_b) near-dup pairs from any
+    * blocker (MinHash-LSH / SimHash / dHash), cluster them and keep the
+    * min-id doc per cluster. */
+  def dedupNearDupsKeep(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = graft.operators.Components.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    docs.join(comps.filter(col("id") === col("comp")).select(col("id").as("doc_id")),
+      Seq("doc_id"))
+  }
+
+  /** Salted split + fixed-window chunking (the oracle-checked tail). */
+  def splitAndChunk(deduped: DataFrame): DataFrame =
+    deduped
+      .withColumn("split", splitAssign(col("doc_id"), salt, 80, 10))
+      .withColumn("toks", tokens(col("clean")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_tok + ${chunkTokens - 1}) div $chunkTokens - 1"))))
+      .select(col("doc_id"), col("source"), col("split"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_idx") * chunkTokens + 1).cast("int"), lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n_tok") - col("chunk_idx") * chunkTokens)
+          .as("chunk_tokens"))
+
+  /** Declarative prefix: everything except packing. */
+  def curate(docs: DataFrame): DataFrame =
+    splitAndChunk(dedupExactKeep(gates(scrub(docs))))
+
+  /** Full run: curate, then pack chunks into `packBudget`-token bins per
+    * (split, source) shard — the training-sequence layout. */
+  def runPacked(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = curate(docs)
+    val items = chunks.select(
+        concat_ws("/", col("split"), col("source")).as("group"),
+        // chunk ids must be unique per group: doc_id * 2^20 + chunk_idx
+        (col("doc_id") * 1048576L + col("chunk_idx")).as("doc_id"),
+        col("chunk_tokens").as("n_tokens"))
+      .as[Packing.Item]
+    Packing.run(items, packBudget)(spark).toDF()
+      .withColumnRenamed("doc_id", "chunk_key")
+  }
+}

@@ -184,6 +184,59 @@ object PipelineQueries {
         printf('%s/%s_in_p%d_human_full_bgr.png', save_dir, file_name, box_idx) AS path_human_full_bgr
       FROM named ORDER BY image_id, box_idx"""))
 
+  /** End-to-end corpus curation (pipelines/CorpusCuration): scrub →
+    * quality/lang/repetition gates → exact dedup keep-min → salted split
+    * → 32-token chunking — the whole declarative prefix oracle-checked as
+    * ONE composed CTE chain (packing, the order-dependent tail, is
+    * rows-only via PackingSpec + the curation pipeline spec). */
+  val pipelineCuration = QueryDef("pipeline_curation",
+    (s, dir) => new graft.pipelines.CorpusCuration()
+      .curate(table(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH scrubbed AS (
+        SELECT doc_id, source,
+          regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                         '[0-9]{4,}', '<NUM>', 'g') AS clean
+        FROM documents),
+      t AS (SELECT doc_id, source, clean,
+              list_filter(string_split(clean, ' '), x -> x <> '') AS toks
+            FROM scrubbed),
+      m AS (SELECT doc_id, source, clean, toks,
+              CAST(len(toks) AS DOUBLE) AS ntok,
+              CASE WHEN length(clean) > 0
+                   THEN CAST(length(regexp_replace(clean, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(clean) AS DOUBLE)
+                   ELSE 0.0 END AS pr,
+              CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS sr
+            FROM t),
+      g AS (SELECT doc_id, source, toks,
+              ROUND(LEAST(CAST(1.0 AS DOUBLE), ntok / 100.0) * 0.4 + (CAST(1.0 AS DOUBLE) - pr) * 0.3 + sr * 0.3, 6) AS quality,
+              CASE WHEN sr >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+              CASE WHEN len(toks) > 0
+                   THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+                   ELSE 0.0 END AS rep
+            FROM m),
+      gated AS (SELECT doc_id, source, toks FROM g
+                WHERE quality >= 0.3 AND rep <= 0.6 AND lang_pred = 'en'),
+      keyed AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS k FROM gated),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY k),
+      dd AS (SELECT keyed.* FROM keyed JOIN keep USING (doc_id)),
+      spl AS (SELECT *, CASE
+                WHEN CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+              FROM dd),
+      n AS (SELECT doc_id, source, split, toks, CAST(len(toks) AS BIGINT) AS n_tok
+            FROM spl WHERE len(toks) > 0),
+      c AS (SELECT doc_id, source, split, toks, n_tok,
+              UNNEST(generate_series(0, (n_tok + 31) // 32 - 1)) AS chunk_idx
+            FROM n)
+      SELECT doc_id, source, split, chunk_idx,
+        array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ') AS chunk_text,
+        LEAST(32, n_tok - chunk_idx * 32) AS chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
-    pipelineBgCuration, bgSavePaths)
+    pipelineBgCuration, bgSavePaths, pipelineCuration)
 }

@@ -120,6 +120,26 @@ class PipelinesSpec extends AnyFunSuite {
       s"expected 4 batch calls, got ${PipelinesSpec.detectCalls.get()}")
   }
 
+  test("corpus curation runPacked: every curated chunk lands in exactly one in-budget bin") {
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pipe = new graft.pipelines.CorpusCuration(packBudget = 64L)
+    val chunks = pipe.curate(docs)
+      .select("split", "source", "doc_id", "chunk_idx", "chunk_tokens")
+      .as[(String, String, Long, Long, Long)].collect()
+    val packed = pipe.runPacked(docs)
+      .as[(String, Long, Long, Long, Long)].collect() // group, bin, chunk_key, n_tokens, offset
+    assert(packed.length == chunks.length, "every chunk packed exactly once")
+    assert(packed.map(p => (p._1, p._3)).distinct.length == packed.length)
+    packed.groupBy(p => (p._1, p._2)).foreach { case ((g, b), bin) =>
+      assert(bin.map(_._4).sum <= 64L || bin.length == 1, s"bin ($g,$b) over budget")
+    }
+    // group key is split/source; chunk_key decodes back to (doc, chunk)
+    val sample = packed.head
+    assert(sample._1.contains("/"))
+    val (doc, cidx) = (sample._3 / 1048576L, sample._3 % 1048576L)
+    assert(chunks.exists(c => c._3 == doc && c._4 == cidx))
+  }
+
   test("E3 frame mining: produces selected frames within band, deterministic") {
     val manifest = (0 until 6).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
     val pipe = new FrameMining(
