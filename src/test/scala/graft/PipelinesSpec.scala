@@ -140,6 +140,17 @@ class PipelinesSpec extends AnyFunSuite {
     assert(chunks.exists(c => c._3 == doc && c._4 == cidx))
   }
 
+  test("curation near-dup plug-in keeps exactly the min-id doc per cluster") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"src$i", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    // clusters {1,2,3} (chain) and {5,6}; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = new graft.pipelines.CorpusCuration()
+      .dedupNearDupsKeep(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("E3 frame mining: produces selected frames within band, deterministic") {
     val manifest = (0 until 6).map(i => (i.toLong, 6000L)).toDF("video_id", "total_frames")
     val pipe = new FrameMining(
