@@ -26,6 +26,8 @@ object RangeJoin {
                       vCol: String = "v", loCol: String = "lo",
                       hiCol: String = "hi"): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "inputs must not already carry a '_bin' column")
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
     val binnedIntervals = intervals
       .filter(col(loCol) <= col(hiCol))

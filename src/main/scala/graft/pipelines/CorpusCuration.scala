@@ -90,8 +90,14 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
     val chunks = curate(docs)
     val items = chunks.select(
         concat_ws("/", col("split"), col("source")).as("group"),
-        // chunk ids must be unique per group: doc_id * 2^20 + chunk_idx
-        (col("doc_id") * 1048576L + col("chunk_idx")).as("doc_id"),
+        // chunk ids must be unique per group: doc_id * 2^20 + chunk_idx.
+        // 2^20 chunks = 33M tokens/doc at 32-token windows; fail loudly
+        // rather than silently collide if a future corpus exceeds it.
+        when(col("chunk_idx") < 1048576L,
+            col("doc_id") * 1048576L + col("chunk_idx"))
+          .otherwise(raise_error(format_string(
+            "doc %d has chunk_idx %d >= 2^20; widen the chunk-key encoding",
+            col("doc_id"), col("chunk_idx")))).as("doc_id"),
         col("chunk_tokens").as("n_tokens"))
       .as[Packing.Item]
     Packing.run(items, packBudget)(spark).toDF()
