@@ -52,8 +52,13 @@ object TextFunctions {
   }
 
   /** Fraction of tokens found in `words` (0.0 for empty docs). */
-  def wordlistRatio(text: Column, words: Seq[String]): Column = {
-    val ts = tokens(text)
+  def wordlistRatio(text: Column, words: Seq[String]): Column =
+    wordlistRatioTokens(tokens(text), words)
+
+  /** [[wordlistRatio]] over an already-materialized token column —
+    * pipelines that need several token-derived metrics tokenize ONCE and
+    * pass the column (tokenization dominates the per-metric cost). */
+  def wordlistRatioTokens(ts: Column, words: Seq[String]): Column = {
     val n = size(ts)
     val k = size(filter(ts, t => t.isin(words: _*)))
     when(n > 0, k.cast("double") / n.cast("double")).otherwise(lit(0.0))
@@ -72,15 +77,23 @@ object TextFunctions {
   /** n-gram-free language-ID heuristic: stopword-density thresholding
     * (the cheap first-pass LID of large corpus pipelines). */
   def langIdHeuristic(text: Column, threshold: Double = 0.08): Column =
-    when(wordlistRatio(text, enStopwords) >= threshold, lit("en")).otherwise(lit("und"))
+    langIdHeuristicTokens(tokens(text), threshold)
+
+  /** [[langIdHeuristic]] over a materialized token column. */
+  def langIdHeuristicTokens(ts: Column, threshold: Double = 0.08): Column =
+    when(wordlistRatioTokens(ts, enStopwords) >= threshold, lit("en")).otherwise(lit("und"))
 
   /** Composite quality score in [0,1]: length saturation + cleanliness +
     * stopword density (rounded for cross-engine determinism). */
   def qualityScore(text: Column): Column =
+    qualityScoreTokens(text, tokens(text))
+
+  /** [[qualityScore]] with the token column supplied (tokenize once). */
+  def qualityScoreTokens(text: Column, ts: Column): Column =
     round(
-      least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.4 +
+      least(lit(1.0), size(ts).cast("double") / 100.0) * 0.4 +
       (lit(1.0) - punctRatio(text)) * 0.3 +
-      wordlistRatio(text, enStopwords) * 0.3, 6)
+      wordlistRatioTokens(ts, enStopwords) * 0.3, 6)
 
   /** Email-shaped substrings (conservative syntax shared by Java regex and
     * RE2, so Spark and the DuckDB oracle mask identically). */
@@ -113,8 +126,11 @@ object TextFunctions {
 
   /** Token repetition ratio: 1 − distinct/total tokens (0.0 for empty).
     * High values flag boilerplate/spam — a standard corpus quality gate. */
-  def repetitionRatio(text: Column): Column = {
-    val ts = tokens(text)
+  def repetitionRatio(text: Column): Column =
+    repetitionRatioTokens(tokens(text))
+
+  /** [[repetitionRatio]] over a materialized token column. */
+  def repetitionRatioTokens(ts: Column): Column = {
     val n = size(ts)
     when(n > 0,
       round(lit(1.0) - size(array_distinct(ts)).cast("double") / n.cast("double"), 6))

@@ -30,26 +30,36 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
                      chunkTokens: Int = 32, packBudget: Long = 256L,
                      salt: String = "graft-v1") extends Serializable {
 
-  /** PII scrub onto `clean`; gates evaluate the scrubbed text. */
+  /** PII scrub onto `clean` + ONE tokenization into `toks` — every
+    * downstream stage (all three gate metrics, the dedup key, chunking)
+    * derives from the materialized token column instead of re-splitting
+    * the text per metric (tokenization dominated the gate cost ~4×). */
   def scrub(docs: DataFrame): DataFrame =
     docs.withColumn("clean", piiScrub(col("text")))
+      .withColumn("toks", tokens(col("clean")))
 
   /** Quality / language / repetition gates (drop, not dead-letter: a
     * curation pass filters — lineage tracking would keep a reject sink). */
   def gates(scrubbed: DataFrame): DataFrame =
     scrubbed
-      .withColumn("quality", qualityScore(col("clean")))
-      .withColumn("lang_pred", langIdHeuristic(col("clean")))
-      .withColumn("rep_ratio", repetitionRatio(col("clean")))
+      .withColumn("quality", qualityScoreTokens(col("clean"), col("toks")))
+      .withColumn("lang_pred", langIdHeuristicTokens(col("toks")))
+      .withColumn("rep_ratio", repetitionRatioTokens(col("toks")))
       .filter(col("quality") >= minQuality &&
         col("rep_ratio") <= maxRepetition &&
         col("lang_pred").isin(allowLangs: _*))
 
-  /** Exact dedup: keep the min doc_id per bag-of-words key. */
+  /** Exact dedup: keep the min doc_id per bag-of-words key. A window-min
+    * over the key — NOT the agg+self-join form, which executes the whole
+    * upstream (scrub+gates) twice; the window is one shuffle keyed by
+    * content hash with the upstream evaluated once. */
   def dedupExactKeep(gated: DataFrame): DataFrame = {
-    val keep = Dedup.exactGroups(gated, "doc_id", Dedup.bagOfWordsKey(col("clean")))
-      .select(col("keep_id").as("doc_id"))
-    gated.join(keep, Seq("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(array_join(array_sort(array_distinct(col("toks"))), " "))
+    gated
+      .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy(key)))
+      .filter(col("doc_id") === col("_keep"))
+      .drop("_keep")
   }
 
   /** Optional near-dup pass: given (id_a, id_b) near-dup pairs from any
@@ -63,11 +73,11 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
       Seq("doc_id"))
   }
 
-  /** Salted split + fixed-window chunking (the oracle-checked tail). */
+  /** Salted split + fixed-window chunking (the oracle-checked tail);
+    * reuses the `toks` column from [[scrub]]. */
   def splitAndChunk(deduped: DataFrame): DataFrame =
     deduped
       .withColumn("split", splitAssign(col("doc_id"), salt, 80, 10))
-      .withColumn("toks", tokens(col("clean")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .filter(col("n_tok") > 0)
       .withColumn("chunk_idx",

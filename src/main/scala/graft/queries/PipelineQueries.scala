@@ -190,8 +190,12 @@ object PipelineQueries {
     * ONE composed CTE chain (packing, the order-dependent tail, is
     * rows-only via PackingSpec + the curation pipeline spec). */
   val pipelineCuration = QueryDef("pipeline_curation",
+    // localCheckpoint before the compare-order sort: the gated output is
+    // tiny, while the sort's range-sampling pass would otherwise execute
+    // the whole scrub→gate→dedup→chunk subtree a second time.
     (s, dir) => new graft.pipelines.CorpusCuration()
       .curate(table(s, dir, "documents"))
+      .localCheckpoint()
       .orderBy("doc_id", "chunk_idx"),
     Some("""WITH scrubbed AS (
         SELECT doc_id, source,
