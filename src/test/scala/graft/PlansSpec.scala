@@ -126,6 +126,13 @@ class PlansSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("curation pipeline scans documents exactly once (window dedup, no self-join)") {
+    val p = plan(new graft.pipelines.CorpusCuration()
+      .curate(graft.queries.Tables.table(spark, sf, "documents")))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"curation should read the corpus once:\n$p")
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + scattered tail
