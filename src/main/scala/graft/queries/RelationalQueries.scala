@@ -471,13 +471,16 @@ object RelationalQueries {
 
   /** Approximate quantiles (Greenwald-Khanna sketch, mergeable across
     * partitions — the percentile that scales; engine-specific → rows-only,
-    * accuracy vs exact percentiles asserted in spec). */
+    * rank-accuracy asserted in spec against exact percentiles computed
+    * THERE, at test scale: an exact `percentile` buffers every value per
+    * group, which is precisely the anti-scale shape the sketch replaces —
+    * measured 38× superlinear at the 10× stress before it was dropped
+    * from this query). */
   val approxQuantiles = QueryDef("approx_quantiles",
     (s, dir) => table(s, dir, "events")
       .groupBy("event_type")
       .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"),
-        expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_q"))
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"))
       .orderBy("event_type"),
     None)
 

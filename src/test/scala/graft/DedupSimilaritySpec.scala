@@ -205,13 +205,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // sit within 3% of the target quantile.
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("approx_quantiles")(spark, sf)
-      .as[(String, Seq[Double], Seq[Double])].collect()
+      .as[(String, Seq[Double])].collect()
     assert(rows.nonEmpty)
     val values = graft.queries.Tables.table(spark, sf, "events")
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
     val targets = Seq(0.5, 0.9, 0.99)
-    rows.foreach { case (tpe, approx, _) =>
+    rows.foreach { case (tpe, approx) =>
       val vs = values(tpe)
       approx.zip(targets).foreach { case (a, q) =>
         val rank = vs.count(_ <= a).toDouble / vs.length
