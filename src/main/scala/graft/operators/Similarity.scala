@@ -147,21 +147,35 @@ object Similarity {
     * embedding scan; decode is `min + q·scale`. All math in double with
     * documented left-to-right folds, so the DuckDB oracle replays the
     * codes AND the reconstruction error bit-exactly. */
-  def quantizeInt8(vec: Column): Column = {
-    val vmin = array_min(vec).cast("double")
-    val scale = (array_max(vec).cast("double") - vmin) / 255.0
+  def quantizeInt8(vec: Column): Column =
+    quantizeInt8(vec, quantizeMin(vec), quantizeScale(vec))
+
+  /** Per-vector quantization params. CALLERS SHOULD HOIST these into
+    * columns and pass them to the 3-arg forms: an expression placed
+    * inside a HOF lambda re-evaluates PER ELEMENT (Catalyst has no
+    * let-binding and subexpression elimination doesn't reach lambda
+    * bodies), turning quantization O(d²) per vector — measured 10× slower
+    * on the quantize_embeddings query before hoisting. */
+  def quantizeMin(vec: Column): Column = array_min(vec).cast("double")
+  def quantizeScale(vec: Column): Column =
+    (array_max(vec).cast("double") - array_min(vec).cast("double")) / 255.0
+
+  /** [[quantizeInt8]] with pre-hoisted per-vector params (columns, not
+    * inline subtrees — see [[quantizeMin]]). */
+  def quantizeInt8(vec: Column, vmin: Column, scale: Column): Column =
     when(scale > 0,
       transform(vec, x =>
         least(lit(255L), greatest(lit(0L),
           floor((x.cast("double") - vmin) / scale + 0.5).cast("long")))))
       .otherwise(transform(vec, _ => lit(0L)))
-  }
 
   /** Mean absolute reconstruction error of [[quantizeInt8]] (left fold). */
-  def quantizeAbsError(vec: Column): Column = {
-    val vmin = array_min(vec).cast("double")
-    val scale = (array_max(vec).cast("double") - vmin) / 255.0
-    val errs = zip_with(vec, quantizeInt8(vec), (x, q) =>
+  def quantizeAbsError(vec: Column): Column =
+    quantizeAbsError(vec, quantizeMin(vec), quantizeScale(vec))
+
+  /** [[quantizeAbsError]] with pre-hoisted params. */
+  def quantizeAbsError(vec: Column, vmin: Column, scale: Column): Column = {
+    val errs = zip_with(vec, quantizeInt8(vec, vmin, scale), (x, q) =>
       abs(x.cast("double") - (vmin + q.cast("double") * scale)))
     aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(vec).cast("double")
   }

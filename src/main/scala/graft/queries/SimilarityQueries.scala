@@ -87,10 +87,17 @@ object SimilarityQueries {
   val quantizeEmbeddings = QueryDef("quantize_embeddings",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      emb.select(col("vec_id"),
-          aggregate(Similarity.quantizeInt8(col("embedding")), lit(0L),
-            (acc, q) => acc + q).as("sum_q"),
-          Similarity.quantizeAbsError(col("embedding")).as("mean_abs_err"))
+      // hoist per-vector params to columns: inside a HOF lambda they'd
+      // re-evaluate per element (O(d²)/vector — see Similarity scaladoc)
+      emb
+        .withColumn("_vmin", Similarity.quantizeMin(col("embedding")))
+        .withColumn("_scale", Similarity.quantizeScale(col("embedding")))
+        .select(col("vec_id"),
+          aggregate(
+            Similarity.quantizeInt8(col("embedding"), col("_vmin"), col("_scale")),
+            lit(0L), (acc, q) => acc + q).as("sum_q"),
+          Similarity.quantizeAbsError(col("embedding"), col("_vmin"), col("_scale"))
+            .as("mean_abs_err"))
         .orderBy("vec_id")
     },
     Some("""WITH m AS (
