@@ -51,9 +51,21 @@ object Multimodal {
     * corpora keep flowing — the errors-as-data convention, not an
     * exception. Ref decode position: common/video/video_info_op.py:6-33. */
   object ImageIoCodec extends MediaCodec {
+
+    /** Magic-byte sniff for the formats the JDK decodes (PNG/JPEG/GIF/BMP).
+      * Attempting `ImageIO.read` on arbitrary bytes costs a reader search
+      * plus an exception per row — ~100µs each, which dominates a mixed
+      * corpus scan; the sniff rejects non-images in a few byte compares. */
+    def looksLikeImage(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
     def decode(item: MediaItem): MediaMeta = {
       val real =
-        if (item.kind != "image" || item.bytes == null || item.bytes.isEmpty) None
+        if (item.kind != "image" || !looksLikeImage(item.bytes)) None
         else
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.bytes)))
           catch { case _: Exception => None }
@@ -99,7 +111,8 @@ object Multimodal {
     * resizes) land within a few Hamming bits. None when the bytes don't
     * decode. */
   def dhash64(bytes: Array[Byte]): Option[Long] =
-    try {
+    if (!ImageIoCodec.looksLikeImage(bytes)) None
+    else try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
         val small = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = small.createGraphics()
