@@ -60,8 +60,9 @@ class BackgroundCuration(
     import spark.implicits._
     val pf = person
     val tagged = if (df.columns.contains("tag")) df else df.withColumn("tag", lit("in"))
-    tagged.select(col("image_id").cast("long"), col("image_path").cast("string"),
-        col("h").cast("long"), col("w").cast("long"), col("tag").cast("string"))
+    graft.ops.Parallelism.ensure(
+      tagged.select(col("image_id").cast("long"), col("image_path").cast("string"),
+        col("h").cast("long"), col("w").cast("long"), col("tag").cast("string")))
       .as[(Long, String, Long, Long, String)]
       .mapPartitions { it =>
         val det = ExecutorSingleton.getOrCreate("graft.person_detector")(pf())

@@ -57,8 +57,9 @@ class Captioning(captionerFactory: () => Models.Captioner) extends Serializable 
     val spark = df.sparkSession
     import spark.implicits._
     val factory = captionerFactory
-    df.select(col("doc_id").cast("long"), col("prompt"), col("images"),
-        col("output_image").cast("string"), col("vision_inputs_error"))
+    graft.ops.Parallelism.ensure(
+      df.select(col("doc_id").cast("long"), col("prompt"), col("images"),
+        col("output_image").cast("string"), col("vision_inputs_error")))
       .as[(Long, String, Seq[String], String, String)]
       .mapPartitions { it =>
         val model = ExecutorSingleton.getOrCreate("graft.captioner")(factory())

@@ -35,7 +35,8 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
     * derives from the materialized token column instead of re-splitting
     * the text per metric (tokenization dominated the gate cost ~4×). */
   def scrub(docs: DataFrame): DataFrame =
-    docs.withColumn("clean", piiScrub(col("text")))
+    graft.ops.Parallelism.ensure(docs)
+      .withColumn("clean", piiScrub(col("text")))
       .withColumn("toks", tokens(col("clean")))
 
   /** Quality / language / repetition gates (drop, not dead-letter: a

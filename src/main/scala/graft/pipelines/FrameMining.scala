@@ -99,8 +99,12 @@ class FrameMining(person: () => Models.PersonDetector,
     val spark = manifest.sparkSession
     import spark.implicits._
     val upto = greatest(lit(1L), floor(col("total_frames") * firstFrac).cast("long"))
+    // parallelism floor BEFORE the frame explode: repartition the compact
+    // manifest, not the exploded frames (single-row-group inputs would
+    // otherwise run the whole detection stage on one core)
     val frames = Tiling.sampleEveryK(
-      manifest.withColumn("_upto", upto), "_upto", refStride)
+      graft.ops.Parallelism.ensure(manifest.withColumn("_upto", upto)),
+      "_upto", refStride)
     val cands = extractCandidates(frames, refFaceScore, 1, 2)
       .select(col("video_id").as("group"),
         (col("frame_idx") * 10 + col("slot")).as("seq"),
@@ -119,7 +123,7 @@ class FrameMining(person: () => Models.PersonDetector,
 
   /** Phase 2: candidate GT frames band-pass-matched against the refs. */
   def mineCandidates(manifest: DataFrame, refs: DataFrame): DataFrame = {
-    val frames = manifest
+    val frames = graft.ops.Parallelism.ensure(manifest)
       .withColumn("_from", floor(col("total_frames") / 10).cast("long"))
       .withColumn("frame_idx", explode(
         when(col("total_frames") > col("_from"),

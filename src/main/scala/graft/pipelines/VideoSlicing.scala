@@ -32,7 +32,8 @@ class VideoSlicing(toolFactory: () => Models.VideoTool,
     val spark = manifest.sparkSession
     import spark.implicits._
     val factory = toolFactory
-    manifest.select(col("video_id").cast("long"), col("file_path").cast("string"))
+    graft.ops.Parallelism.ensure(
+      manifest.select(col("video_id").cast("long"), col("file_path").cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val tool = ExecutorSingleton.getOrCreate("graft.video_tool")(factory())
@@ -60,7 +61,9 @@ class VideoSlicing(toolFactory: () => Models.VideoTool,
 
   /** Tile passing videos into segments with generated output paths. */
   def segments(gated: DataFrame): DataFrame =
-    Tiling.tileSegments(gated.filter(col("status") === 1), "total_duration", segDur, minDur)
+    Tiling.tileSegments(
+      graft.ops.Parallelism.ensure(gated.filter(col("status") === 1)),
+      "total_duration", segDur, minDur)
       .withColumn("out_path", VideoFunctions.genSavePath(outDir, col("file_path"),
         col("seg_idx"), col("start_time"), col("duration")))
       .withColumn("save_dir", VideoFunctions.genSaveDir(outDir, col("file_path")))
