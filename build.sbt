@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver AND all 32 executor-thread working sets in ONE
+  // JVM; 8g forced GC thrash + shuffle spills across long query sweeps
+  // (measured 5-8x inter-run variance on sort-heavy queries). The target
+  // box is 128 GiB (harness contract) — give the heap real room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

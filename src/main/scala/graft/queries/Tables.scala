@@ -18,6 +18,14 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Native expressions (graft_cosine) into the harness-provided session.
     graft.plans.GraftFunctions.register(spark)
+    // NOTE on input parallelism: the driver testdata is one file with ONE
+    // row group per table (the atomic split unit), so scan-rooted narrow
+    // stages run on a single core. A blanket repartition floor here was
+    // measured a NET LOSS at bench scale — the extra full-table shuffle
+    // costs more than the parallelism gains on small data, and doubles up
+    // with the keyed exchange of window/agg queries. The floor is applied
+    // surgically instead, at CPU-heavy pipeline stage entrances
+    // (graft.ops.Parallelism.ensure), where fan-out/model work dominates.
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
