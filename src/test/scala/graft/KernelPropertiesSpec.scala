@@ -154,6 +154,30 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }, min = 200)
   }
 
+  test("CosineSimilarity equals the documented left-fold reference bit-for-bit") {
+    val vec = Gen.choose(1, 8).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-4, 4).map(_.toFloat)))
+    // Kernel contract: each norm over its WHOLE vector, dot over the
+    // common prefix (mismatched dims only matter for dirty data — equal
+    // dims is the real case and the two coincide there).
+    def reference(a: Seq[Float], b: Seq[Float]): Double = {
+      val na = a.map(x => x.toDouble * x.toDouble).foldLeft(0.0)(_ + _)
+      val nb = b.map(x => x.toDouble * x.toDouble).foldLeft(0.0)(_ + _)
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }
+        .foldLeft(0.0)(_ + _)
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    check("cosine", Prop.forAll(vec, vec) { (a, b) =>
+      val got = CosineSimilarity(
+          Literal.create(a, ArrayType(FloatType)),
+          Literal.create(b, ArrayType(FloatType)))
+        .eval(null).asInstanceOf[Double]
+      // bit-exact: zero-norm → 0.0, else identical fold
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(reference(a, b))
+    })
+  }
+
   test("SortedIntersectCount equals set intersection on sorted distinct arrays") {
     val tok = Gen.listOf(Gen.choose('a', 'f').map(_.toString))
     check("sortedIntersect", Prop.forAll(tok, tok) { (a, b) =>
