@@ -173,6 +173,17 @@ object Ivf {
       .partitionBy("list_id").parquet(s"$path/assigned")
   }
 
+  /** Incremental maintenance: assign NEW vectors to the existing
+    * quantizer's lists and append them to the index — the daily-ingest
+    * path (retrain only when drift degrades recall; assignment is the
+    * same fused CentroidProbes narrow map as at build time, so appending
+    * a batch costs one scan of the batch, never a retrain). */
+  def addVectors(index: Index, newVectors: DataFrame,
+                 vecCol: String = "embedding"): Index = {
+    val assigned = newVectors.withColumn("list_id", nearestList(col(vecCol), index.centers))
+    Index(index.centers, index.assigned.unionByName(assigned))
+  }
+
   /** Load a persisted index. The assigned frame reads lazily — a probe
     * query's `list_id` equi-join prunes unprobed list directories. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {

@@ -151,6 +151,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("IVF incremental add: appended vectors are probed like built ones") {
+    val rng = new scala.util.Random(41)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val initial = mk(0 until 150)
+    val extra = mk(150 until 200)
+    val queries = extra.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val grown = graft.operators.Ivf.addVectors(
+      graft.operators.Ivf.build(initial, nLists = 4), extra)
+    assert(grown.assigned.count() == 200)
+    // a query vector's own near-twin cluster members (old AND new) surface
+    val got = graft.operators.Ivf.topK(grown, queries, k = 5, nProbe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_._1)
+    byQ.values.foreach { hits =>
+      assert(hits.exists(_._2 < 150) , "old corpus absent from results")
+    }
+    // appended rows landed in valid lists of the existing quantizer
+    val listsOfExtra = grown.assigned.filter(col("vec_id") >= 150)
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    assert(listsOfExtra.size == 50 && listsOfExtra.values.toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
   test("brute-force top-k is exact, self-excluded, rank-ordered") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
