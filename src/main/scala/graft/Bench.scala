@@ -19,6 +19,10 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val results = selected.map { case (name, fn) =>
+      // isolate queries from each other's garbage: long sweeps otherwise
+      // show multi-second random spikes when a query inherits the heap
+      // debt of its predecessors (measured +/-30% run-to-run variance)
+      System.gc()
       val t0 = System.nanoTime()
       // noop write materializes EVERY output column (count() lets Catalyst
       // prune projection work away, under-measuring expression-heavy
