@@ -106,15 +106,19 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       "[0-9]{4,}", "<NUM>")
 
-  /** Deterministic split bucket in [0, 100): first 8 md5 hex chars of
-    * `salt:id` as an integer, mod 100. Salted so re-splitting with a new
+  /** Deterministic hash bucket in [0, mod): first 8 md5 hex chars of
+    * `salt:id` as an integer, mod `mod`. Salted so re-bucketing with a new
     * salt is decorrelated from the old assignment; stable across engines
-    * (md5 of the same bytes everywhere) and across reruns — the property a
-    * train/val/test split must have at 100 TB, where a random() split is
-    * irreproducible. */
-  def splitBucket(id: Column, salt: String): Column =
+    * (md5 of the same bytes everywhere) and across reruns — the property
+    * any sampling/split decision must have at 100 TB, where a random()
+    * draw is irreproducible. */
+  def hashBucket(id: Column, salt: String, mod: Int): Column =
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long") % mod
+
+  /** Deterministic split bucket in [0, 100) — see [[hashBucket]]. */
+  def splitBucket(id: Column, salt: String): Column =
+    hashBucket(id, salt, 100)
 
   /** Train/val/test assignment from [[splitBucket]]. */
   def splitAssign(id: Column, salt: String, trainPct: Int, valPct: Int): Column = {
@@ -136,6 +140,15 @@ object TextFunctions {
       round(lit(1.0) - size(array_distinct(ts)).cast("double") / n.cast("double"), 6))
       .otherwise(lit(0.0))
   }
+
+  /** Unicode NFC normalization ([[graft.plans.NormalizeNfc]] native
+    * kernel — ASCII rows pass through untouched). There is no declarative
+    * Catalyst formulation of canonical composition, so this is
+    * unconditionally the native expression. */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.NormalizeNfc(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** Deterministic document fingerprint: position-weighted codepoint sum
     * (weight cycles 1..64). Order-sensitive — reordered text changes the

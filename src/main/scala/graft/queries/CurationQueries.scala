@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -123,7 +124,96 @@ object CurationQueries {
     },
     None)
 
+  /** Test-set decontamination: flag training-split documents sharing any
+    * word 5-gram with a held-out test-split document (the n-gram-overlap
+    * decontamination every benchmark-honest LLM corpus runs). The test
+    * side — in production a few-MB benchmark suite, here the salted 10%
+    * split — broadcasts; the corpus side streams through the map-side
+    * gram join and one partial-agg shuffle on doc_id. Never O(n²). */
+  val decontaminateQ = QueryDef("decontaminate",
+    (s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), splitBucket(col("doc_id"), "graft-v1").as("bucket"),
+          explode(wordShingles(col("text"), 5)).as("gram"))
+      val test = grams.filter(col("bucket") >= 90)
+        .select(col("gram"), col("doc_id").as("test_id"))
+      val train = grams.filter(col("bucket") < 80).select("doc_id", "gram")
+      train.join(broadcast(test), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("shared_ngrams"),
+          countDistinct(col("test_id")).as("n_test_docs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, text,
+        CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents),
+      tok AS (SELECT doc_id, bucket,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM b),
+      sh AS (SELECT doc_id, bucket,
+        CASE WHEN len(toks) >= 5
+             THEN list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+                                 for i in generate_series(1, len(toks) - 4)])
+             ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM tok),
+      te AS (SELECT doc_id AS test_id, UNNEST(grams) AS gram FROM sh WHERE bucket >= 90),
+      tr AS (SELECT doc_id, UNNEST(grams) AS gram FROM sh WHERE bucket < 80)
+      SELECT tr.doc_id AS doc_id, COUNT(DISTINCT tr.gram) AS shared_ngrams,
+        COUNT(DISTINCT te.test_id) AS n_test_docs
+      FROM tr JOIN te ON tr.gram = te.gram
+      GROUP BY tr.doc_id ORDER BY doc_id"""))
+
+  /** Weighted domain-mix sampling: downsample every source to the
+    * smallest source's share with a salted-hash threshold — deterministic
+    * (reruns keep the same docs), engine-exact (integer compare, no
+    * float rates), and two-pass at 100 TB: one map-side-partial count
+    * aggregate over ~20 source rows, then a broadcast join + narrow
+    * filter on the corpus scan. The tiny empty-frame window runs on the
+    * 20-row aggregate, never the corpus. */
+  val sampleWeightedQ = QueryDef("sample_weighted",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .withColumn("target", min(col("cnt")).over(Window.partitionBy()))
+      docs.join(broadcast(counts), "source")
+        .withColumn("bucket", hashBucket(col("doc_id"), "graft-sample", 10000))
+        .filter(col("bucket") * col("cnt") < col("target") * lit(10000L))
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+      t AS (SELECT source, cnt, MIN(cnt) OVER () AS target FROM c),
+      sel AS (SELECT d.doc_id, d.source, t.cnt, t.target,
+        CAST(('0x' || substring(md5('graft-sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents d JOIN t ON d.source = t.source)
+      SELECT doc_id, source, bucket FROM sel
+      WHERE bucket * cnt < target * 10000 ORDER BY doc_id"""))
+
+  /** Unicode NFC normalization over the corpus (native kernel; the
+    * documents are ASCII, so both sides append the same decomposed
+    * accent sequences to half the docs and the composed outputs must
+    * agree). Narrow map riding the scan — the canonical pre-dedup
+    * text-canonicalization step. */
+  val normalizeUnicodeQ = QueryDef("normalize_unicode",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" cafe\u0301 nai\u0308ve"))
+            .otherwise(lit(""))).as("raw"))
+      .select(col("doc_id"), normalizeNfc(col("raw")).as("nfc"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(normalizeNfc(col("raw"))).cast("long").as("n_nfc"))
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 2 = 0
+                     THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                     ELSE '' END AS raw
+      FROM documents)
+      SELECT doc_id, nfc_normalize(raw) AS nfc,
+        CAST(length(raw) AS BIGINT) AS n_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc
+      FROM r ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ,
-    packSequencesQ)
+    packSequencesQ, decontaminateQ, sampleWeightedQ, normalizeUnicodeQ)
 }

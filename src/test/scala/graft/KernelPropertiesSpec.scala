@@ -187,4 +187,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
         .eval(null) == (a.toSet intersect b.toSet).size
     })
   }
+
+  test("NormalizeNfc equals java.text.Normalizer NFC and is idempotent") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposable: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.const("e\u0301"), Gen.const("i\u0308"), // decomposed base + mark
+      Gen.const("\u00e9"), Gen.const("\u212b"),   // composed é, Angstrom sign
+      Gen.const("\u4e16"))).map(_.mkString)        // CJK (NFC-inert)
+    def evalNfc(s: String): String =
+      NormalizeNfc(Literal.create(s, StringType)).eval(null)
+        .asInstanceOf[UTF8String].toString
+    check("nfc-reference", Prop.forAll(decomposable) { s =>
+      evalNfc(s) == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    })
+    check("nfc-idempotent", Prop.forAll(decomposable) { s =>
+      evalNfc(evalNfc(s)) == evalNfc(s)
+    })
+    // ASCII fast path returns the input reference untouched (zero-alloc).
+    val in = UTF8String.fromString("plain ascii only")
+    val out = NormalizeNfc(Literal(in, StringType)).eval(null).asInstanceOf[AnyRef]
+    assert(out eq in)
+    assert(NormalizeNfc(Literal(null, StringType)).eval(null) == null)
+  }
 }
