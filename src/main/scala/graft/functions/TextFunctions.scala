@@ -42,13 +42,23 @@ object TextFunctions {
   }
 
   /** Distinct word n-grams (space-joined); short docs collapse to the
-    * whole-token join. */
+    * whole-token join. Native one-pass kernel
+    * ([[graft.plans.WordNgrams]]) when constructible; the declarative
+    * transform-per-window form interprets n lambdas per window and
+    * stays only as the fallback. */
   def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
-      .otherwise(array(concat_ws(" ", ts)))
+    val native =
+      try Some(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.graft.ColumnBridge.expression(text), n, distinct = true)))
+      catch { case _: Throwable => None }
+    native.getOrElse {
+      val ts = tokens(text)
+      when(size(ts) >= n,
+        array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
+        .otherwise(array(concat_ws(" ", ts)))
+    }
   }
 
   /** Fraction of tokens found in `words` (0.0 for empty docs). */

@@ -30,8 +30,13 @@ object Components {
     // Materialize the edge list ONCE: `sym` is re-read every round (join +
     // convergence count), and an expensive upstream edge derivation (e.g.
     // the ngram-Jaccard all-pairs) would otherwise re-execute per round.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize with ONE explode pass — a union of two selects would
+    // execute that upstream derivation twice before the checkpoint.
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
@@ -41,13 +46,15 @@ object Components {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
+      // Carry the previous label through the checkpoint so convergence is
+      // a filter+count over the materialized rows — NOT a second full
+      // labels join per round (which would double the per-round shuffles).
       val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("comp").as("prev"),
           least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.comp") =!= col("l.comp")).count()
-      labels = updated
+      val changed = updated.filter(col("comp") =!= col("prev")).count()
+      labels = updated.select("id", "comp")
       converged = changed == 0
       round += 1
     }

@@ -132,17 +132,22 @@ object CurationQueries {
     * gram join and one partial-agg shuffle on doc_id. Never O(n²). */
   val decontaminateQ = QueryDef("decontaminate",
     (s, dir) => {
-      val grams = table(s, dir, "documents")
+      // Parallelism floor: single-row-group inputs otherwise shingle the
+      // whole corpus on one core (HOF gram assembly dominates the query).
+      val grams = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
         .select(col("doc_id"), splitBucket(col("doc_id"), "graft-v1").as("bucket"),
           explode(wordShingles(col("text"), 5)).as("gram"))
       val test = grams.filter(col("bucket") >= 90)
         .select(col("gram"), col("doc_id").as("test_id"))
       val train = grams.filter(col("bucket") < 80).select("doc_id", "gram")
+      // coalesce(1)+local sort, NOT orderBy: range-partition sampling
+      // would execute the join+agg subtree twice, and the contaminated-doc
+      // list is tiny relative to the corpus at any scale.
       train.join(broadcast(test), "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("gram")).as("shared_ngrams"),
           countDistinct(col("test_id")).as("n_test_docs"))
-        .orderBy("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
     },
     Some("""WITH b AS (SELECT doc_id, text,
         CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket

@@ -94,7 +94,10 @@ object TextQueries {
       // length(text) >= 3 mirrors the oracle CTE exactly: charShingles
       // collapses shorter docs to [text], which the oracle's generate_series
       // form has no row for — latent divergence on short future docs.
-      val sh = table(s, dir, "documents").filter(col("doc_id") < 200 && length(col("text")) >= 3)
+      // Parallelism floor BEFORE the cache: the 200-row filtered scan is
+      // one partition, which would serialize all ~20k pairwise intersects.
+      val sh = graft.ops.Parallelism.ensure(
+          table(s, dir, "documents").filter(col("doc_id") < 200 && length(col("text")) >= 3))
         .select(col("doc_id"), array_sort(charShingles(col("text"), 3)).as("sh"))
         .cache()
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -121,7 +124,8 @@ object TextQueries {
     * xxhash64-based → rows-only check + property specs. */
   val dedupMinhashLsh = QueryDef("dedup_minhash_lsh",
     (s, dir) => {
-      val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+      val docs = graft.ops.Parallelism.ensure(
+          table(s, dir, "documents").filter(col("doc_id") < 500))
         .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
         .cache() // reused by banding (twice) and both verification joins
       val sigs = docs.withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
@@ -181,8 +185,8 @@ object TextQueries {
     * closure reduced by MIN(reachable id) — same components. */
   val dedupComponents = QueryDef("dedup_components",
     (s, dir) => {
-      val sh = table(s, dir, "documents")
-        .filter(col("doc_id") < 200 && length(col("text")) >= 3)
+      val sh = graft.ops.Parallelism.ensure(
+          table(s, dir, "documents").filter(col("doc_id") < 200 && length(col("text")) >= 3))
         .select(col("doc_id"), array_sort(charShingles(col("text"), 3)).as("sh"))
         .cache()
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -188,6 +188,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("WordNgrams equals split/sliding/distinct reference on arbitrary spacing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // words with messy spacing: runs of spaces, leading/trailing, unicode
+    val messyText: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("key", "agg", "row", "a", "世界", "naïve").map(w => w),
+      Gen.const(" "), Gen.const("  "))).map(_.mkString(" "))
+    def reference(s: String, n: Int): Seq[String] = {
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    check("wordNgrams", Prop.forAll(messyText, Gen.choose(1, 4)) { (s, n) =>
+      val out = WordNgrams(Literal.create(s, StringType), n, distinct = true)
+        .eval(null).asInstanceOf[ArrayData]
+      (0 until out.numElements()).map(out.getUTF8String(_).toString) ==
+        reference(s, n)
+    })
+    // non-distinct keeps duplicate windows in order
+    val dup = WordNgrams(Literal.create("a b a b a", StringType), 2, distinct = false)
+      .eval(null).asInstanceOf[ArrayData]
+    assert((0 until dup.numElements()).map(dup.getUTF8String(_).toString) ==
+      Seq("a b", "b a", "a b", "b a"))
+    assert(WordNgrams(Literal(null, StringType), 2, distinct = true).eval(null) == null)
+    // empty/blank text collapses to [""] like concat_ws over no tokens
+    val blank = WordNgrams(Literal(UTF8String.fromString("   "), StringType), 2, true)
+      .eval(null).asInstanceOf[ArrayData]
+    assert((0 until blank.numElements()).map(blank.getUTF8String(_).toString) == Seq(""))
+  }
+
   test("NormalizeNfc equals java.text.Normalizer NFC and is idempotent") {
     import org.apache.spark.unsafe.types.UTF8String
     val decomposable: Gen[String] = Gen.listOf(Gen.oneOf(
