@@ -26,14 +26,25 @@ object Bench {
       val t0 = System.nanoTime()
       // noop write materializes EVERY output column (count() lets Catalyst
       // prune projection work away, under-measuring expression-heavy
-      // queries) while still writing nothing.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // queries) while still writing nothing. A failing query records -1
+      // (a fast wall-time would read as healthy) and logs to stderr.
+      val sec =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+            -1.0
+        }
+      name -> sec
     }
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"BENCH: $failed queries FAILED (recorded as -1)")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -154,6 +154,42 @@ object Multimodal {
     h ^ (h >>> 31)
   }
 
+  /** Deterministic synthetic noise PNG (for planted near-duplicate
+    * evidence): 36×32 grayscale noise from a splitmix64 stream seeded by
+    * `seed`. Distinct seeds give dHashes ~32 Hamming bits apart (each of
+    * the 64 comparison bits is an independent coin flip across images),
+    * while the `perturbed` twin differs in ONE source pixel by a small
+    * delta — that pixel feeds at most the two adjacent 9×8 cell
+    * comparisons, so the twin's dHash sits within ≤2 Hamming bits of the
+    * original. Pure in-JVM rendering + `javax.imageio` PNG encode, so the
+    * bytes are reproducible across runs. */
+  def syntheticPng(seed: Long, perturbed: Boolean = false): Array[Byte] = {
+    val (w, h) = (36, 32)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (next() & 0xffL).toInt
+        val v = if (perturbed && x == 7 && y == 5) math.min(255, g + 6) else g
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Perceptual-hash stage: (media_id, phash, pixel_real). Decodable
     * images get the perceptual dHash (near-dup robust); everything else
     * the exact byte-content hash (exact-dup only). Downstream blocking

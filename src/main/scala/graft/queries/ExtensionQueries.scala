@@ -209,14 +209,29 @@ object ExtensionQueries {
       FROM events ORDER BY user_id, event_id"""))
 
   /** Perceptual image dedup: dHash per media item (pixel-real for
-    * decodable images — spec'd with real PNGs; exact byte-content hash
-    * otherwise, as here where the synthetic corpus carries text bytes),
-    * then the banded Hamming blocking join reused from text SimHash.
-    * Engine hashing → rows-only; ImageOpsSpec covers the pixel path. */
+    * decodable images; exact byte-content hash otherwise), then the
+    * banded Hamming blocking join reused from text SimHash.
+    *
+    * The synthetic corpus carries text bytes with no duplicate content,
+    * so the unplanted join finds nothing — and a 0-row rows-only check
+    * asserts nothing. Every `media_id % 50 == 0` is therefore replaced by
+    * a deterministic noise PNG plus a twin (`media_id + 10000`) with one
+    * perturbed pixel: the twins' dHashes sit within ≤2 Hamming bits, so
+    * each planted id emits exactly its (id, id+10000) pair through the
+    * pixel-REAL decode→downsample→dHash path. Engine hashing →
+    * rows-only; DedupSimilaritySpec pins the exact expected pair set. */
   val dedupImageDhash = QueryDef("dedup_image_dhash",
     (s, dir) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      val hashes = Multimodal.imageDHash(mediaItems(s, dir).filter(_.media_id < 300))
+      import s.implicits._
+      val planted = mediaItems(s, dir).filter(_.media_id < 300).flatMap { it =>
+        if (it.media_id % 50 == 0)
+          Seq(it.copy(bytes = Multimodal.syntheticPng(it.media_id)),
+            Multimodal.MediaItem(it.media_id + 10000, it.kind, it.path,
+              Multimodal.syntheticPng(it.media_id, perturbed = true)))
+        else Seq(it)
+      }
+      val hashes = Multimodal.imageDHash(planted)
       graft.operators.Dedup.simhashPairs(hashes, "media_id", "phash", maxHamming = 4)
         .orderBy("id_a", "id_b")
     },

@@ -460,7 +460,9 @@ object RelationalQueries {
       ORDER BY key"""))
 
   /** HyperLogLog approximate distinct counting (engine-specific sketch →
-    * rows-only; accuracy bound asserted in spec). */
+    * rows-only; accuracy bound asserted in spec). The exact count lives in
+    * [[distinctUsersExact]] under the full DuckDB oracle gate, so only the
+    * HLL estimate itself stays rows-only. */
   val approxDistinct = QueryDef("approx_distinct",
     (s, dir) => table(s, dir, "events")
       .groupBy("event_type")
@@ -468,6 +470,17 @@ object RelationalQueries {
         approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type"),
     None)
+
+  /** Oracle-checked exact companion to [[approxDistinct]]: same grouping,
+    * exact distinct count — hash-green evidence for the distinct-count
+    * path (the sketch's accuracy bound is spec'd against this). */
+  val distinctUsersExact = QueryDef("distinct_users_exact",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Approximate quantiles (Greenwald-Khanna sketch, mergeable across
     * partitions — the percentile that scales; engine-specific → rows-only,
@@ -481,7 +494,14 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(percentile_approx(col("value"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"))
-      .orderBy("event_type"),
+      // scalar rows (event_type, quantile_idx, value) — an array<double>
+      // column is unhashable for the driver's rows-only checker, which
+      // turned this into an unverified `err` row; exploded scalars give a
+      // real row-count check (the GK sketch itself stays engine-specific).
+      .select(col("event_type"),
+        posexplode(col("approx_q")).as(Seq("quantile_idx", "value")))
+      .withColumn("quantile_idx", col("quantile_idx").cast("long"))
+      .orderBy("event_type", "quantile_idx"),
     None)
 
   /** Two-phase salted aggregation (operators/Skew): result is identical
@@ -525,5 +545,6 @@ object RelationalQueries {
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
     sortSelected, joinBroadcast, joinRange, joinLeftStatus, scanCsv, scanJsonl,
-    scanOrc, dedupGreedy, setOps, approxDistinct, approxQuantiles, skewSaltedAgg, skewSaltedJoin)
+    scanOrc, dedupGreedy, setOps, approxDistinct, distinctUsersExact,
+    approxQuantiles, skewSaltedAgg, skewSaltedJoin)
 }

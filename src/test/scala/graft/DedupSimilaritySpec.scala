@@ -233,20 +233,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // sit within 3% of the target quantile.
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("approx_quantiles")(spark, sf)
-      .as[(String, Seq[Double])].collect()
+      .as[(String, Long, Double)].collect()
     assert(rows.nonEmpty)
     val values = graft.queries.Tables.table(spark, sf, "events")
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
     val targets = Seq(0.5, 0.9, 0.99)
-    rows.foreach { case (tpe, approx) =>
+    rows.foreach { case (tpe, idx, a) =>
       val vs = values(tpe)
-      approx.zip(targets).foreach { case (a, q) =>
-        val rank = vs.count(_ <= a).toDouble / vs.length
-        assert(math.abs(rank - q) <= 0.03 + 1.0 / vs.length,
-          s"$tpe q=$q: sketch answer $a has true rank $rank")
-      }
+      val q = targets(idx.toInt)
+      val rank = vs.count(_ <= a).toDouble / vs.length
+      assert(math.abs(rank - q) <= 0.03 + 1.0 / vs.length,
+        s"$tpe q=$q: sketch answer $a has true rank $rank")
     }
+  }
+
+  test("dedup_image_dhash emits exactly the planted pixel-real pair set") {
+    val rows = SparkEntry.queries("dedup_image_dhash")(spark, "/root/testdata/sf0.001")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = Set(0L, 50L, 100L, 150L, 200L, 250L).map(id => (id, id + 10000L))
+    // every planted twin pairs up through decode → downsample → dHash → banded join
+    assert(planted.subsetOf(rows), s"missing planted pairs: ${planted -- rows}")
+    // and no pair involves a planted twin id except its own original
+    val twinPairs = rows.filter { case (a, b) => a >= 10000L || b >= 10000L }
+    assert(twinPairs == planted, s"unexpected twin pairs: ${twinPairs -- planted}")
   }
 
   test("text functions: shingles, ratios, fingerprint determinism") {

@@ -49,6 +49,24 @@ class ImageOpsSpec extends AnyFunSuite {
       Multimodal.byteContentHash(Array[Byte](1, 2, 4)))
   }
 
+  test("syntheticPng: deterministic bytes, twin within 2 Hamming bits, seeds far apart") {
+    import graft.multimodal.Multimodal
+    val seeds = Seq(0L, 50L, 100L, 150L, 200L, 250L)
+    seeds.foreach { s =>
+      // byte-reproducible render+encode
+      assert(java.util.Arrays.equals(Multimodal.syntheticPng(s), Multimodal.syntheticPng(s)))
+      val base = Multimodal.dhash64(Multimodal.syntheticPng(s)).get
+      val twin = Multimodal.dhash64(Multimodal.syntheticPng(s, perturbed = true)).get
+      assert(java.lang.Long.bitCount(base ^ twin) <= 2,
+        s"seed $s: twin drifted ${java.lang.Long.bitCount(base ^ twin)} bits")
+    }
+    // distinct seeds: dHashes far apart (no accidental planted cross-pairs)
+    val hs = seeds.map(s => Multimodal.dhash64(Multimodal.syntheticPng(s)).get)
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 10,
+        s"seeds ${seeds(i)} / ${seeds(j)} collide perceptually")
+  }
+
   test("coercion properties: clip bounds, gray triples, swap is an involution") {
     randomArrays(1L, 100).foreach { raw =>
       val clipped = ImageOps.clipToUint8(Frame(RGB, raw))
