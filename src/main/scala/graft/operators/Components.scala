@@ -13,20 +13,38 @@ import org.apache.spark.sql.functions._
   * (shuffles keyed by node id — AQE-coalesced, skew-splittable); the
   * driver only orchestrates rounds and checks the converged count.
   *
-  * Scale: rounds = component diameter. Near-dup clusters are
-  * shallow (a dup of a dup of a dup is still textually close), so the
-  * fixpoint lands in a handful of rounds; a long-chain graph would want
-  * the large-star/small-star variant, which this deliberately is not.
-  * Each round `localCheckpoint`s the labels — without cutting lineage the
-  * plan doubles per round and Catalyst analysis dominates by round ~10.
+  * Scale: label-propagation rounds = component diameter — right for the
+  * shallow clusters near-dup graphs produce (a dup of a dup is still
+  * textually close). A web-scale dup graph can hide long chains, so the
+  * [[StarContraction]] variant (alternating large-star/small-star,
+  * Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) is selectable: O(log n) rounds regardless of diameter.
+  * Each round `localCheckpoint`s — without cutting lineage the plan
+  * doubles per round and Catalyst analysis dominates by round ~10.
   */
 object Components {
 
+  /** Algorithm selector for [[connectedComponents]]. */
+  sealed trait CcAlgorithm
+  /** Diameter-bounded min-label propagation (default: near-dup graphs). */
+  case object LabelPropagation extends CcAlgorithm
+  /** Alternating large-star/small-star contraction — O(log n) rounds on
+    * ANY graph shape; the escape hatch for long chains. */
+  case object StarContraction extends CcAlgorithm
+
   /** `nodes`: one `id` column; `edges`: `src`,`dst` (any orientation,
     * self-loops ignored). Returns (id, comp) with comp = min node id
-    * reachable — deterministic. */
+    * reachable — deterministic, identical for both algorithms. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          algorithm: CcAlgorithm = LabelPropagation): DataFrame =
+    algorithm match {
+      case LabelPropagation => connectedComponentsLabel(nodes, edges, maxRounds)
+      case StarContraction  => connectedComponentsStar(nodes, edges, maxRounds)
+    }
+
+  private def connectedComponentsLabel(nodes: DataFrame, edges: DataFrame,
+                                       maxRounds: Int): DataFrame = {
     // Materialize the edge list ONCE: `sym` is re-read every round (join +
     // convergence count), and an expensive upstream edge derivation (e.g.
     // the ngram-Jaccard all-pairs) would otherwise re-execute per round.
@@ -59,7 +77,70 @@ object Components {
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds " +
-      "(long-chain graph — use a star-contraction variant)")
+      "(long-chain graph — pass algorithm = StarContraction)")
     labels
+  }
+
+  /** Large-star/small-star contraction. Per round, each node u computes
+    * m = min(N(u) ∪ {u}); large-star rewires every neighbor LARGER than u
+    * to m, small-star rewires every neighbor smaller (plus u itself) to m.
+    * Both steps are one symmetrize-explode + one min-aggregate + one join,
+    * all keyed shuffles (AQE-coalesced); the edge set provably converges
+    * in O(log n) rounds to stars rooted at each component's min id.
+    * Fixpoint check is exact set equality (count + anti-join), not a
+    * hash checksum — this gates dedup correctness. */
+  private def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                                      maxRounds: Int): DataFrame = {
+    // Canonical undirected edges (u > v), self-loops dropped, ONE pass
+    // over the (possibly expensive) upstream edge derivation.
+    var e = edges
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    var cnt = e.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // Neighborhood views: both directions of each canonical edge.
+      def sym(d: DataFrame) = d.select(explode(array(
+          struct(col("u").as("s"), col("v").as("d")),
+          struct(col("v").as("s"), col("u").as("d")))).as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+      // Large-star: neighbors larger than s attach to m = min(N(s) ∪ {s}).
+      val symE = sym(e)
+      val minL = symE.groupBy("s").agg(min(col("d")).as("mn"))
+      val large = symE.join(minL, "s")
+        .withColumn("m", least(col("s"), col("mn")))
+        .filter(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // Small-star: neighbors smaller than s (and s itself) attach to m.
+      val symL = sym(large)
+      val minS = symL.groupBy("s").agg(min(col("d")).as("mn"))
+      val smallNbrs = symL.join(minS, "s")
+        .withColumn("m", least(col("s"), col("mn")))
+        .filter(col("d") < col("s"))
+        .select(col("d").as("u"), col("m").as("v"))
+      val smallSelf = minS
+        .select(col("s").as("u"), least(col("s"), col("mn")).as("v"))
+      val small = smallNbrs.union(smallSelf)
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // Exact fixpoint: same cardinality and no new edge → same set.
+      val newCnt = small.count()
+      converged = newCnt == cnt &&
+        small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = small
+      cnt = newCnt
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // At fixpoint every non-root node carries exactly (id, componentMin).
+    val starMap = e.groupBy(col("u").as("id")).agg(min(col("v")).as("root"))
+    nodes.select(col("id"))
+      .join(starMap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
   }
 }

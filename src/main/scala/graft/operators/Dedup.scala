@@ -68,12 +68,18 @@ object Dedup {
       lit(0), (acc, v) => acc + v).cast("double") / k
 
   /** LSH banding: (id, band_idx, band_hash) rows — join key for candidate
-    * generation. `bands * rowsPerBand` must equal the signature length. */
+    * generation. `bands * rowsPerBand` must equal the signature length.
+    * `replayable=true` hashes each band as md5 of the comma-joined slice
+    * (any engine recomputes it); default is engine xxhash64 (faster,
+    * engine-private). Either way the hash only NAMES the bucket — equal
+    * slices collide identically, so the candidate set is the same. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame = {
+               bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       val bandSlice = slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
-      struct(lit(b).as("band_idx"), xxhash64(bandSlice).as("band_hash"))
+      val h = if (replayable) md5(array_join(bandSlice.cast("array<string>"), ","))
+              else xxhash64(bandSlice).cast("string")
+      struct(lit(b).as("band_idx"), h.as("band_hash"))
     }: _*)
     df.select(col(idCol), col(sigCol), explode(bandStructs).as("band"))
       .select(col(idCol), col(sigCol), col("band.band_idx"), col("band.band_hash"))
@@ -82,15 +88,53 @@ object Dedup {
   /** Candidate pairs from LSH banding (distinct id pairs sharing any band),
     * each carrying both signatures for estimation/verification. */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
-    val a = lshBands(df, idCol, sigCol, bands, rowsPerBand)
+                        bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame = {
+    val a = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
       .withColumnRenamed(idCol, "id_a").withColumnRenamed(sigCol, "sig_a")
-    val b = lshBands(df, idCol, sigCol, bands, rowsPerBand)
+    val b = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
       .withColumnRenamed(idCol, "id_b").withColumnRenamed(sigCol, "sig_b")
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .distinct()
+  }
+
+  // ── Oracle-replayable (md5-keyed) variants ─────────────────────────────
+  //
+  // xxhash64 exists in no other engine, so signatures built on it can only
+  // ever be rows-only checked. These variants re-key the sketches on
+  // md5-derived integers — the same engine-exact technique splitBucket /
+  // hashBucket use — so an external engine (the DuckDB oracle) replays
+  // signatures, bands, candidate pairs, and verdicts bit-for-bit.
+
+  /** High 60 bits of md5 as a non-negative long (hex chars 1-15).
+    * Replayable: `CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)`. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 56 bits from md5 hex chars 17-30 — independent of [[md5Hash60]]'s
+    * bits, sized so `h1 + j*h2` stays under 2^62 for j <= 63: overflow-free
+    * under ANSI arithmetic and in engines that fault on wrap. */
+  def md5Hash56(c: Column): Column =
+    conv(substring(md5(c), 17, 14), 16, 10).cast("long")
+
+  /** Oracle-replayable MinHash: (idCol, sig array<long>[k]) per row.
+    * ONE md5 per shingle, split into two independent halves; the k
+    * "permutations" are Kirsch–Mitzenmacher double hashing
+    * `g_j = h1 + j*h2` — the published standard for deriving k hash
+    * functions from two (Kirsch & Mitzenmacher, ESA'06), and strictly
+    * cheaper at 100 TB than k full hashes per shingle (the xxhash64
+    * kernel path pays k=32 hashes/shingle; this pays 1 md5 + k adds).
+    * Relational shape: explode → k partial-combining MIN aggregates →
+    * array reassembly. One shuffle on idCol; the mins combine map-side,
+    * so the shuffle carries k longs per doc, never the shingles. */
+  def minhashSignatureMd5(df: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
+    val ex = df.select(col(idCol), explode(shingles).as("_t"))
+      .select(col(idCol), md5Hash60(col("_t")).as("_h1"), md5Hash56(col("_t")).as("_h2"))
+    val mins = (0 until k).map(j =>
+      min(col("_h1") + lit(j.toLong) * col("_h2")).as(s"_s$j"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"_s$j")): _*).as("sig"))
   }
 
   /** 64-bit SimHash per row. Native path: one per-row expression
@@ -115,13 +159,35 @@ object Dedup {
       .select(col(idCol), col("simhash"))
   }
 
-  /** Near-dup pairs by banded SimHash blocking: pairs sharing any 16-bit
-    * band, kept when Hamming distance <= maxHamming. */
+  /** Oracle-replayable 60-bit SimHash: md5-keyed token hashes, bit votes
+    * folded relationally (explode → 60 conditional sums, map-side partial
+    * → bit reassembly; one shuffle on idCol). The 64-bit native kernel
+    * ([[simhash64]]) is the zero-shuffle fast path; this variant trades
+    * one agg shuffle for a sketch any engine can recompute. Docs with no
+    * tokens produce no row (no bits to vote) — matching a replaying
+    * engine's UNNEST-of-empty-list semantics. */
+  def simhash60Md5(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val hashed = df.select(col(idCol), explode(tokensCol).as("_tok"))
+      .select(col(idCol), md5Hash60(col("_tok")).as("_th"))
+    val votes = (0 until 60).map(j =>
+      sum(when((shiftright(col("_th"), j) % 2 =!= 0), 1).otherwise(-1)).as(s"_v$j"))
+    val grouped = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 60).map(j =>
+      when(col(s"_v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    grouped.withColumn("simhash", bits.reduce(_.bitwiseOR(_)))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Near-dup pairs by banded SimHash blocking: pairs sharing any
+    * bandBits-wide band, kept when Hamming distance <= maxHamming.
+    * Defaults fit the 64-bit sketch (4×16); the 60-bit md5 sketch uses
+    * 4×15. Pigeonhole: any pair with distance < nBands shares a band. */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, nBands: Int = 4, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = df.select(col(idCol), col(simhashCol),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
-        (shiftrightunsigned(col(simhashCol), b * 16).bitwiseAND(lit(0xFFFFL))).as("band_val"))): _*))
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band_idx"),
+        (shiftrightunsigned(col(simhashCol), b * bandBits).bitwiseAND(lit(mask))).as("band_val"))): _*))
         .as("band"))
       .select(col(idCol), col(simhashCol), col("band.band_idx"), col("band.band_val"))
     val a = banded.withColumnRenamed(idCol, "id_a").withColumnRenamed(simhashCol, "sim_a")

@@ -6,8 +6,10 @@ import graft.functions.TextFunctions._
 import graft.operators.Dedup
 
 /** Training-data text-analysis + dedup capability queries over `documents`.
-  * MinHash/SimHash use engine hashing (xxhash64) so they are rows-only
-  * checked (plus property specs); everything else is DuckDB-oracle-backed.
+  * All DuckDB-oracle-backed — MinHash/SimHash run their md5-keyed
+  * replayable variants here (signatures, bands, pairs all recomputable by
+  * any engine); the xxhash64 kernel paths stay as the engine-private fast
+  * path, pinned by property specs.
   */
 object TextQueries {
   import Tables.table
@@ -120,16 +122,64 @@ object TextQueries {
       FROM p WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6
       ORDER BY id_a, id_b"""))
 
+  /** DuckDB replay of the md5-keyed MinHash+LSH pipeline: shingle →
+    * double-hashed 32-slot signature → 8×4 banding → candidate pairs →
+    * true-Jaccard verification. Generated (k=32 MIN aggregates, 8 band
+    * selects, 32-term match sum) so the SQL stays in lock-step with the
+    * Spark constants. */
+  private def minhashOracleSql: String = {
+    val k = 32; val bands = 8; val rpb = 4
+    val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents WHERE doc_id < 500),
+      g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      ex AS (SELECT doc_id, UNNEST(sh) AS t FROM g),
+      th AS (SELECT doc_id,
+        CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
+        CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
+      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      bd AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id),
+      est AS (SELECT id_a, id_b, CAST($estSum AS DOUBLE) / $k AS est_jaccard
+              FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+                        JOIN sig sb ON sb.doc_id = cand.id_b),
+      tj AS (SELECT e.id_a, e.id_b, e.est_jaccard,
+               CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+               CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) AS true_jaccard
+             FROM est e JOIN g ga ON ga.doc_id = e.id_a JOIN g gb ON gb.doc_id = e.id_b)
+      SELECT id_a, id_b, est_jaccard, true_jaccard FROM tj
+      WHERE true_jaccard >= 0.3 ORDER BY id_a, id_b"""
+  }
+
   /** MinHash+LSH near-dup candidates, verified with true shingle Jaccard.
-    * xxhash64-based → rows-only check + property specs. */
+    * md5-keyed replayable signatures → full hash-oracle evidence; the
+    * xxhash64 native kernel remains the engine-private fast path
+    * ([[Dedup.minhashSignature]], bit-compat spec'd). */
   val dedupMinhashLsh = QueryDef("dedup_minhash_lsh",
     (s, dir) => {
       val docs = graft.ops.Parallelism.ensure(
           table(s, dir, "documents").filter(col("doc_id") < 500))
         .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .cache() // reused by banding (twice) and both verification joins
-      val sigs = docs.withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
-      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+        .localCheckpoint() // reused by the signature agg and both verification joins
+      // Signature agg joined back to the shingles; checkpointed (not cached)
+      // because banding references it twice (a/b sides) — materializing cuts
+      // the wide 32-min-agg subtree out of every downstream plan and its
+      // codegen compiles once.
+      val sigs = docs.join(Dedup.minhashSignatureMd5(docs, "doc_id", col("sh"), 32), "doc_id")
+        .localCheckpoint()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+          bands = 8, rowsPerBand = 4, replayable = true)
         .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
       val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -141,17 +191,45 @@ object TextQueries {
         .select("id_a", "id_b", "est_jaccard", "true_jaccard")
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some(minhashOracleSql))
 
-  /** SimHash near-dup pairs via banded Hamming blocking (rows-only). */
+  /** DuckDB replay of the md5-keyed 60-bit SimHash: per-token hash → 60
+    * bit votes → sketch → 4×15-bit banded Hamming pairs. Generated to
+    * stay in lock-step with [[Dedup.simhash60Md5]]. */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 60).map(j =>
+      s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 15}) & 32767 AS band_val FROM sk")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents WHERE doc_id < 500),
+      th AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+      v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+      sk AS (SELECT doc_id, $bits AS simhash FROM v),
+      bd AS ($bandRows),
+      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 6 ORDER BY id_a, id_b"""
+  }
+
+  /** SimHash near-dup pairs via banded Hamming blocking — md5-keyed 60-bit
+    * replayable sketch ([[Dedup.simhash60Md5]]) → hash-oracle evidence;
+    * the zero-shuffle 64-bit native kernel ([[Dedup.simhash64]]) remains
+    * the fast path, property-spec'd. */
   val dedupSimhash = QueryDef("dedup_simhash",
     (s, dir) => {
       val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
-      val sketches = Dedup.simhash64(docs, "doc_id", tokens(col("text")))
-      Dedup.simhashPairs(sketches, "doc_id", "simhash", maxHamming = 6)
+      val sketches = Dedup.simhash60Md5(docs, "doc_id", tokens(col("text")))
+      Dedup.simhashPairs(sketches, "doc_id", "simhash", maxHamming = 6,
+          nBands = 4, bandBits = 15)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some(simhashOracleSql))
 
   /** Vocabulary building: top-20 tokens per language by corpus frequency.
     * explode → two-level count (token counts do map-side partial combine)

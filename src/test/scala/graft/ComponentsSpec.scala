@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check => scCheck, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+import graft.operators.Components.{LabelPropagation, StarContraction}
+
+/** Connected components: both algorithms against a driver-side union-find
+  * reference, plus the long-chain case star contraction exists for. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Union-find reference: comp = min reachable id. */
+  private def reference(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def run(algo: Components.CcAlgorithm, nodes: Seq[Long],
+                  edges: Seq[(Long, Long)], maxRounds: Int = 25): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    Components.connectedComponents(n, e, maxRounds, algo)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction handles a chain longer than the round budget") {
+    val nodes = (0L to 60L).toSeq
+    val edges = (0L until 60L).map(i => (i, i + 1))
+    // diameter 60 > 25 rounds: label propagation fails LOUDLY...
+    val err = intercept[IllegalArgumentException](run(LabelPropagation, nodes, edges))
+    assert(err.getMessage.contains("StarContraction"))
+    // ...and star contraction converges (O(log n) rounds), same answer.
+    assert(run(StarContraction, nodes, edges) === nodes.map(_ -> 0L).toMap)
+  }
+
+  test("both algorithms match union-find on random graphs (incl. isolated nodes)") {
+    val genCase = for {
+      nNodes <- Gen.choose(1, 40)
+      nEdges <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes - 1L); b <- Gen.choose(0L, nNodes - 1L)
+      } yield (a, b))
+    } yield ((0L until nNodes).toSeq, edges)
+    val prop = Prop.forAll(genCase) { case (nodes, edges) =>
+      val ref = reference(nodes, edges.filter(e => e._1 != e._2))
+      run(StarContraction, nodes, edges) == ref &&
+        run(LabelPropagation, nodes, edges) == ref
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("star contraction: empty edge set leaves every node its own component") {
+    assert(run(StarContraction, Seq(1L, 5L, 9L), Seq.empty) ===
+      Map(1L -> 1L, 5L -> 5L, 9L -> 9L))
+  }
+}

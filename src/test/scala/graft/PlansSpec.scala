@@ -41,7 +41,11 @@ class PlansSpec extends AnyFunSuite {
 
   test("native expressions are in the executed plans") {
     assert(plan(SparkEntry.queries("cosine_topk")(spark, sf)).contains("graft_cosine"))
-    assert(plan(SparkEntry.queries("dedup_simhash")(spark, sf)).contains("graft_simhash"))
+    // the registered dedup_simhash query runs the md5-replayable sketch;
+    // the native kernel remains the fast-path API — pin its plan directly
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(plan(graft.operators.Dedup.simhash64(docs, "doc_id",
+      graft.functions.TextFunctions.tokens(col("text")))).contains("graft_simhash"))
     assert(plan(SparkEntry.queries("dedup_ngram_jaccard")(spark, sf))
       .contains("graft_sorted_intersect_count"))
   }
