@@ -118,23 +118,28 @@ object Dedup {
   def md5Hash56(c: Column): Column =
     conv(substring(md5(c), 17, 14), 16, 10).cast("long")
 
-  /** Oracle-replayable MinHash: (idCol, sig array<long>[k]) per row.
-    * ONE md5 per shingle, split into two independent halves; the k
-    * "permutations" are Kirsch–Mitzenmacher double hashing
-    * `g_j = h1 + j*h2` — the published standard for deriving k hash
-    * functions from two (Kirsch & Mitzenmacher, ESA'06), and strictly
-    * cheaper at 100 TB than k full hashes per shingle (the xxhash64
-    * kernel path pays k=32 hashes/shingle; this pays 1 md5 + k adds).
-    * Relational shape: explode → k partial-combining MIN aggregates →
-    * array reassembly. One shuffle on idCol; the mins combine map-side,
-    * so the shuffle carries k longs per doc, never the shingles. */
-  def minhashSignatureMd5(df: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
-    val ex = df.select(col(idCol), explode(shingles).as("_t"))
-      .select(col(idCol), md5Hash60(col("_t")).as("_h1"), md5Hash56(col("_t")).as("_h2"))
-    val mins = (0 until k).map(j =>
-      min(col("_h1") + lit(j.toLong) * col("_h2")).as(s"_s$j"))
-    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(j => col(s"_s$j")): _*).as("sig"))
+  /** Oracle-replayable MinHash signature as a pure narrow map: ONE md5
+    * per shingle, split into two independent halves (`_hs` struct array),
+    * then k cheap arithmetic array_min passes. The k "permutations" are
+    * Kirsch–Mitzenmacher double hashing `g_j = h1 + j*h2` — the published
+    * standard for deriving k hash functions from two (Kirsch &
+    * Mitzenmacher, ESA'06), and strictly cheaper at 100 TB than k full
+    * hashes per shingle (the xxhash64 kernel path pays k=32
+    * hashes/shingle; this pays 1 md5 + k adds). The sketch rides the
+    * document scan: no explode, no k-column aggregate, no shuffle — only
+    * the band join shuffles. `_hs` is materialized as its own projection
+    * so CollapseProject cannot inline the md5 into every one of the k
+    * minima. Replayable: any engine recomputes `g_j` from
+    * `CAST(('0x' || substring(md5(t),...)) AS BIGINT)`. */
+  def withMinhashSignatureMd5(df: DataFrame, shingles: Column, k: Int,
+                              sigName: String = "sig"): DataFrame = {
+    val hs = transform(shingles, t =>
+      struct(md5Hash60(t).as("h1"), md5Hash56(t).as("h2")))
+    df.withColumn("_hs", hs)
+      .withColumn(sigName, array((0 until k).map(j =>
+        array_min(transform(col("_hs"),
+          h => h.getField("h1") + lit(j.toLong) * h.getField("h2")))): _*))
+      .drop("_hs")
   }
 
   /** 64-bit SimHash per row. Native path: one per-row expression

@@ -143,14 +143,28 @@ object Ivf {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cap = if (sampleCap > 0) sampleCap else 100L * nLists
-    // one job: count only to size the sample fraction
-    val n = vectors.count()
+    // Size the sample fraction from plan statistics instead of an exact
+    // count() — at corpus scale the count is a full extra pass over the
+    // vectors. rowCount when CBO has it; else file bytes / schema default
+    // row size. The estimate only steers the fraction: an underestimate
+    // overshoots the cap by at most the parquet compression ratio (the
+    // collect stays driver-small, truncated to cap below); an
+    // overestimate undershoots, caught by the floor check.
+    val stats = vectors.queryExecution.optimizedPlan.stats
+    val defaultRow = math.max(1, vectors.schema.map(_.dataType.defaultSize).sum)
+    val est = stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / defaultRow).toLong).max(1L)
     val sampled =
-      if (n <= cap) vectors
-      // oversample slightly so the realized sample rarely undershoots cap
-      else vectors.sample(withReplacement = false, math.min(1.0, 1.1 * cap / n), seed)
-    val points = sampled.select(col(vecCol)).as[Seq[Float]].collect()
-      .map(_.toArray.map(_.toDouble))
+      if (est <= cap) vectors
+      // oversample so the realized sample rarely undershoots cap
+      else vectors.sample(withReplacement = false, math.min(1.0, 1.5 * cap / est), seed)
+    var points = sampled.select(col(vecCol)).as[Seq[Float]].collect()
+      .map(_.toArray.map(_.toDouble)).take(cap.toInt)
+    if (points.length < 2 * nLists)
+      // stats overestimated rows and the fraction starved the sample —
+      // rare; one bounded re-read (limit pushes into the scan) fixes it.
+      points = vectors.select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
+        .collect().map(_.toArray.map(_.toDouble))
     val centers = lloyd(points, nLists, seed, maxIter)
     val assigned = vectors.withColumn("list_id", nearestList(col(vecCol), centers))
     Index(centers, assigned)

@@ -10,25 +10,28 @@ import graft.operators.{Dedup, Packing}
   * user actually runs, assembled from the engine's text operators:
   *
   *   raw docs → PII scrub → quality / language / repetition gates →
-  *   exact dedup (bag-of-words, keep min id) → salted train/val/test
-  *   split → context-window chunking → greedy sequence packing.
+  *   exact dedup (bag-of-words, keep min id) → test-set n-gram
+  *   decontamination → weighted domain-mix sampling → salted
+  *   train/val/test split → context-window chunking → greedy sequence
+  *   packing.
   *
   * Every stage before packing is pure Catalyst (scrub/gates/split/chunk
-  * ride the scan; dedup is one hash aggregate + one broadcast-able join),
-  * so the whole prefix is a single declarative plan Catalyst can reorder
-  * and push down — and it is oracle-checked END-TO-END as one composed
+  * ride the scan; dedup is one hash aggregate window; decontamination is
+  * a broadcast gram join + anti-join; mix sampling is a ~20-row broadcast
+  * threshold), and it is oracle-checked END-TO-END as one composed
   * DuckDB CTE chain (`pipeline_curation`). Packing is the one
   * order-dependent fold (rows-only, PackingSpec properties).
   *
-  * Near-dup dedup at corpus scale plugs in between dedup and split:
-  * MinHash-LSH pairs → [[graft.operators.Components]] clusters → keep
-  * min-id per cluster (each piece oracle/spec-checked on its own; wiring
-  * them here is one join, `dedupNearDupsKeep`).
+  * Near-dup dedup at corpus scale plugs in between dedup and
+  * decontamination: MinHash-LSH pairs → [[graft.operators.Components]]
+  * clusters → keep min-id per cluster (each piece oracle/spec-checked on
+  * its own; wiring them here is one join, `dedupNearDupsKeep`).
   */
 class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
                      allowLangs: Seq[String] = Seq("en"),
                      chunkTokens: Int = 32, packBudget: Long = 256L,
-                     salt: String = "graft-v1") extends Serializable {
+                     salt: String = "graft-v1", mixSalt: String = "graft-sample",
+                     deconNgram: Int = 5) extends Serializable {
 
   /** PII scrub onto `clean` + ONE tokenization into `toks` — every
     * downstream stage (all three gate metrics, the dedup key, chunking)
@@ -74,6 +77,42 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
       Seq("doc_id"))
   }
 
+  /** Test-set n-gram decontamination: drop any non-test document sharing
+    * a word `deconNgram`-gram with a document destined for the test split
+    * (bucket ≥ 90 under the same salt the split stage will use). The test
+    * side — in production a few-MB benchmark suite — broadcasts; the
+    * corpus side streams through the map-side gram join, so the pass is
+    * one broadcast hash join + a distinct + an anti-join at any scale.
+    * localCheckpoint once: the gram join reads the deduped corpus on
+    * three branches (test grams, candidate grams, the kept rows); without
+    * a materialization the scrub→gate→dedup subtree would execute 3×. */
+  def decontaminate(deduped: DataFrame): DataFrame = {
+    val base = deduped.localCheckpoint()
+    val grams = base.select(col("doc_id"),
+      splitBucket(col("doc_id"), salt).as("_bucket"),
+      explode(wordShingles(col("clean"), deconNgram)).as("gram"))
+    val testGrams = grams.filter(col("_bucket") >= 90).select("gram").distinct()
+    val contaminated = grams.filter(col("_bucket") < 90)
+      .join(broadcast(testGrams), "gram")
+      .select("doc_id").distinct()
+    base.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Weighted domain-mix sampling: downsample every source to the
+    * smallest source's share with a salted integer-hash threshold —
+    * deterministic across reruns and engines. One map-side-partial count
+    * aggregate over ~|sources| rows, then a broadcast join + narrow
+    * filter; the corpus is scanned once. */
+  def sampleWeighted(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_target", min(col("_cnt")).over(Window.partitionBy()))
+    docs.join(broadcast(counts), "source")
+      .filter(hashBucket(col("doc_id"), mixSalt, 10000) * col("_cnt") <
+        col("_target") * lit(10000L))
+      .drop("_cnt", "_target")
+  }
+
   /** Salted split + fixed-window chunking (the oracle-checked tail);
     * reuses the `toks` column from [[scrub]]. */
   def splitAndChunk(deduped: DataFrame): DataFrame =
@@ -91,7 +130,7 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
 
   /** Declarative prefix: everything except packing. */
   def curate(docs: DataFrame): DataFrame =
-    splitAndChunk(dedupExactKeep(gates(scrub(docs))))
+    splitAndChunk(sampleWeighted(decontaminate(dedupExactKeep(gates(scrub(docs))))))
 
   /** Full run: curate, then pack chunks into `packBudget`-token bins per
     * (split, source) shard — the training-sequence layout. */

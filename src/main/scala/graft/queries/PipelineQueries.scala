@@ -185,8 +185,9 @@ object PipelineQueries {
       FROM named ORDER BY image_id, box_idx"""))
 
   /** End-to-end corpus curation (pipelines/CorpusCuration): scrub →
-    * quality/lang/repetition gates → exact dedup keep-min → salted split
-    * → 32-token chunking — the whole declarative prefix oracle-checked as
+    * quality/lang/repetition gates → exact dedup keep-min → test-set
+    * 5-gram decontamination → domain-mix sampling → salted split →
+    * 32-token chunking — the whole declarative prefix oracle-checked as
     * ONE composed CTE chain (packing, the order-dependent tail, is
     * rows-only via PackingSpec + the curation pipeline spec). */
   val pipelineCuration = QueryDef("pipeline_curation",
@@ -226,11 +227,28 @@ object PipelineQueries {
       keyed AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS k FROM gated),
       keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY k),
       dd AS (SELECT keyed.* FROM keyed JOIN keep USING (doc_id)),
+      bk AS (SELECT *, CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+             FROM dd),
+      sh AS (SELECT doc_id, bucket,
+               CASE WHEN len(toks) >= 5
+                    THEN list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+                                        for i in generate_series(1, len(toks) - 4)])
+                    ELSE [array_to_string(toks, ' ')] END AS grams
+             FROM bk),
+      tg AS (SELECT DISTINCT UNNEST(grams) AS gram FROM sh WHERE bucket >= 90),
+      ct AS (SELECT DISTINCT tr.doc_id
+             FROM (SELECT doc_id, UNNEST(grams) AS gram FROM sh WHERE bucket < 90) tr
+             JOIN tg USING (gram)),
+      dc AS (SELECT * FROM bk WHERE doc_id NOT IN (SELECT doc_id FROM ct)),
+      cn AS (SELECT source, COUNT(*) AS cnt FROM dc GROUP BY source),
+      tt AS (SELECT source, cnt, MIN(cnt) OVER () AS target FROM cn),
+      mx AS (SELECT dc.* FROM dc JOIN tt USING (source)
+             WHERE CAST(('0x' || substring(md5('graft-sample:' || CAST(dc.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 * tt.cnt < tt.target * 10000),
       spl AS (SELECT *, CASE
-                WHEN CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-                WHEN CAST(('0x' || substring(md5('graft-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
-              FROM dd),
+              FROM mx),
       n AS (SELECT doc_id, source, split, toks, CAST(len(toks) AS BIGINT) AS n_tok
             FROM spl WHERE len(toks) > 0),
       c AS (SELECT doc_id, source, split, toks, n_tok,

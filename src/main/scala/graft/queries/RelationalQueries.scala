@@ -437,6 +437,52 @@ object RelationalQueries {
     },
     None)
 
+  /** Oracle companion for the greedy fold: the SAME GreedyDedup.run code
+    * path on a CONSTRAINED planted input where the fold provably has a
+    * closed form DuckDB can replay. Planting: embeddings replaced by
+    * one-hot basis vectors of `vec_id % 3` (same-class cosine = 1 ≥ thr,
+    * cross-class = 0) and pairwise-disjoint boxes (IoU = 0, the ambiguous
+    * discard branch can never fire). Under those inputs the fold
+    * collapses to: one identity per (group, class); its quality is the
+    * class max; its `seq` is the FIRST candidate in scan order reaching
+    * that max (in-place replacement is strictly-greater); `identity_idx`
+    * is first-appearance order. The oracle replays exactly that — so the
+    * groupByKey + sorted fold + replacement machinery itself is
+    * hash-checked, which the unconstrained `dedup_greedy` run can't be. */
+  val dedupGreedyOracle = QueryDef("dedup_greedy_oracle",
+    (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val cls = col("vec_id") % 3
+      val cands = table(s, dir, "embeddings").select(
+        col("label").cast("long").as("group"),
+        col("vec_id").as("seq"),
+        (col("vec_id") * 130).cast("double").as("x1"),
+        lit(0.0).as("y1"),
+        (col("vec_id") * 130 + 120).cast("double").as("x2"),
+        lit(160.0).as("y2"),
+        (((col("vec_id") * 37) % 100) / lit(100.0)).as("quality"),
+        transform(sequence(lit(0), lit(2)),
+          i => when(i === cls.cast("int"), lit(1.0f)).otherwise(lit(0.0f)))
+          .as("embedding")).as[GreedyDedup.Candidate]
+      GreedyDedup.run(cands, simThr = 0.9, iouThr = 0.2).toDF()
+        .select("group", "identity_idx", "seq", "quality")
+        .orderBy("group", "identity_idx")
+    },
+    Some("""WITH c AS (SELECT CAST(label AS BIGINT) AS grp, vec_id AS seq, vec_id % 3 AS cls,
+                  CAST((vec_id * 37) % 100 AS DOUBLE) / 100.0 AS quality
+           FROM embeddings),
+      m AS (SELECT grp, cls, MAX(quality) AS qual, MIN(seq) AS first_seq
+            FROM c GROUP BY grp, cls),
+      s AS (SELECT c.grp, c.cls, MIN(c.seq) AS seq
+            FROM c JOIN m ON c.grp = m.grp AND c.cls = m.cls AND c.quality = m.qual
+            GROUP BY c.grp, c.cls)
+      SELECT m.grp AS "group",
+        CAST(ROW_NUMBER() OVER (PARTITION BY m.grp ORDER BY m.first_seq) AS INTEGER) AS identity_idx,
+        s.seq, m.qual AS quality
+      FROM m JOIN s ON m.grp = s.grp AND m.cls = s.cls
+      ORDER BY "group", identity_idx"""))
+
   /** Set operations (union/except/intersect — Catalyst-native). */
   val setOps = QueryDef("set_ops",
     (s, dir) => {
@@ -545,6 +591,6 @@ object RelationalQueries {
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
     sortSelected, joinBroadcast, joinRange, joinLeftStatus, scanCsv, scanJsonl,
-    scanOrc, dedupGreedy, setOps, approxDistinct, distinctUsersExact,
+    scanOrc, dedupGreedy, dedupGreedyOracle, setOps, approxDistinct, distinctUsersExact,
     approxQuantiles, skewSaltedAgg, skewSaltedJoin)
 }

@@ -54,30 +54,77 @@ object SimilarityQueries {
         FROM d a JOIN d b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
 
+  /** Shared ANN tuning, recall-calibrated against the embeddings table's
+    * structure (10 Gaussian clusters): the SAME parameters drive the
+    * headline queries and the `ann_recall` evidence row, so the certified
+    * recall is the recall of the registered queries, not of a friendlier
+    * configuration. dim = 64: the embeddings-table dimension; the kernels
+    * reject mismatched vectors rather than mis-bucketing. */
+  private val annK = 5
+  private val lshPlanes = 3
+  private val lshTables = 12
+  private val ivfLists = 16
+  private val ivfProbe = 11
+  private def annQueries(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
   /** LSH-bucketed approximate top-5 (random hyperplanes; engine-seeded →
-    * rows-only check + recall spec). */
+    * rows-only check + recall spec + `ann_recall` floor). */
   val annLshTopK = QueryDef("ann_lsh_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      // dim = 64: the embeddings-table dimension (TESTDATA.md); the
-      // kernel rejects mismatched vectors rather than mis-bucketing.
-      Similarity.lshTopK(emb, queries, k = 5, nPlanes = 6, dim = 64)
+      Similarity.lshTopK(emb, annQueries(emb), k = annK,
+          nPlanes = lshPlanes, dim = 64, nTables = lshTables)
         .orderBy("qid", "rank")
     },
     None)
 
   /** IVF coarse-quantized approximate top-5 (k-means inverted lists,
-    * engine-trained centroids → rows-only check + recall spec). */
+    * engine-trained centroids → rows-only check + recall spec +
+    * `ann_recall` floor). */
   val annIvfTopK = QueryDef("ann_ivf_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val index = graft.operators.Ivf.build(emb, nLists = 16)
-      graft.operators.Ivf.topK(index, queries, k = 5, nProbe = 4)
+      val index = graft.operators.Ivf.build(emb, nLists = ivfLists)
+      graft.operators.Ivf.topK(index, annQueries(emb), k = annK, nProbe = ivfProbe)
         .orderBy("qid", "rank")
+    },
+    None)
+
+  /** ANN recall@k vs in-engine brute force, registered as evidence: one
+    * row per approximate method with (method, k, n_queries, hits, recall)
+    * — and each row is EMITTED ONLY IF recall ≥ 0.9, so the driver's
+    * rows-only smoke check (rows > 0, here exactly 2) certifies the
+    * recall floor instead of a bare row count: a missing row IS a recall
+    * regression. Deterministic end-to-end (seeded planes/centroids,
+    * exact tie-break ordering), so reruns emit identical rows. */
+  val annRecall = QueryDef("ann_recall",
+    (s, dir) => {
+      val k = annK
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = annQueries(emb)
+      // ground truth executes once; both method joins read the checkpoint
+      val truth = Similarity.bruteForceTopK(emb, queries, k)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      def recallOf(method: String, approx: org.apache.spark.sql.DataFrame) = {
+        val total = truth.agg(count(lit(1)).as("total"))
+        approx.select(col("qid"), col("vec_id"))
+          .join(truth, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(total))
+          .select(lit(method).as("method"), lit(k.toLong).as("k"),
+            col("hits"), col("total"),
+            round(col("hits").cast("double") / col("total").cast("double"), 4)
+              .as("recall"))
+      }
+      val lsh = Similarity.lshTopK(emb, queries, k,
+        nPlanes = lshPlanes, dim = 64, nTables = lshTables)
+      val ivf = graft.operators.Ivf.topK(
+        graft.operators.Ivf.build(emb, nLists = ivfLists), queries, k, nProbe = ivfProbe)
+      recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
+        .filter(col("recall") >= 0.9)
+        .orderBy("method")
     },
     None)
 
@@ -118,5 +165,5 @@ object SimilarityQueries {
       FROM q ORDER BY vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, quantizeEmbeddings)
+    annIvfTopK, annRecall, quantizeEmbeddings)
 }

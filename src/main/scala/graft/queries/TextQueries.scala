@@ -171,12 +171,12 @@ object TextQueries {
       val docs = graft.ops.Parallelism.ensure(
           table(s, dir, "documents").filter(col("doc_id") < 500))
         .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint() // reused by the signature agg and both verification joins
-      // Signature agg joined back to the shingles; checkpointed (not cached)
-      // because banding references it twice (a/b sides) — materializing cuts
-      // the wide 32-min-agg subtree out of every downstream plan and its
-      // codegen compiles once.
-      val sigs = docs.join(Dedup.minhashSignatureMd5(docs, "doc_id", col("sh"), 32), "doc_id")
+        .localCheckpoint() // reused by the signatures and both verification joins
+      // Zero-shuffle narrow-map signature (same md5 math the oracle
+      // replays); checkpointed because banding references it twice (a/b
+      // sides) — materializing computes the k minima once.
+      val sigs = Dedup.withMinhashSignatureMd5(docs, col("sh"), 32)
+        .select("doc_id", "sig")
         .localCheckpoint()
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
           bands = 8, rowsPerBand = 4, replayable = true)
@@ -224,7 +224,12 @@ object TextQueries {
   val dedupSimhash = QueryDef("dedup_simhash",
     (s, dir) => {
       val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+      // checkpointed: the banded self-join reads the sketch frame on both
+      // sides — without materialization the 60-vote aggregate subtree
+      // plans, codegen-compiles, and executes twice (measured 4.5s vs
+      // 0.35s steady-state at sf0.01).
       val sketches = Dedup.simhash60Md5(docs, "doc_id", tokens(col("text")))
+        .localCheckpoint()
       Dedup.simhashPairs(sketches, "doc_id", "simhash", maxHamming = 6,
           nBands = 4, bandBits = 15)
         .orderBy("id_a", "id_b")

@@ -126,6 +126,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
+  test("registered ann_recall query certifies recall >= 0.9 for BOTH methods") {
+    // The query filters on recall >= 0.9 before emitting, so two rows ⟺
+    // both headline ANN queries hold the floor on the real embeddings
+    // table with their registered parameters.
+    val out = graft.SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+      .select("method", "k", "recall")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("ivf", "lsh"), s"missing method row: ${out.mkString(",")}")
+    out.foreach { case (m, k, r) =>
+      assert(k == 5L)
+      assert(r >= 0.9, s"$m recall $r below floor")
+    }
+  }
+
   test("IVF index save/load round-trips; loaded index answers identically") {
     val rng = new scala.util.Random(99)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))

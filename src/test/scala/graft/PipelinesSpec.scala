@@ -140,6 +140,46 @@ class PipelinesSpec extends AnyFunSuite {
     assert(chunks.exists(c => c._3 == doc && c._4 == cidx))
   }
 
+  test("curation decontaminate drops exactly the non-test docs sharing a 5-gram with a test doc") {
+    import graft.functions.TextFunctions.splitBucket
+    import org.apache.spark.sql.functions.col
+    val pipe = new graft.pipelines.CorpusCuration()
+    // Find real bucket assignments under the pipeline's salt.
+    val ids = (1L to 300L).toDF("doc_id")
+      .select(col("doc_id"), splitBucket(col("doc_id"), "graft-v1").as("b"))
+      .as[(Long, Long)].collect()
+    val testId = ids.find(_._2 >= 90).get._1
+    val hitId = ids.find(_._2 < 90).get._1
+    val cleanIds = ids.collect { case (i, b) if b < 90 && i != hitId => i }.take(3)
+    val shared = "alpha bravo charlie delta echo"
+    val docs = (Seq(
+      (testId, "s", s"held out benchmark $shared"),
+      (hitId, "s", s"training doc with leak $shared and more")) ++
+      cleanIds.map(i => (i, "s", s"unique words only u${i}a u${i}b u${i}c u${i}d u${i}e")))
+      .toDF("doc_id", "source", "text")
+    val kept = pipe.decontaminate(pipe.scrub(docs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(hitId), "contaminated train doc must drop")
+    assert(kept.contains(testId), "test doc itself is kept")
+    assert(cleanIds.forall(kept.contains), "clean docs survive")
+  }
+
+  test("curation sampleWeighted keeps the whole smallest source and is deterministic") {
+    val docs = ((1L to 200L).map(i => (i, "big", s"t $i")) ++
+      (201L to 220L).map(i => (i, "small", s"t $i")))
+      .toDF("doc_id", "source", "text")
+    val pipe = new graft.pipelines.CorpusCuration()
+    val kept = pipe.sampleWeighted(docs)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc("small") == 20, "smallest source keeps every doc")
+    // big is downsampled to ~ the small source's share (salted hash ⇒ not exact)
+    assert(bySrc("big") < 200 && bySrc("big") > 0)
+    val again = pipe.sampleWeighted(docs)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(kept.sortBy(_._2).sameElements(again.sortBy(_._2)), "rerun keeps identical docs")
+  }
+
   test("curation near-dup plug-in keeps exactly the min-id doc per cluster") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"src$i", s"text $i"))
       .toDF("doc_id", "source", "text")

@@ -130,11 +130,30 @@ class PlansSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
-  test("curation pipeline scans documents exactly once (window dedup, no self-join)") {
+  test("curation pipeline scans the documents parquet exactly once") {
+    // The scrub→gates→dedup prefix executes once into the decontamination
+    // checkpoint (that subtree holds the single parquet scan); every
+    // downstream branch (gram join, mix-sample counts, split/chunk) reads
+    // the checkpoint, so the final plan must contain NO parquet re-scan.
     val p = plan(new graft.pipelines.CorpusCuration()
       .curate(graft.queries.Tables.table(spark, sf, "documents")))
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"curation should read the corpus once:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"downstream of the checkpoint nothing may re-read the corpus:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).nonEmpty,
+      s"expected the checkpoint boundary in the plan:\n$p")
+  }
+
+  test("narrow-map minhash signature hashes each shingle once (no CollapseProject inlining)") {
+    val docs = graft.queries.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.wordShingles(col("text"), 2).as("sh"))
+    val sig = graft.operators.Dedup.withMinhashSignatureMd5(docs, col("sh"), 32)
+      .select("doc_id", "sig")
+    val p = sig.queryExecution.executedPlan.toString
+    val nMd5 = "(?i)md5".r.findAllIn(p).size
+    // one md5 for h1, one for h2; 64 would mean the _hs projection was
+    // collapsed into the 32 minima and every shingle re-hashes 32×
+    assert(nMd5 == 2, s"expected 2 md5 calls in the plan, got $nMd5:\n$p")
+    assert(!p.contains("Exchange"), "signature must stay a narrow map (no shuffle)")
   }
 
   test("salted aggregation equals direct aggregation on skewed data") {
