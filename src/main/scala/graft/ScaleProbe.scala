@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Models
+import graft.operators.{Components, Dedup}
+
+/** Scale probe: times each heavy operator family at 1× and 10× of the
+  * sf0.1 inputs and prints the wall-clock ratio (linear scaling ⇒ ≈ 10,
+  * plus fixed overhead ⇒ usually < 10). The bench criterion alone is
+  * self-referential at one scale; this is the cheap local check that no
+  * family is superlinear BEYOND bench scale, before a real cluster finds
+  * out.
+  *
+  * 10× inputs are synthesized from the real sf0.1 parquet — replicate
+  * with id offsets; document text is `translate`-salted per replica so
+  * replicas are shingle-disjoint and pair densities stay linear (a naive
+  * copy would make every doc a 10-way exact dup and inflate the pair
+  * space quadratically — measuring an adversarial corpus, not scale).
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [mult]
+  */
+object ScaleProbe {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Replicate a frame `mult`× with offset ids (and optionally salted
+    * text: per-replica consonant rotation keeps token statistics
+    * isomorphic but shingle-disjoint across replicas). */
+  private def replicate(df: DataFrame, mult: Int, idCol: String,
+                        saltText: Boolean): DataFrame = {
+    if (mult <= 1) return df
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val reps = df.withColumn("_rep", explode(lit((0 until mult).toArray)))
+    val shifted = reps.withColumn(idCol, col(idCol) + col("_rep").cast("long") * 100000000L)
+    val salted =
+      if (!saltText) shifted
+      else shifted.withColumn("text",
+        // rep r maps the alphabet to a rotation by r — deterministic,
+        // length-preserving, and distinct replicas share no shingles
+        (0 until mult).foldLeft(col("text")) { (c, r) =>
+          when(col("_rep") === r,
+            translate(col("text"), alpha, alpha.drop(r) + alpha.take(r))).otherwise(c)
+        })
+    salted.drop("_rep")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+
+    def docs(m: Int) = replicate(
+      spark.read.parquet(s"$dir/documents.parquet"), m, "doc_id", saltText = true)
+    def manifest(m: Int) = replicate(
+      graft.queries.Tables.manifest(spark, dir), m, "video_id", saltText = false)
+
+    def families: Seq[(String, Int => Unit)] = Seq(
+      "tiling_e1" -> { m =>
+        noop(new graft.pipelines.VideoSlicing(
+            () => new Models.FakeVideoTool, segDur = 300.0, minDur = 60.0)
+          .runWithKnownDurations(manifest(m)))
+      },
+      "curation" -> { m =>
+        noop(new graft.pipelines.CorpusCuration().curate(docs(m)))
+      },
+      "minhash_lsh" -> { m =>
+        val d = graft.ops.Parallelism.ensure(docs(m))
+          .select(col("doc_id"),
+            array_sort(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("sh"))
+        val sigs = Dedup.withMinhashSignatureMd5(d, col("sh"), 32)
+          .select("doc_id", "sig").localCheckpoint(false)
+        noop(Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 8, 4, replayable = true)
+          .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
+          .filter(col("est") >= 0.5))
+      },
+      "components" -> { m =>
+        // chains of 5 over n nodes: structure (diameter, degree) constant
+        // across scales, node/edge count scales with m
+        val n = 100000L * m
+        val nodes = spark.range(n).select(col("id"))
+        val edges = spark.range(n).filter(col("id") % 5 =!= 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        noop(Components.connectedComponents(nodes, edges))
+      },
+      "frame_mining" -> { m =>
+        val mf = manifest(m).filter(col("video_id") % 100 === 0)
+          .withColumn("total_frames", floor(col("total_duration") * 24).cast("long"))
+          .select("video_id", "total_frames")
+        noop(new graft.pipelines.FrameMining(
+          () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
+          () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
+          .run(mf))
+      })
+
+    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s")
+    families.foreach { case (name, run) =>
+      run(1) // warm codegen/JIT on the small size before timing
+      val t1 = time(run(1))
+      val tM = time(run(mult))
+      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f")
+    }
+    spark.stop()
+  }
+}

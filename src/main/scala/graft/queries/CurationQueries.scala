@@ -124,6 +124,36 @@ object CurationQueries {
     },
     None)
 
+  /** Oracle companion for the packing fold (same pattern as
+    * `dedup_greedy_oracle`): the REAL Packing.run on a constrained input
+    * where next-fit has a closed form — every item in a group has the
+    * same token count t, so bins hold exactly k = budget div t items and
+    * rank r in doc_id order packs at (bin r div k, offset (r mod k)·t).
+    * DuckDB replays that with one window, hash-checking the groupByKey +
+    * sorted-fold + bin/offset accounting the free-form `pack_sequences`
+    * run can't expose. t varies per group (3..7) so fill patterns differ
+    * across groups. */
+  val packSequencesOracleQ = QueryDef("pack_sequences_oracle",
+    (s, dir) => {
+      import s.implicits._
+      val items = table(s, dir, "documents")
+        .select(col("source").as("group"), col("doc_id"),
+          (lit(3L) + length(col("source")) % 5).as("n_tokens"))
+        .as[graft.operators.Packing.Item]
+      graft.operators.Packing.run(items, budget = 32L)(s)
+        .toDF()
+        .orderBy("group", "doc_id")
+    },
+    Some("""WITH i AS (SELECT source AS grp, doc_id,
+               CAST(3 + length(source) % 5 AS BIGINT) AS n_tokens FROM documents),
+      r AS (SELECT grp, doc_id, n_tokens,
+              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) - 1 AS rk,
+              32 // n_tokens AS k
+            FROM i)
+      SELECT grp AS "group", rk // k AS bin_idx, doc_id, n_tokens,
+             (rk % k) * n_tokens AS offset
+      FROM r ORDER BY "group", doc_id"""))
+
   /** Test-set decontamination: flag training-split documents sharing any
     * word 5-gram with a held-out test-split document (the n-gram-overlap
     * decontamination every benchmark-honest LLM corpus runs). The test
@@ -220,5 +250,6 @@ object CurationQueries {
 
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ,
-    packSequencesQ, decontaminateQ, sampleWeightedQ, normalizeUnicodeQ)
+    packSequencesQ, packSequencesOracleQ, decontaminateQ, sampleWeightedQ,
+    normalizeUnicodeQ)
 }
