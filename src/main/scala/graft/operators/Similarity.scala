@@ -84,6 +84,31 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Oracle-replayable hyperplanes: component (t,j,i) is the high 60 bits
+    * of md5("salt:t:j:i") as a long — EXACT in SQL text, so an external
+    * engine regenerates the planes bit-for-bit and replays the buckets.
+    * [[md5Planes]] maps h → u = h/2^60·2−1 ∈ [−1,1): long→double
+    * conversion and the division by a power of two are IEEE-identical in
+    * any engine. Uniform symmetric components are a valid sign-random-
+    * projection family (the recall floor is certified empirically by
+    * `ann_recall` either way). */
+  def md5PlaneInts(nPlanes: Int, nTables: Int, dim: Int,
+                   salt: String = "graft-lsh"): Array[Array[Array[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nTables, nPlanes, dim) { (t, j, i) =>
+      val hex = md.digest(s"$salt:$t:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+  }
+
+  /** [[md5PlaneInts]] scaled to doubles (2^60 is a power of two — the
+    * division is exact-rounding-identical everywhere). */
+  def md5Planes(nPlanes: Int, nTables: Int, dim: Int,
+                salt: String = "graft-lsh"): Array[Array[Array[Double]]] =
+    md5PlaneInts(nPlanes, nTables, dim, salt).map(_.map(_.map(h =>
+      h.toDouble / (1L << 60).toDouble * 2.0 - 1.0)))
+
   /** LSH bucket id: sign bit per hyperplane packed into a long. */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
@@ -98,19 +123,22 @@ object Similarity {
     * table loses when one hyperplane slices through a cluster. Native
     * fused expression when available; declarative per-table dots
     * otherwise (identical fold math → identical buckets). */
-  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int, dim: Int): Column = {
-    require(dim > 0, "embedding dimension must be positive")
-    val planeMatrix = Array.tabulate(nTables)(t =>
-      hyperplanes(nPlanes, dim, seed = 42L + t).map(_.clone()).toArray)
+  private def tableBuckets(vec: Column, planeMatrix: Array[Array[Array[Double]]]): Column = {
     val native =
       try Some(org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.HyperplaneBuckets(
           org.apache.spark.sql.graft.ColumnBridge.expression(vec), planeMatrix)))
       catch { case _: Throwable => None }
     native.getOrElse(
-      array((0 until nTables).map { t =>
+      array(planeMatrix.indices.map { t =>
         hyperplaneBucket(vec, planeMatrix(t).toSeq)
       }: _*))
+  }
+
+  private def seededPlaneMatrix(nPlanes: Int, nTables: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(dim > 0, "embedding dimension must be positive")
+    Array.tabulate(nTables)(t =>
+      hyperplanes(nPlanes, dim, seed = 42L + t).map(_.clone()).toArray)
   }
 
   /** Approximate top-k: candidates restricted to rows sharing any LSH
@@ -123,13 +151,22 @@ object Similarity {
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
               dim: Int, nTables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame =
+    lshTopKPlanes(candidates, queries, k, seededPlaneMatrix(nPlanes, nTables, dim),
+      idCol, vecCol, qidCol, qvecCol)
+
+  /** [[lshTopK]] with an explicit plane matrix — pass [[md5Planes]] for a
+    * fully oracle-replayable bucket function. */
+  def lshTopKPlanes(candidates: DataFrame, queries: DataFrame, k: Int,
+                    planeMatrix: Array[Array[Array[Double]]],
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val cb = candidates
       .select(col(idCol), col(vecCol),
-        posexplode(tableBuckets(col(vecCol), nPlanes, nTables, dim)).as(Seq("table_idx", "bucket")))
+        posexplode(tableBuckets(col(vecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
     val qb = queries
       .select(col(qidCol), col(qvecCol),
-        posexplode(tableBuckets(col(qvecCol), nPlanes, nTables, dim)).as(Seq("table_idx", "bucket")))
+        posexplode(tableBuckets(col(qvecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
     val candidatePairs = cb.join(broadcast(qb), Seq("table_idx", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))

@@ -506,14 +506,22 @@ object RelationalQueries {
       ORDER BY key"""))
 
   /** HyperLogLog approximate distinct counting (engine-specific sketch →
-    * rows-only; accuracy bound asserted in spec). The exact count lives in
-    * [[distinctUsersExact]] under the full DuckDB oracle gate, so only the
-    * HLL estimate itself stays rows-only. */
+    * rows-only). SELF-CERTIFYING: each group row is emitted ONLY IF the
+    * sketch lands within 5% of the exact count computed beside it, so the
+    * rows-only smoke check (5 rows, one per event_type) certifies the
+    * accuracy bound — a missing row IS an HLL regression. The exact count
+    * additionally lives in [[distinctUsersExact]] under the full DuckDB
+    * oracle gate. */
   val approxDistinct = QueryDef("approx_distinct",
     (s, dir) => table(s, dir, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
+        // rsd 0.01: the default 0.05 sketch breaches the 5% gate at the
+        // bench scale's ~2k distinct users/group; a 1%-rsd sketch holds
+        // it with margin at every test scale for a few KB per group
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .filter(abs(col("approx_users") - col("exact_users")) <=
+        col("exact_users").cast("double") * 0.05)
       .orderBy("event_type"),
     None)
 
@@ -536,18 +544,32 @@ object RelationalQueries {
     * measured 38× superlinear at the 10× stress before it was dropped
     * from this query). */
   val approxQuantiles = QueryDef("approx_quantiles",
-    (s, dir) => table(s, dir, "events")
-      .groupBy("event_type")
-      .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"))
+    (s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
       // scalar rows (event_type, quantile_idx, value) — an array<double>
-      // column is unhashable for the driver's rows-only checker, which
-      // turned this into an unverified `err` row; exploded scalars give a
-      // real row-count check (the GK sketch itself stays engine-specific).
-      .select(col("event_type"),
-        posexplode(col("approx_q")).as(Seq("quantile_idx", "value")))
-      .withColumn("quantile_idx", col("quantile_idx").cast("long"))
-      .orderBy("event_type", "quantile_idx"),
+      // column is unhashable for the driver's rows-only checker; exploded
+      // scalars give a real row-count check.
+      val q = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"))
+        .select(col("event_type"),
+          posexplode(col("approx_q")).as(Seq("quantile_idx", "qv")))
+        .withColumn("quantile_idx", col("quantile_idx").cast("long"))
+      // SELF-CERTIFYING: re-rank each sketch output against the corpus
+      // (one broadcast join + one agg — 15 tiny rows against the scan)
+      // and emit the row ONLY IF its realized rank is within 3% of the
+      // target quantile. 15 rows present ⟺ every estimate holds the
+      // rank bound; the GK sketch itself stays engine-specific.
+      val target = element_at(array(lit(0.5), lit(0.9), lit(0.99)),
+        (col("quantile_idx") + 1).cast("int"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .groupBy("event_type", "quantile_idx", "qv")
+        .agg((sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("rank_frac"))
+        .filter(abs(col("rank_frac") - target) <= 0.03)
+        .select(col("event_type"), col("quantile_idx"), col("qv").as("value"))
+        .orderBy("event_type", "quantile_idx")
+    },
     None)
 
   /** Two-phase salted aggregation (operators/Skew): result is identical

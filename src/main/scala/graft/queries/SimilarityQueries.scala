@@ -69,16 +69,60 @@ object SimilarityQueries {
     emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** LSH-bucketed approximate top-5 (random hyperplanes; engine-seeded →
-    * rows-only check + recall spec + `ann_recall` floor). */
+  /** The md5-derived replayable hyperplanes shared by `ann_lsh_topk`,
+    * `ann_recall`, and the generated oracle SQL. */
+  private lazy val lshPlaneInts = Similarity.md5PlaneInts(lshPlanes, lshTables, 64)
+  private lazy val lshPlaneMatrix = Similarity.md5Planes(lshPlanes, lshTables, 64)
+
+  /** DuckDB replay of the full LSH ANN: regenerate the planes from their
+    * exact 60-bit integers (u = h/2^60·2−1 — IEEE-identical in any
+    * engine), left-fold the sign dots, pack buckets, candidate-join on
+    * (table, bucket), then exact cosine + rank over the candidate set —
+    * the same math [[Similarity.lshTopKPlanes]] executes. */
+  private def lshOracleSql: String = {
+    val planeRows = (for (t <- 0 until lshTables; j <- 0 until lshPlanes) yield
+      s"SELECT $t AS t, $j AS j, [${lshPlaneInts(t)(j).mkString(",")}] AS hs")
+      .mkString(" UNION ALL ")
+    s"""WITH pl AS ($planeRows),
+      pu AS (SELECT t, j,
+               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM pl),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      dots AS (SELECT d.vec_id, pu.t, pu.j,
+          ${dotSql("d.embedding", "pu.u")} AS dp
+        FROM d, pu),
+      bk AS (SELECT vec_id, t,
+               SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS bucket
+             FROM dots GROUP BY vec_id, t),
+      qb AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE vec_id % 50 = 0),
+      cand AS (SELECT DISTINCT q.qid, c.vec_id
+               FROM qb q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+               WHERE c.vec_id <> q.qid),
+      pairs AS (SELECT cand.qid, cand.vec_id,
+          CASE WHEN a.nrm > 0 AND b.nrm > 0
+               THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+               ELSE 0.0 END AS sim
+        FROM cand
+        JOIN d b ON b.vec_id = cand.vec_id
+        JOIN d a ON a.vec_id = cand.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM pairs)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+  }
+
+  /** LSH-bucketed approximate top-5 — md5-derived replayable hyperplanes,
+    * so the ENTIRE approximate pipeline (plane generation → sign buckets →
+    * candidate join → exact re-rank) is hash-checked by the oracle; the
+    * `ann_recall` floor certifies its quality separately. */
   val annLshTopK = QueryDef("ann_lsh_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      Similarity.lshTopK(emb, annQueries(emb), k = annK,
-          nPlanes = lshPlanes, dim = 64, nTables = lshTables)
+      Similarity.lshTopKPlanes(emb, annQueries(emb), k = annK, lshPlaneMatrix)
         .orderBy("qid", "rank")
     },
-    None)
+    Some(lshOracleSql))
 
   /** IVF coarse-quantized approximate top-5 (k-means inverted lists,
     * engine-trained centroids → rows-only check + recall spec +
@@ -118,8 +162,7 @@ object SimilarityQueries {
             round(col("hits").cast("double") / col("total").cast("double"), 4)
               .as("recall"))
       }
-      val lsh = Similarity.lshTopK(emb, queries, k,
-        nPlanes = lshPlanes, dim = 64, nTables = lshTables)
+      val lsh = Similarity.lshTopKPlanes(emb, queries, k, lshPlaneMatrix)
       val ivf = graft.operators.Ivf.topK(
         graft.operators.Ivf.build(emb, nLists = ivfLists), queries, k, nProbe = ivfProbe)
       recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
