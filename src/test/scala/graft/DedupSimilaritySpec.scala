@@ -126,6 +126,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
+  test("md5PlaneInts matches the engine md5 recipe (LSH oracle replay contract)") {
+    // The generated DuckDB oracle regenerates plane component (t,j,i) as
+    // CAST(('0x' || substring(md5('graft-lsh:t:j:i'),1,15)) AS BIGINT);
+    // the JVM-side generator must produce the identical integer.
+    val ints = Similarity.md5PlaneInts(2, 2, 3)
+    for (t <- 0 until 2; j <- 0 until 2; i <- 0 until 3) {
+      val viaSql = spark.sql(
+        s"SELECT conv(substring(md5('graft-lsh:$t:$j:$i'), 1, 15), 16, 10)")
+        .first().getString(0).toLong
+      assert(viaSql == ints(t)(j)(i), s"plane int ($t,$j,$i) diverges")
+    }
+  }
+
   test("registered ann_recall query certifies recall >= 0.9 for BOTH methods") {
     // The query filters on recall >= 0.9 before emitting, so two rows ⟺
     // both headline ANN queries hold the floor on the real embeddings
