@@ -69,16 +69,18 @@ object Dedup {
 
   /** LSH banding: (id, band_idx, band_hash) rows — join key for candidate
     * generation. `bands * rowsPerBand` must equal the signature length.
-    * `replayable=true` hashes each band as md5 of the comma-joined slice
-    * (any engine recomputes it); default is engine xxhash64 (faster,
-    * engine-private). Either way the hash only NAMES the bucket — equal
-    * slices collide identically, so the candidate set is the same. */
+    * `replayable=true` hashes each band as the high 60 bits of md5 of the
+    * comma-joined slice (any engine recomputes it); default is engine
+    * xxhash64. Both modes join on an 8-byte LONG key — the shuffle the
+    * whole operator is designed around never ships a string bucket name.
+    * Either way the hash only NAMES the bucket — equal slices collide
+    * identically, so the candidate set is the same. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       val bandSlice = slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
-      val h = if (replayable) md5(array_join(bandSlice.cast("array<string>"), ","))
-              else xxhash64(bandSlice).cast("string")
+      val h = if (replayable) md5Hash60(array_join(bandSlice.cast("array<string>"), ","))
+              else xxhash64(bandSlice)
       struct(lit(b).as("band_idx"), h.as("band_hash"))
     }: _*)
     df.select(col(idCol), col(sigCol), explode(bandStructs).as("band"))
@@ -113,8 +115,10 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** 56 bits from md5 hex chars 17-30 — independent of [[md5Hash60]]'s
-    * bits, sized so `h1 + j*h2` stays under 2^62 for j <= 63: overflow-free
-    * under ANSI arithmetic and in engines that fault on wrap. */
+    * bits, sized so `h1 + j*h2` < 2^60 + j·2^56 stays under 2^62 for
+    * j ≤ 48 and under 2^63 (signed-64 overflow-free, ANSI-safe) for all
+    * j ≤ 63 — callers raising k past 49 keep correctness but lose the
+    * 2^62 headroom. */
   def md5Hash56(c: Column): Column =
     conv(substring(md5(c), 17, 14), 16, 10).cast("long")
 

@@ -146,10 +146,15 @@ object Ivf {
     // Size the sample fraction from plan statistics instead of an exact
     // count() — at corpus scale the count is a full extra pass over the
     // vectors. rowCount when CBO has it; else file bytes / schema default
-    // row size. The estimate only steers the fraction: an underestimate
-    // overshoots the cap by at most the parquet compression ratio (the
-    // collect stays driver-small, truncated to cap below); an
-    // overestimate undershoots, caught by the floor check.
+    // row size. The estimate only STEERS the fraction — it is never
+    // trusted for boundedness or sufficiency:
+    //  - every collect below is capped by limit(cap) pushed into the
+    //    scan, so a low estimate can never collect the whole corpus;
+    //  - schema default sizes undercount array columns (Spark assumes
+    //    one element per array), inflating `est` ~dim× for embedding
+    //    rows and starving the fraction — so any realized sample under
+    //    cap/2 triggers ONE bounded limit(cap) re-read (first rows: a
+    //    fine quantizer sample, and the refill never scans past cap).
     val stats = vectors.queryExecution.optimizedPlan.stats
     val defaultRow = math.max(1, vectors.schema.map(_.dataType.defaultSize).sum)
     val est = stats.rowCount.map(_.toLong)
@@ -158,11 +163,9 @@ object Ivf {
       if (est <= cap) vectors
       // oversample so the realized sample rarely undershoots cap
       else vectors.sample(withReplacement = false, math.min(1.0, 1.5 * cap / est), seed)
-    var points = sampled.select(col(vecCol)).as[Seq[Float]].collect()
-      .map(_.toArray.map(_.toDouble)).take(cap.toInt)
-    if (points.length < 2 * nLists)
-      // stats overestimated rows and the fraction starved the sample —
-      // rare; one bounded re-read (limit pushes into the scan) fixes it.
+    var points = sampled.select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
+      .collect().map(_.toArray.map(_.toDouble))
+    if (points.length < cap / 2)
       points = vectors.select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
         .collect().map(_.toArray.map(_.toDouble))
     val centers = lloyd(points, nLists, seed, maxIter)

@@ -79,10 +79,12 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
 
   /** Test-set n-gram decontamination: drop any non-test document sharing
     * a word `deconNgram`-gram with a document destined for the test split
-    * (bucket ≥ 90 under the same salt the split stage will use). The test
-    * side — in production a few-MB benchmark suite — broadcasts; the
-    * corpus side streams through the map-side gram join, so the pass is
-    * one broadcast hash join + a distinct + an anti-join at any scale.
+    * (bucket ≥ 90 under the same salt the split stage will use). In
+    * production the held-out side is a few-MB benchmark suite and the
+    * gram join broadcasts; HERE the test side is the salted 10% split —
+    * corpus-proportional — so the join strategy is left to Catalyst/AQE:
+    * it broadcasts while the gram set fits and degrades to a shuffle
+    * hash join beyond that, instead of aborting at the broadcast limit.
     * localCheckpoint once: the gram join reads the deduped corpus on
     * three branches (test grams, candidate grams, the kept rows); without
     * a materialization the scrub→gate→dedup subtree would execute 3×. */
@@ -93,7 +95,7 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
       explode(wordShingles(col("clean"), deconNgram)).as("gram"))
     val testGrams = grams.filter(col("_bucket") >= 90).select("gram").distinct()
     val contaminated = grams.filter(col("_bucket") < 90)
-      .join(broadcast(testGrams), "gram")
+      .join(testGrams, "gram")
       .select("doc_id").distinct()
     base.join(contaminated, Seq("doc_id"), "left_anti")
   }
@@ -128,9 +130,14 @@ class CorpusCuration(minQuality: Double = 0.3, maxRepetition: Double = 0.6,
         least(lit(chunkTokens.toLong), col("n_tok") - col("chunk_idx") * chunkTokens)
           .as("chunk_tokens"))
 
-  /** Declarative prefix: everything except packing. */
+  /** Declarative prefix: everything except packing. The decontaminated
+    * frame is checkpointed before mix-sampling: sampleWeighted reads its
+    * input twice (per-source counts + the kept branch), and without the
+    * materialization the corpus-wide gram join + anti-join would execute
+    * twice per run. */
   def curate(docs: DataFrame): DataFrame =
-    splitAndChunk(sampleWeighted(decontaminate(dedupExactKeep(gates(scrub(docs))))))
+    splitAndChunk(sampleWeighted(
+      decontaminate(dedupExactKeep(gates(scrub(docs)))).localCheckpoint()))
 
   /** Full run: curate, then pack chunks into `packBudget`-token bins per
     * (split, source) shard — the training-sequence layout. */

@@ -55,16 +55,22 @@ object SimilarityQueries {
       SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
 
   /** Shared ANN tuning, recall-calibrated against the embeddings table's
-    * structure (10 Gaussian clusters): the SAME parameters drive the
-    * headline queries and the `ann_recall` evidence row, so the certified
-    * recall is the recall of the registered queries, not of a friendlier
-    * configuration. dim = 64: the embeddings-table dimension; the kernels
-    * reject mismatched vectors rather than mis-bucketing. */
+    * structure: the SAME parameters drive the headline queries and the
+    * `ann_recall` evidence row, so the certified recall is the recall of
+    * the registered queries, not of a friendlier configuration. The test
+    * embeddings are 10 heavily-overlapping Gaussian clusters — a measured
+    * recall ≈ probed-fraction relationship (grid-swept nLists ∈ {8..32} ×
+    * nProbe) — so holding the 0.9 floor honestly requires probing
+    * 12/16 of the lists here; on a real corpus with separable cluster
+    * structure the same index sustains the floor at nProbe/nLists ≪ 1,
+    * which is the regime the operator is built for. dim = 64: the
+    * embeddings-table dimension; the kernels reject mismatched vectors
+    * rather than mis-bucketing. */
   private val annK = 5
   private val lshPlanes = 3
   private val lshTables = 12
   private val ivfLists = 16
-  private val ivfProbe = 11
+  private val ivfProbe = 12
   private def annQueries(emb: org.apache.spark.sql.DataFrame) =
     emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -157,6 +163,9 @@ object SimilarityQueries {
           .join(truth, Seq("qid", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
           .crossJoin(broadcast(total))
+          // gate on the UNROUNDED ratio (rounding first would let
+          // 0.89996 certify as 0.9); round only the reported column
+          .filter(col("hits").cast("double") / col("total").cast("double") >= 0.9)
           .select(lit(method).as("method"), lit(k.toLong).as("k"),
             col("hits"), col("total"),
             round(col("hits").cast("double") / col("total").cast("double"), 4)
@@ -166,7 +175,6 @@ object SimilarityQueries {
       val ivf = graft.operators.Ivf.topK(
         graft.operators.Ivf.build(emb, nLists = ivfLists), queries, k, nProbe = ivfProbe)
       recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
-        .filter(col("recall") >= 0.9)
         .orderBy("method")
     },
     None)

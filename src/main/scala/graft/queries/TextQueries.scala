@@ -132,7 +132,9 @@ object TextQueries {
     val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sig"
+      // same 60-bit md5 bucket key as Dedup.lshBands(replayable = true):
+      // equal slices collide identically, and the join key stays a long
+      s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
     val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
