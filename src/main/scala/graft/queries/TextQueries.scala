@@ -164,6 +164,85 @@ object TextQueries {
       WHERE true_jaccard >= 0.3 ORDER BY id_a, id_b"""
   }
 
+  /** Exact substring (span) deduplication — the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator: any 8-token
+    * window occurring ≥ 2 times in the corpus is a duplicate span, and
+    * every token covered by a duplicate span is removed from the document
+    * (first occurrence removed too, per the paper's exact-substring
+    * variant). The corpus is synthetic word soup with no natural repeats,
+    * so both sides plant the same 8-token span into every 7th doc — the
+    * established synthesized-evidence pattern (`pii_scrub`).
+    *
+    * Scale shape: window explode ≈ n_tokens rows/doc (the decontaminate
+    * shape), ONE count shuffle with map-side partials for the duplicate-
+    * gram set, a join back (AQE picks broadcast vs shuffle — the dup set
+    * is small in a healthy corpus and huge in a crawl, both must work),
+    * a per-doc covered-position aggregate, and one final join against
+    * the checkpointed base. Never O(n²); reconstruction is a narrow map. */
+  val dedupSpans = QueryDef("dedup_spans",
+    (s, dir) => {
+      val W = 8
+      val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+      val base = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit(span + " "), col("text")))
+            .otherwise(col("text")).as("t"))
+        .withColumn("toks", tokens(col("t")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .localCheckpoint() // read by the window explode and the final join
+      val wins = base.filter(col("n_tok") >= W)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1L), col("n_tok") - (W - 1)),
+            i => concat_ws(" ", (0 until W).map(o =>
+              element_at(col("toks"), (i + o).cast("int"))): _*)))
+          .as(Seq("pos0", "gram")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("start"), col("gram"))
+      val dupGrams = wins.groupBy("gram").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("gram")
+      val covered = wins.join(dupGrams, "gram")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (W - 1))).as("pos"))
+        .distinct()
+      val coveredAgg = covered.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_tok"), collect_set("pos").as("cov"))
+      val cov = coalesce(col("cov"), array().cast("array<bigint>"))
+      base.join(coveredAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"),
+          when(col("n_tok") > 0,
+            concat_ws(" ", transform(
+              filter(sequence(lit(1L), col("n_tok")), i => !array_contains(cov, i)),
+              i => element_at(col("toks"), i.cast("int")))))
+            .otherwise(lit("")).as("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+               THEN 'alpha bravo charlie delta echo foxtrot golf hotel ' || text
+               ELSE text END AS t
+        FROM documents),
+      tk AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS toks FROM p),
+      n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM tk),
+      w AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+              array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+            FROM n, UNNEST(generate_series(1, n_tok - 7)) AS u(i)
+            WHERE n_tok >= 8),
+      dg AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+      cv AS (SELECT DISTINCT w.doc_id, UNNEST(generate_series(w.start, w.start + 7)) AS pos
+             FROM w JOIN dg USING (gram)),
+      ca AS (SELECT doc_id, COUNT(*) AS n_dup_tok, list(pos) AS cov FROM cv GROUP BY doc_id)
+      SELECT n.doc_id, n.n_tok,
+        COALESCE(ca.n_dup_tok, 0) AS n_dup_tok,
+        CASE WHEN n.n_tok > 0
+             -- array_to_string of an EMPTY list is NULL in DuckDB (a doc
+             -- whose every token is covered); Spark's concat_ws gives ''
+             THEN COALESCE(array_to_string([n.toks[CAST(i AS INT)]
+                                   for i in generate_series(1, n.n_tok)
+                                   if NOT list_contains(COALESCE(ca.cov, []), i)], ' '), '')
+             ELSE '' END AS clean
+      FROM n LEFT JOIN ca USING (doc_id)
+      ORDER BY n.doc_id"""))
+
   /** MinHash+LSH near-dup candidates, verified with true shingle Jaccard.
     * md5-keyed replayable signatures → full hash-oracle evidence; the
     * xxhash64 native kernel remains the engine-private fast path
@@ -366,6 +445,6 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, vocabTopK,
-    dedupComponents, lmScoreQ)
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
+    vocabTopK, dedupComponents, lmScoreQ)
 }

@@ -126,6 +126,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
+  test("dedup_spans removes every occurrence of corpus-duplicate 8-grams") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val out = graft.SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_tok", "n_dup_tok", "clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, nDup, clean) =>
+      // token accounting: clean holds exactly the uncovered tokens
+      val nClean = clean.split(" ").count(_.nonEmpty)
+      assert(nClean == nTok - nDup, s"doc $id: $nClean != $nTok - $nDup")
+      // the planted span is a corpus-wide duplicate → fully scrubbed
+      if (id % 7 == 0) {
+        assert(nDup >= 8, s"doc $id: planted span not detected")
+        assert(!clean.contains(span), s"doc $id: planted span survived")
+      }
+    }
+    // non-vacuous: some docs lose tokens, most docs keep some text
+    assert(out.exists(_._3 > 0) && out.exists(r => r._4.nonEmpty))
+  }
+
   test("md5PlaneInts matches the engine md5 recipe (LSH oracle replay contract)") {
     // The generated DuckDB oracle regenerates plane component (t,j,i) as
     // CAST(('0x' || substring(md5('graft-lsh:t:j:i'),1,15)) AS BIGINT);
