@@ -223,6 +223,85 @@ object CurationQueries {
       SELECT doc_id, source, bucket FROM sel
       WHERE bucket * cnt < target * 10000 ORDER BY doc_id"""))
 
+  /** URL canonicalization + host-level dedup — the crawl-corpus pre-dedup
+    * step (CCNet/RefinedWeb shape): lowercase scheme+host, strip the
+    * fragment, strip utm_* tracking params, drop a trailing "?", collapse
+    * the default port, trim one trailing slash; then keep the min doc_id
+    * per canonical URL and count pages per host. URLs are synthesized
+    * deterministically on both sides (the corpus has no URL column):
+    * every 3rd doc gets tracking params, every 5th an uppercase host,
+    * every 4th a fragment — so each normalization rule fires. All narrow
+    * regex maps riding the scan + one hash agg; the per-host rollup is a
+    * second map-side-partial agg. */
+  val urlNormalizeQ = QueryDef("url_normalize",
+    (s, dir) => {
+      val raw = format_string(
+        "https://%s.example%s.com:443/Docs/page%s%s%s",
+        when(col("doc_id") % 5 === 0, lit("WWW")).otherwise(lit("www")),
+        (col("doc_id") % 20).cast("string"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+      // rule order matters: fragment -> non-leading &utm params -> leading
+      // ?utm param with a successor (promote it to "?") -> lone ?utm at
+      // end -> default port -> trailing slash. Java regex and RE2 share
+      // these constructs and the no-rescan replaceAll semantics, so the
+      // oracle replays the chain verbatim.
+      val canon =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(raw, "#.*$", ""),
+                  "&utm_[a-z]+=[^&#]*", ""),
+                "\\?utm_[a-z]+=[^&#]*&", "?"),
+              "\\?utm_[a-z]+=[^&#]*$", ""),
+            "^(https?://[^/]+):443(/|$)", "$1$2"),
+          "(.)/$", "$1")
+      val canonical = table(s, dir, "documents")
+        .select(col("doc_id"),
+          // lowercase ONLY scheme+host; path/query stay case-sensitive
+          concat(
+            lower(regexp_extract(canon, "^(https?://[^/]+)", 1)),
+            regexp_extract(canon, "^https?://[^/]+(.*)$", 1)).as("canonical"))
+      canonical.groupBy("canonical")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .withColumn("host", regexp_extract(col("canonical"), "^https?://([^/:]+)", 1))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"), sum(col("n_dups")).as("n_docs"),
+          min(col("keep_id")).as("first_doc"))
+        .orderBy("host")
+    },
+    Some("""WITH raw AS (SELECT doc_id,
+          printf('https://%s.example%d.com:443/Docs/page%d%s%s',
+            CASE WHEN doc_id % 5 = 0 THEN 'WWW' ELSE 'www' END,
+            doc_id % 20, doc_id % 50,
+            CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END,
+            CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        FROM documents),
+      c1 AS (SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(url, '#.*$', ''),
+                    '&utm_[a-z]+=[^&#]*', '', 'g'),
+                  '\?utm_[a-z]+=[^&#]*&', '?'),
+                '\?utm_[a-z]+=[^&#]*$', ''),
+              '^(https?://[^/]+):443(/|$)', '\1\2'),
+            '(.)/$', '\1') AS canon
+        FROM raw),
+      c2 AS (SELECT doc_id,
+          lower(regexp_extract(canon, '^(https?://[^/]+)', 1)) ||
+          regexp_extract(canon, '^https?://[^/]+(.*)$', 1) AS canonical
+        FROM c1),
+      kept AS (SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+               FROM c2 GROUP BY canonical)
+      SELECT regexp_extract(canonical, '^https?://([^/:]+)', 1) AS host,
+        COUNT(*) AS n_pages, CAST(SUM(n_dups) AS BIGINT) AS n_docs, MIN(keep_id) AS first_doc
+      FROM kept GROUP BY 1 ORDER BY host"""))
+
   /** Unicode NFC normalization over the corpus (native kernel; the
     * documents are ASCII, so both sides append the same decomposed
     * accent sequences to half the docs and the composed outputs must
@@ -251,5 +330,5 @@ object CurationQueries {
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ,
     packSequencesQ, packSequencesOracleQ, decontaminateQ, sampleWeightedQ,
-    normalizeUnicodeQ)
+    normalizeUnicodeQ, urlNormalizeQ)
 }
