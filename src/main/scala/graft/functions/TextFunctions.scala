@@ -160,6 +160,31 @@ object TextFunctions {
       graft.plans.NormalizeNfc(
         org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
+  /** URL canonicalization for crawl-corpus dedup: drop the fragment,
+    * strip utm_* tracking params (non-leading globally; a leading ?utm
+    * with a successor promotes it to "?"; a lone trailing ?utm drops),
+    * collapse the default :443 port, trim one trailing slash, lowercase
+    * ONLY scheme+host (path/query stay case-sensitive). Pure regex chain
+    * — Java regex and RE2 share the constructs and no-rescan replaceAll
+    * semantics, so a DuckDB oracle replays it verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(url, "#.*$", ""),
+                "&utm_[a-z]+=[^&#]*", ""),
+              "\\?utm_[a-z]+=[^&#]*&", "?"),
+            "\\?utm_[a-z]+=[^&#]*$", ""),
+          "^(https?://[^/]+):443(/|$)", "$1$2"),
+        "(.)/$", "$1")
+    concat(
+      lower(regexp_extract(canon, "^(https?://[^/]+)", 1)),
+      regexp_extract(canon, "^https?://[^/]+(.*)$", 1))
+  }
+
   /** Deterministic document fingerprint: position-weighted codepoint sum
     * (weight cycles 1..64). Order-sensitive — reordered text changes the
     * fingerprint — yet exactly reproducible in any engine. */

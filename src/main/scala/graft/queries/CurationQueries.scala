@@ -241,29 +241,8 @@ object CurationQueries {
         (col("doc_id") % 20).cast("string"), (col("doc_id") % 50).cast("string"),
         when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
         when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
-      // rule order matters: fragment -> non-leading &utm params -> leading
-      // ?utm param with a successor (promote it to "?") -> lone ?utm at
-      // end -> default port -> trailing slash. Java regex and RE2 share
-      // these constructs and the no-rescan replaceAll semantics, so the
-      // oracle replays the chain verbatim.
-      val canon =
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(raw, "#.*$", ""),
-                  "&utm_[a-z]+=[^&#]*", ""),
-                "\\?utm_[a-z]+=[^&#]*&", "?"),
-              "\\?utm_[a-z]+=[^&#]*$", ""),
-            "^(https?://[^/]+):443(/|$)", "$1$2"),
-          "(.)/$", "$1")
       val canonical = table(s, dir, "documents")
-        .select(col("doc_id"),
-          // lowercase ONLY scheme+host; path/query stay case-sensitive
-          concat(
-            lower(regexp_extract(canon, "^(https?://[^/]+)", 1)),
-            regexp_extract(canon, "^https?://[^/]+(.*)$", 1)).as("canonical"))
+        .select(col("doc_id"), canonicalizeUrl(raw).as("canonical"))
       canonical.groupBy("canonical")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .withColumn("host", regexp_extract(col("canonical"), "^https?://([^/:]+)", 1))

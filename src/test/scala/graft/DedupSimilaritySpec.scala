@@ -126,6 +126,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
+  test("canonicalizeUrl applies each normalization rule exactly") {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val cases = Seq(
+      // fragment stripped
+      ("https://a.com/p#frag", "https://a.com/p"),
+      // default port collapsed (with and without a path)
+      ("https://A.com:443/p", "https://a.com/p"),
+      ("https://a.com:443", "https://a.com"),
+      // non-default port kept
+      ("https://a.com:8443/p", "https://a.com:8443/p"),
+      // leading utm with successor: next param promoted to "?"
+      ("https://a.com/p?utm_source=x&q=1", "https://a.com/p?q=1"),
+      // lone utm params dropped entirely
+      ("https://a.com/p?utm_source=x&utm_campaign=y", "https://a.com/p"),
+      // non-leading utm removed, real params kept
+      ("https://a.com/p?q=1&utm_medium=z&r=2", "https://a.com/p?q=1&r=2"),
+      // trailing slash trimmed once; host lowercased, path case kept
+      ("https://WWW.A.com/Docs/", "https://www.a.com/Docs"),
+      // non-utm URLs untouched
+      ("http://a.com/p?q=1", "http://a.com/p?q=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(canonicalizeUrl(col("url"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"$in → $have, expected $want")
+    }
+  }
+
   test("dedup_spans removes every occurrence of corpus-duplicate 8-grams") {
     val span = "alpha bravo charlie delta echo foxtrot golf hotel"
     val out = graft.SparkEntry.queries("dedup_spans")(spark, "/root/testdata/sf0.001")
