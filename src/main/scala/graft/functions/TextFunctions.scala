@@ -165,8 +165,12 @@ object TextFunctions {
     * with a successor promotes it to "?"; a lone trailing ?utm drops),
     * collapse the default :443 port, trim one trailing slash, lowercase
     * ONLY scheme+host (path/query stay case-sensitive). Pure regex chain
-    * — Java regex and RE2 share the constructs and no-rescan replaceAll
-    * semantics, so a DuckDB oracle replays it verbatim. */
+    * — Spark's regexp_replace is always GLOBAL, so a replaying engine
+    * must pass its global flag on EVERY rule (DuckDB: 'g'), not just the
+    * ones expected to match twice. Known residual divergence: Java's '$'
+    * also matches before a final '\n' while RE2's does not, so a URL
+    * with a trailing newline can canonicalize differently — strip
+    * control characters upstream if the input may contain them. */
   def canonicalizeUrl(url: Column): Column = {
     val canon =
       regexp_replace(

@@ -83,7 +83,12 @@ object Dedup {
               else xxhash64(bandSlice)
       struct(lit(b).as("band_idx"), h.as("band_hash"))
     }: _*)
-    df.select(col(idCol), col(sigCol), explode(bandStructs).as("band"))
+    // NULL signatures (zero-shingle docs) generate no bands at all: the
+    // md5 path would null the band hash (dropped by the equi-join anyway)
+    // but xxhash64 hashes a null slice to the bare seed — every null-sig
+    // doc would share one bucket. Filter once here, before the explode.
+    df.filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol), explode(bandStructs).as("band"))
       .select(col(idCol), col(sigCol), col("band.band_idx"), col("band.band_hash"))
   }
 
@@ -134,15 +139,23 @@ object Dedup {
     * the band join shuffles. `_hs` is materialized as its own projection
     * so CollapseProject cannot inline the md5 into every one of the k
     * minima. Replayable: any engine recomputes `g_j` from
-    * `CAST(('0x' || substring(md5(t),...)) AS BIGINT)`. */
+    * `CAST(('0x' || substring(md5(t),...)) AS BIGINT)`.
+    *
+    * Empty/null shingle arrays get a NULL signature — matching the
+    * explode+GROUP BY formulation (and a replaying engine's UNNEST),
+    * which drops zero-shingle docs. Without the guard, array_min over an
+    * empty transform yields k NULLs, every such doc band-hashes the same
+    * empty slice, and they all collide into one spurious LSH bucket. A
+    * NULL sig falls out of [[lshCandidatePairs]] naturally: its md5 band
+    * hash is NULL and equi-joins drop NULL keys. */
   def withMinhashSignatureMd5(df: DataFrame, shingles: Column, k: Int,
                               sigName: String = "sig"): DataFrame = {
     val hs = transform(shingles, t =>
       struct(md5Hash60(t).as("h1"), md5Hash56(t).as("h2")))
     df.withColumn("_hs", hs)
-      .withColumn(sigName, array((0 until k).map(j =>
+      .withColumn(sigName, when(size(col("_hs")) > 0, array((0 until k).map(j =>
         array_min(transform(col("_hs"),
-          h => h.getField("h1") + lit(j.toLong) * h.getField("h2")))): _*))
+          h => h.getField("h1") + lit(j.toLong) * h.getField("h2")))): _*)))
       .drop("_hs")
   }
 

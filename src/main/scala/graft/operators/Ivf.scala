@@ -153,21 +153,31 @@ object Ivf {
     //  - schema default sizes undercount array columns (Spark assumes
     //    one element per array), inflating `est` ~dim× for embedding
     //    rows and starving the fraction — so any realized sample under
-    //    cap/2 triggers ONE bounded limit(cap) re-read (first rows: a
-    //    fine quantizer sample, and the refill never scans past cap).
+    //    cap/2 triggers ONE bounded hash-spread re-read (cap-row heap
+    //    per partition, never scans past one pass).
     val stats = vectors.queryExecution.optimizedPlan.stats
     val defaultRow = math.max(1, vectors.schema.map(_.dataType.defaultSize).sum)
     val est = stats.rowCount.map(_.toLong)
       .getOrElse((stats.sizeInBytes / defaultRow).toLong).max(1L)
-    val sampled =
-      if (est <= cap) vectors
+    // Bounded read that stays UNIFORM even when stats lie: order by a
+    // deterministic hash of the vector before the limit. Plans as
+    // TakeOrderedAndProject — one pass, a cap-row heap per partition,
+    // never a full sort — so if `est <= cap` underestimated a huge corpus
+    // (compressed parquet sizeInBytes, no CBO rowCount) the quantizer
+    // still trains on a hash-spread slice, not the first file's rows.
+    def hashSpreadRead(): Array[Array[Double]] =
+      vectors.select(col(vecCol))
+        .orderBy(xxhash64(col(vecCol)))
+        .limit(cap.toInt).as[Seq[Float]]
+        .collect().map(_.toArray.map(_.toDouble))
+    var points =
+      if (est <= cap) hashSpreadRead()
       // oversample so the realized sample rarely undershoots cap
       else vectors.sample(withReplacement = false, math.min(1.0, 1.5 * cap / est), seed)
-    var points = sampled.select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
-      .collect().map(_.toArray.map(_.toDouble))
-    if (points.length < cap / 2)
-      points = vectors.select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
+        .select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
         .collect().map(_.toArray.map(_.toDouble))
+    if (points.length < cap / 2)
+      points = hashSpreadRead()
     val centers = lloyd(points, nLists, seed, maxIter)
     val assigned = vectors.withColumn("list_id", nearestList(col(vecCol), centers))
     Index(centers, assigned)

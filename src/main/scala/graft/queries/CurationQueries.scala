@@ -264,12 +264,12 @@ object CurationQueries {
               regexp_replace(
                 regexp_replace(
                   regexp_replace(
-                    regexp_replace(url, '#.*$', ''),
+                    regexp_replace(url, '#.*$', '', 'g'),
                     '&utm_[a-z]+=[^&#]*', '', 'g'),
-                  '\?utm_[a-z]+=[^&#]*&', '?'),
-                '\?utm_[a-z]+=[^&#]*$', ''),
-              '^(https?://[^/]+):443(/|$)', '\1\2'),
-            '(.)/$', '\1') AS canon
+                  '\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+                '\?utm_[a-z]+=[^&#]*$', '', 'g'),
+              '^(https?://[^/]+):443(/|$)', '\1\2', 'g'),
+            '(.)/$', '\1', 'g') AS canon
         FROM raw),
       c2 AS (SELECT doc_id,
           lower(regexp_extract(canon, '^(https?://[^/]+)', 1)) ||

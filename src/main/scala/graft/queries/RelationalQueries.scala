@@ -505,15 +505,12 @@ object RelationalQueries {
       INTERSECT SELECT o_custkey FROM orders
       ORDER BY key"""))
 
-  /** HyperLogLog approximate distinct counting (engine-specific sketch →
-    * rows-only). SELF-CERTIFYING: each group row is emitted ONLY IF the
-    * sketch lands within 5% of the exact count computed beside it, so the
-    * rows-only smoke check (5 rows, one per event_type) certifies the
-    * accuracy bound — a missing row IS an HLL regression. The exact count
-    * additionally lives in [[distinctUsersExact]] under the full DuckDB
-    * oracle gate. */
-  val approxDistinct = QueryDef("approx_distinct",
-    (s, dir) => table(s, dir, "events")
+  /** Full HLL frame for [[approxDistinct]] and its spec: exact count,
+    * sketch estimate, and the 5%-accuracy verdict side by side. The
+    * verdict is a VALUE, not a filter — a sketch regression shows up as
+    * `within_bound = false`, never as a silently missing row. */
+  def approxDistinctFull(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
         // rsd 0.015: the default 0.05 sketch breaches the 5% gate at the
@@ -521,10 +518,25 @@ object RelationalQueries {
         // it with 3σ margin at every test scale at half the register cost
         // of rsd 0.01 (measured 2.1 s → ~1 s steady at sf0.1)
         approx_count_distinct(col("user_id"), 0.015).as("approx_users"))
-      .filter(abs(col("approx_users") - col("exact_users")) <=
-        col("exact_users").cast("double") * 0.05)
-      .orderBy("event_type"),
-    None)
+      .withColumn("within_bound",
+        abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05)
+      .orderBy("event_type")
+
+  /** HyperLogLog approximate distinct counting, under the FULL hash-oracle
+    * gate: the registered output is (group, exact count, bound verdict) —
+    * the sketch estimate itself is engine-specific and excluded, but the
+    * oracle pins `within_bound = TRUE` for every group alongside the
+    * exact count, so an HLL accuracy regression flips a value the driver
+    * hash-compares (red row), and a dropped group breaks the row count.
+    * Estimate values are additionally pinned in DedupSimilaritySpec via
+    * [[approxDistinctFull]]. */
+  val approxDistinct = QueryDef("approx_distinct",
+    (s, dir) => approxDistinctFull(s, dir)
+      .select(col("event_type"), col("exact_users"), col("within_bound")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        TRUE AS within_bound
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Oracle-checked exact companion to [[approxDistinct]]: same grouping,
     * exact distinct count — hash-green evidence for the distinct-count
@@ -537,41 +549,52 @@ object RelationalQueries {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  /** Approximate quantiles (Greenwald-Khanna sketch, mergeable across
-    * partitions — the percentile that scales; engine-specific → rows-only,
-    * rank-accuracy asserted in spec against exact percentiles computed
-    * THERE, at test scale: an exact `percentile` buffers every value per
-    * group, which is precisely the anti-scale shape the sketch replaces —
-    * measured 38× superlinear at the 10× stress before it was dropped
-    * from this query). */
+  /** Full GK-quantile frame for [[approxQuantiles]] and its spec: each
+    * sketch estimate re-ranked against the corpus (one broadcast join +
+    * one agg — 15 tiny rows against the scan), with the realized rank,
+    * the estimate, and the 3%-rank-error verdict as VALUES. An exact
+    * `percentile` buffers every value per group — precisely the
+    * anti-scale shape the sketch replaces; measured 38× superlinear at
+    * the 10× stress before it was dropped from this query. */
+  def approxQuantilesFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+    // scalar rows (event_type, quantile_idx, …) — an array<double> column
+    // is unhashable for the driver's checker; exploded scalars hash.
+    val q = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"))
+      .select(col("event_type"),
+        posexplode(col("approx_q")).as(Seq("quantile_idx", "qv")))
+      .withColumn("quantile_idx", col("quantile_idx").cast("long"))
+    val target = element_at(array(lit(0.5), lit(0.9), lit(0.99)),
+      (col("quantile_idx") + 1).cast("int"))
+    ev.join(broadcast(q), Seq("event_type"))
+      .groupBy("event_type", "quantile_idx", "qv")
+      .agg((sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("rank_frac"))
+      .withColumn("within_bound", abs(col("rank_frac") - target) <= 0.03)
+      .select(col("event_type"), col("quantile_idx"), col("qv").as("value"),
+        col("rank_frac"), col("within_bound"))
+      .orderBy("event_type", "quantile_idx")
+  }
+
+  /** Greenwald-Khanna approximate quantiles (mergeable sketch — the
+    * percentile that scales), under the FULL hash-oracle gate: the
+    * registered output is (group, quantile_idx, bound verdict). The GK
+    * estimate itself is engine-specific and excluded, but the oracle pins
+    * `within_bound = TRUE` for all 3 quantiles × every group, so a rank
+    * regression flips a hash-compared value (red row) and a dropped
+    * group/quantile breaks the row count. Estimate values and realized
+    * ranks are additionally pinned in DedupSimilaritySpec via
+    * [[approxQuantilesFull]]. */
   val approxQuantiles = QueryDef("approx_quantiles",
-    (s, dir) => {
-      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
-      // scalar rows (event_type, quantile_idx, value) — an array<double>
-      // column is unhashable for the driver's rows-only checker; exploded
-      // scalars give a real row-count check.
-      val q = ev.groupBy("event_type")
-        .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"))
-        .select(col("event_type"),
-          posexplode(col("approx_q")).as(Seq("quantile_idx", "qv")))
-        .withColumn("quantile_idx", col("quantile_idx").cast("long"))
-      // SELF-CERTIFYING: re-rank each sketch output against the corpus
-      // (one broadcast join + one agg — 15 tiny rows against the scan)
-      // and emit the row ONLY IF its realized rank is within 3% of the
-      // target quantile. 15 rows present ⟺ every estimate holds the
-      // rank bound; the GK sketch itself stays engine-specific.
-      val target = element_at(array(lit(0.5), lit(0.9), lit(0.99)),
-        (col("quantile_idx") + 1).cast("int"))
-      ev.join(broadcast(q), Seq("event_type"))
-        .groupBy("event_type", "quantile_idx", "qv")
-        .agg((sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double")).as("rank_frac"))
-        .filter(abs(col("rank_frac") - target) <= 0.03)
-        .select(col("event_type"), col("quantile_idx"), col("qv").as("value"))
-        .orderBy("event_type", "quantile_idx")
-    },
-    None)
+    (s, dir) => approxQuantilesFull(s, dir)
+      .select(col("event_type"), col("quantile_idx"), col("within_bound")),
+    Some("""SELECT t.event_type, CAST(q.quantile_idx AS BIGINT) AS quantile_idx,
+        TRUE AS within_bound
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS quantile_idx) q
+      ORDER BY event_type, quantile_idx"""))
 
   /** Two-phase salted aggregation (operators/Skew): result is identical
     * to the direct groupBy — decimal sums are order-independent — so the

@@ -38,6 +38,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 3L)))                // unrelated doc not a candidate
   }
 
+  test("empty shingle arrays get a NULL md5 signature and never form LSH pairs") {
+    // three zero-shingle docs + two real dups: without the guard the empty
+    // docs collide into one band bucket (md5('') or the bare xxhash seed)
+    // and emit spurious pairs; with it they drop, matching the oracle's
+    // explode+GROUP BY semantics.
+    val docs = Seq(
+      (0L, Seq("a b", "b c")), (1L, Seq("a b", "b c")),
+      (10L, Seq.empty[String]), (11L, Seq.empty[String]), (12L, Seq.empty[String])
+    ).toDF("doc_id", "sh")
+    val sigs = Dedup.withMinhashSignatureMd5(docs, col("sh"), 8)
+    val nullSigs = sigs.filter(col("sig").isNull)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nullSigs == Set(10L, 11L, 12L))
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"spurious empty-doc pairs: $pairs")
+  }
+
   test("native minhash kernel is bit-compatible with the declarative fallback") {
     val sh = corpus.select(col("doc_id"),
       TextFunctions.wordShingles(col("text"), 2).as("sh"))
@@ -265,12 +283,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within 5% of exact on events") {
-    val rows = SparkEntry.queries("approx_distinct")(spark, "/root/testdata/sf0.001")
-      .as[(String, Long, Long)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (_, exact, approx) =>
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.RelationalQueries.approxDistinctFull(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    // one row per event_type, NONE dropped: a sketch regression must show
+    // as within_bound=false, never as a missing group
+    val nGroups = graft.queries.Tables.table(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(rows.length.toLong == nGroups && nGroups == 5L,
+      s"expected $nGroups group rows, got ${rows.length}")
+    rows.foreach { case (tpe, exact, approx, within) =>
       assert(math.abs(approx - exact).toDouble / exact <= 0.05,
-        s"approx $approx vs exact $exact drifts > 5%")
+        s"$tpe: approx $approx vs exact $exact drifts > 5%")
+      assert(within, s"$tpe: within_bound verdict disagrees with the data")
     }
   }
 
@@ -306,19 +331,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // not value space: the fraction of values <= the sketch's answer must
     // sit within 3% of the target quantile.
     val sf = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("approx_quantiles")(spark, sf)
-      .as[(String, Long, Double)].collect()
-    assert(rows.nonEmpty)
+    val rows = graft.queries.RelationalQueries.approxQuantilesFull(spark, sf)
+      .as[(String, Long, Double, Double, Boolean)].collect()
     val values = graft.queries.Tables.table(spark, sf, "events")
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    // 3 quantiles × every group, NONE dropped: a rank regression must show
+    // as within_bound=false, never as a missing row
+    assert(rows.length == values.size * 3 && rows.length == 15,
+      s"expected ${values.size * 3} rows, got ${rows.length}")
     val targets = Seq(0.5, 0.9, 0.99)
-    rows.foreach { case (tpe, idx, a) =>
+    rows.foreach { case (tpe, idx, a, rankFrac, within) =>
       val vs = values(tpe)
       val q = targets(idx.toInt)
       val rank = vs.count(_ <= a).toDouble / vs.length
       assert(math.abs(rank - q) <= 0.03 + 1.0 / vs.length,
         s"$tpe q=$q: sketch answer $a has true rank $rank")
+      assert(math.abs(rankFrac - rank) <= 1e-9 && within,
+        s"$tpe q=$q: emitted rank_frac $rankFrac / verdict $within disagree with data rank $rank")
     }
   }
 
