@@ -281,6 +281,35 @@ object CurationQueries {
         COUNT(*) AS n_pages, CAST(SUM(n_dups) AS BIGINT) AS n_docs, MIN(keep_id) AS first_doc
       FROM kept GROUP BY 1 ORDER BY host"""))
 
+  /** Deterministic fixed-size stratified sample: the n docs with the
+    * smallest salted md5 per stratum (source). The hash IS the random
+    * draw — rerun-stable, engine-exact (hex-string compare), and
+    * decorrelated from any other salted decision — so this replaces a
+    * reservoir sample wherever reproducibility matters (eval-set
+    * carving, per-domain inspection samples). Scale: one shuffle on
+    * source; Spark's InferWindowGroupLimit caps the window's shuffle at
+    * n rows per stratum per map partition, so the exchange carries
+    * ~n×strata×partitions rows, never the corpus. */
+  val sampleStratifiedQ = QueryDef("sample_stratified",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("graft-strat:"), col("doc_id").cast("string"))).as("h"))
+      val w = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+      docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= 10)
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    },
+    Some("""WITH h AS (SELECT doc_id, source,
+          md5('graft-strat:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      r AS (SELECT source, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS sample_rank
+        FROM h)
+      SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+      FROM r WHERE sample_rank <= 10 ORDER BY source, sample_rank"""))
+
   /** Unicode NFC normalization over the corpus (native kernel; the
     * documents are ASCII, so both sides append the same decomposed
     * accent sequences to half the docs and the composed outputs must
@@ -309,5 +338,5 @@ object CurationQueries {
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ,
     packSequencesQ, packSequencesOracleQ, decontaminateQ, sampleWeightedQ,
-    normalizeUnicodeQ, urlNormalizeQ)
+    sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ)
 }

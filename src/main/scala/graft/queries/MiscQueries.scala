@@ -139,6 +139,65 @@ object MiscQueries {
       FROM d ORDER BY zkey, event_id"""
     })
 
+  /** Bloom-filter semi-join reduction ([[graft.operators.BloomPrune]]):
+    * a 4096-bit md5-derived Bloom over the filtered-customer keys prunes
+    * the orders scan BEFORE any join work, then the exact semi-join runs
+    * on the survivors — identical result to the plain semi-join, proven
+    * by the oracle, which replays the bit positions and therefore the
+    * CANDIDATE set too, false positives included (n_candidates ≥
+    * n_matched is the measured pruning precision). At 100 TB the bloom
+    * is the manual form of runtime-filter pushdown: a few KB broadcast
+    * deletes the non-matching bulk of the big-side shuffle at the scan. */
+  val joinBloomPrune = QueryDef("join_bloom_prune",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.BloomPrune
+      val nH = 3; val m = 4096
+      val small = table(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("key")).distinct()
+      val bits = BloomPrune.buildBits(small, col("key"), nH, m)
+      val cands = table(s, dir, "orders")
+        .filter(BloomPrune.mightContain(col("o_custkey"), bits, nH, m))
+        .localCheckpoint() // read by the candidate agg AND the exact join
+      val exact = cands.join(small, col("o_custkey") === col("key"), "left_semi")
+      val cAgg = cands.groupBy("o_orderstatus").agg(count(lit(1)).as("n_candidates"))
+      val eAgg = exact.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      cAgg.join(eAgg, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n_candidates"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH sk AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 9000),
+      sh AS (SELECT key,
+          CAST(('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substring(md5(CAST(key AS VARCHAR)), 17, 14)) AS BIGINT) AS h2
+        FROM sk),
+      sp AS (SELECT DISTINCT (h1 + j * h2) % 4096 AS pos
+             FROM sh, UNNEST([0, 1, 2]) AS t(j)),
+      bh AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 17, 14)) AS BIGINT) AS h2
+        FROM orders),
+      bp AS (SELECT o_orderkey, (h1 + j * h2) % 4096 AS pos, j
+             FROM bh, UNNEST([0, 1, 2]) AS t(j)),
+      hit AS (SELECT o_orderkey, COUNT(*) AS nhit
+              FROM (SELECT DISTINCT bp.o_orderkey, bp.j FROM bp JOIN sp USING (pos))
+              GROUP BY o_orderkey),
+      cand AS (SELECT b.* FROM bh b JOIN hit h ON b.o_orderkey = h.o_orderkey AND h.nhit = 3),
+      ca AS (SELECT o_orderstatus, COUNT(*) AS n_candidates FROM cand GROUP BY o_orderstatus),
+      ea AS (SELECT c.o_orderstatus, COUNT(*) AS n_matched,
+               CAST(SUM(CAST(c.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM cand c JOIN sk ON c.o_custkey = sk.key
+             GROUP BY c.o_orderstatus)
+      SELECT ca.o_orderstatus, ca.n_candidates,
+        COALESCE(ea.n_matched, 0) AS n_matched,
+        COALESCE(ea.sum_price, 0.0) AS sum_price
+      FROM ca LEFT JOIN ea USING (o_orderstatus)
+      ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup,
-    dedupLevenshtein, mergeUpsert, zorderCluster)
+    dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune)
 }

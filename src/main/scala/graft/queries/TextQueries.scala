@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -388,6 +389,172 @@ object TextQueries {
       FROM comp c JOIN sizes z USING (comp)
       ORDER BY doc_id"""))
 
+  /** Line-level (boilerplate) deduplication — the CCNet/RefinedWeb
+    * paragraph-dedup shape: any LINE whose exact text recurs ≥ 5 times
+    * across the corpus is boilerplate (nav bars, cookie banners, footers)
+    * and is dropped from EVERY document, then documents are reassembled
+    * from their surviving lines. The corpus has no newlines, so a "line"
+    * is an aligned 10-token segment; both sides plant a fixed 10-token
+    * nav header into every 4th doc (the synthesized-evidence pattern),
+    * which becomes that doc's first line and must be scrubbed.
+    *
+    * vs [[dedupSpans]] (Lee et al. sliding windows): aligned segmentation
+    * emits n/10 rows per doc instead of n — an order of magnitude less
+    * explode traffic — and removal is whole-line, the right semantics for
+    * boilerplate (spans are the right semantics for plagiarized runs).
+    * Scale: one narrow segment map, ONE count shuffle with map-side
+    * partials, a join back (AQE picks broadcast vs shuffle — the
+    * boilerplate set is small in a healthy corpus, huge in a raw crawl),
+    * and a narrow reassembly map over the checkpointed base. */
+  val dedupLinesQ = QueryDef("dedup_lines",
+    (s, dir) => {
+      val W = 10
+      val nav = "home about contact privacy terms sitemap login search menu footer"
+      val base = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(lit(nav + " "), col("text")))
+            .otherwise(col("text")).as("t"))
+        .withColumn("toks", tokens(col("t")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_lines",
+          floor((col("n_tok") + lit(W - 1)) / lit(W)).cast("long"))
+        .localCheckpoint() // read by the line explode and the final join
+      val lineAt = (i: Column) =>
+        concat_ws(" ", slice(col("toks"), ((i - 1) * W + 1).cast("int"), lit(W)))
+      val lines = base
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1L), col("n_lines"))).as("line_idx"))
+        .select(col("doc_id"), col("line_idx"), lineAt(col("line_idx")).as("line"))
+      val boiler = lines.groupBy("line").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5).select("line")
+      val removed = lines.join(boiler, "line")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_removed"), collect_set("line_idx").as("rem"))
+      val rem = coalesce(col("rem"), array().cast("array<bigint>"))
+      base.join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          concat_ws(" ", transform(
+            filter(sequence(lit(1L), col("n_lines")),
+              i => !array_contains(rem, i)),
+            i => lineAt(i))).as("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0
+               THEN 'home about contact privacy terms sitemap login search menu footer ' || text
+               ELSE text END AS t
+        FROM documents),
+      tk AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS toks FROM p),
+      n AS (SELECT doc_id, toks,
+              CAST(FLOOR((CAST(len(toks) AS BIGINT) + 9) / 10.0) AS BIGINT) AS n_lines
+            FROM tk),
+      ln AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+               array_to_string(list_slice(toks, (i-1)*10 + 1, i*10), ' ') AS line
+             FROM n, UNNEST(generate_series(1, n_lines)) AS u(i)),
+      bo AS (SELECT line FROM ln GROUP BY line HAVING COUNT(*) >= 5),
+      rm AS (SELECT doc_id, COUNT(*) AS n_removed, list(line_idx) AS rem
+             FROM ln JOIN bo USING (line) GROUP BY doc_id)
+      SELECT n.doc_id, n.n_lines,
+        COALESCE(rm.n_removed, 0) AS n_removed,
+        COALESCE(array_to_string(
+          [array_to_string(list_slice(n.toks, (CAST(i AS BIGINT)-1)*10 + 1, CAST(i AS BIGINT)*10), ' ')
+           for i in generate_series(1, n.n_lines)
+           if NOT list_contains(COALESCE(rm.rem, []), i)], ' '), '') AS clean
+      FROM n LEFT JOIN rm USING (doc_id)
+      ORDER BY n.doc_id"""))
+
+  /** Per-document top-5 terms by tf-idf — the keyword-extraction /
+    * topic-tagging pass a corpus pipeline runs for mixing and inspection.
+    * Linear idf (N/df), not log idf, DELIBERATELY: ln is a libm call
+    * whose last ulp differs across engines and would poison an exact-hash
+    * oracle, while `CAST(tf*N AS DOUBLE)/df` is one correctly-rounded
+    * IEEE division — bit-identical anywhere. (The ranking is the
+    * tf·(N/df) variant's, not log-idf's — a documented semantic choice,
+    * not an approximation of it.)
+    * Scale: tf = one (doc,term) hash agg with map-side partials riding
+    * the explode; df derives from tf (term-keyed agg — AQE picks the
+    * join strategy, a 100 TB vocab must NOT be forced broadcast); N is a
+    * 1-row broadcast; rank is a per-doc window that
+    * InferWindowGroupLimit caps at 5 rows per doc per partition. */
+  val tfidfTopTermsQ = QueryDef("tfidf_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      // checkpointed: df and the ranked join both read the tf frame —
+      // uncached, the explode+agg over every document executes twice.
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH tf AS (SELECT doc_id, UNNEST($toksSql) AS term FROM documents),
+      tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+      dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+             FROM tfc t JOIN dfc d USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, tf, df, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+            FROM sc)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+      FROM r WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
+  /** Corpus heavy hitters with a count-min sketch certification — the
+    * frequency analog of `approx_distinct`: exact global top-20 tokens
+    * (TakeOrderedAndProject over the token counts — a bounded per-
+    * partition heap, never a global sort), plus a CMS built over the
+    * same token stream (mergeable sketch, the structure that answers
+    * point-frequency queries at 100 TB without a vocab-sized state).
+    * Each top token's CMS estimate is checked against the guarantee
+    * `exact ≤ est ≤ exact + ε·N` and the verdict lands in `within_bound`,
+    * pinned TRUE by the oracle beside the exact counts — a sketch
+    * regression flips a hash-compared value. The sketch binary and the
+    * 20 probes are the only driver-side state (both bounded); counts,
+    * sketch build, and top-k all run distributed. */
+  val heavyHittersQ = QueryDef("heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val eps = 0.0005
+      val toks = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // read by top-k, the total, and the sketch gate
+      val skBytes = toks
+        .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+      val slack = math.ceil(eps * total).toLong
+      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(20).collect()
+      top.toSeq.zipWithIndex.map { case (r, i) =>
+        val tok = r.getString(0); val cnt = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        (i + 1L, tok, cnt, est >= cnt && est <= cnt + slack)
+      }.toDF("rank", "token", "exact_cnt", "within_bound")
+    },
+    Some(s"""WITH t AS (SELECT UNNEST($toksSql) AS token FROM documents),
+      c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      r AS (SELECT token, cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+            FROM c)
+      SELECT CAST(rank AS BIGINT) AS rank, token, cnt AS exact_cnt,
+        TRUE AS within_bound
+      FROM r WHERE rank <= 20 ORDER BY rank"""))
+
   /** Statistical LM quality scoring (the CCNet-style filter shape): train
     * a Laplace-smoothed char-bigram model over the corpus — a tiny frame
     * that BROADCASTS — then score every doc by its mean smoothed bigram
@@ -446,5 +613,6 @@ object TextQueries {
   val defs: Seq[QueryDef] = Seq(
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
-    vocabTopK, dedupComponents, lmScoreQ)
+    dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,
+    heavyHittersQ)
 }
