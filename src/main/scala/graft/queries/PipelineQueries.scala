@@ -259,6 +259,114 @@ object PipelineQueries {
         LEAST(32, n_tok - chunk_idx * 32) AS chunk_tokens
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** DuckDB replay of the full dedup-corpus chain: exact groups →
+    * md5-minhash signatures over the SURVIVORS → 8×4 LSH banding →
+    * true-Jaccard-verified edges → recursive-CTE connected components →
+    * per-doc verdicts. Generated so the SQL stays in lock-step with the
+    * Spark constants (k=32, 8 bands × 4 rows, threshold 0.5). */
+  private def dedupCorpusOracleSql: String = {
+    val k = 32; val bands = 8; val rpb = 4
+    val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+    val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+      kd AS (SELECT doc_id, source, text,
+          md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_hash
+        FROM documents),
+      g AS (SELECT content_hash, MIN(doc_id) AS keep_id FROM kd GROUP BY content_hash),
+      wk AS (SELECT kd.doc_id, kd.source, kd.text, g.keep_id
+             FROM kd JOIN g USING (content_hash)),
+      surv AS (SELECT doc_id, text FROM wk WHERE doc_id = keep_id),
+      d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM surv),
+      gsh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      ex AS (SELECT doc_id, UNNEST(sh) AS t FROM gsh),
+      th AS (SELECT doc_id,
+        CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
+        CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
+      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      bd AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id),
+      tj AS (SELECT c.id_a, c.id_b
+             FROM cand c JOIN gsh ga ON ga.doc_id = c.id_a JOIN gsh gb ON gb.doc_id = c.id_b
+             WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+                   CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) >= 0.5),
+      e AS (SELECT id_a AS src, id_b AS dst FROM tj UNION SELECT id_b, id_a FROM tj),
+      r AS (SELECT doc_id AS id, doc_id AS reach FROM surv
+            UNION
+            SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+      SELECT wk.doc_id, wk.source,
+        CASE WHEN wk.doc_id <> wk.keep_id THEN 'dup_exact'
+             WHEN c.comp <> wk.doc_id THEN 'dup_near'
+             ELSE 'kept' END AS status,
+        c.comp AS canonical_id
+      FROM wk JOIN comp c ON wk.keep_id = c.id
+      ORDER BY wk.doc_id"""
+  }
+
+  /** The END-TO-END dedup pipeline a 100 TB crawl corpus actually runs,
+    * composed as ONE oracle-checked query: (1) exact bag-of-words dedup
+    * (one hash agg), (2) md5-minhash + LSH near-dup candidate pairs over
+    * the exact-survivors only (narrow-map signatures, one band-join
+    * shuffle, true-Jaccard verification on candidates — never O(n²)),
+    * (3) connected components over the verified edges (bounded label
+    * rounds), (4) a per-document verdict: `dup_exact` (lost its content
+    * group), `dup_near` (survivor absorbed into a near-dup cluster), or
+    * `kept`, each with its ultimate canonical representative. The three
+    * stages reuse [[graft.operators.Dedup]]/[[graft.operators.Components]]
+    * exactly as the standalone queries do — this row set is the proof
+    * the operators COMPOSE. */
+  val pipelineDedupCorpus = QueryDef("pipeline_dedup_corpus",
+    (s, dir) => {
+      import graft.functions.TextFunctions._
+      import graft.operators.Dedup
+      val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("text"))
+      // NOT checkpointed: the content key is a narrow codegen'd map riding
+      // the scan — recomputing it on both the agg and join branches is
+      // cheaper at any scale than materializing the full corpus + text.
+      val keyed = docs
+        .withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
+      val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
+      val withKeep = keyed.join(groups, "content_hash").localCheckpoint()
+      val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("text"))
+      val sh = survivors
+        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+        .localCheckpoint() // signatures + both verification joins
+      val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+        .select("doc_id", "sig").localCheckpoint()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+        bands = 8, rowsPerBand = 4, replayable = true)
+      val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val edges = pairs.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("tj", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("tj") >= 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comps = graft.operators.Components.connectedComponents(
+        survivors.select(col("doc_id").as("id")), edges)
+      withKeep.join(comps, withKeep("keep_id") === comps("id"))
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") =!= col("keep_id"), lit("dup_exact"))
+            .when(col("comp") =!= col("doc_id"), lit("dup_near"))
+            .otherwise(lit("kept")).as("status"),
+          col("comp").as("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some(dedupCorpusOracleSql))
+
   val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
-    pipelineBgCuration, bgSavePaths, pipelineCuration)
+    pipelineBgCuration, bgSavePaths, pipelineCuration, pipelineDedupCorpus)
 }
