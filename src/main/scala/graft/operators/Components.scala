@@ -108,6 +108,11 @@ object Components {
           struct(col("v").as("s"), col("u").as("d")))).as("e"))
         .select(col("e.s").as("s"), col("e.d").as("d"))
       // Large-star: neighbors larger than s attach to m = min(N(s) ∪ {s}).
+      // NOT distinct'd/checkpointed: duplicate (u,m) rows are harmless —
+      // the small-star min-aggregate absorbs them and `small.distinct()`
+      // canonicalizes — and at bench scale the two extra per-round jobs
+      // (a distinct shuffle + a materialization barrier) cost more than
+      // recomputing this narrow subtree into both small-star consumers.
       val symE = sym(e)
       val minL = symE.groupBy("s").agg(min(col("d")).as("mn"))
       val large = symE.join(minL, "s")
@@ -115,7 +120,6 @@ object Components {
         .filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
       // Small-star: neighbors smaller than s (and s itself) attach to m.
       val symL = sym(large)
       val minS = symL.groupBy("s").agg(min(col("d")).as("mn"))

@@ -198,6 +198,50 @@ object MiscQueries {
       FROM ca LEFT JOIN ea USING (o_orderstatus)
       ORDER BY o_orderstatus"""))
 
+  /** Star-contraction connected components under the FULL oracle gate, on
+    * the graph shape it exists for: chains of ~100 consecutive event ids
+    * (diameter far beyond label propagation's 25-round bound — that
+    * variant REFUSES this graph by design) plus sparse cross-links
+    * merging some chains. O(log n) rounds regardless of diameter
+    * (Kiveris et al., SoCC'14); the oracle recomputes components by
+    * recursive-CTE closure and both sides summarize per component.
+    * This is the 100 TB web-graph escape hatch, previously pinned only
+    * by property specs. */
+  val componentsStar = QueryDef("components_star",
+    (s, dir) => {
+      import graft.operators.Components
+      // Node cap: the evidence is DIAMETER (chains of 100, well past the
+      // label-propagation bound), not node count — 20k nodes keeps the
+      // log-round sweep proportionate in the bench without changing what
+      // is being proven. Pushed into the scan as a pruned filter.
+      val nodes = table(s, dir, "events").filter(col("event_id") < 20000)
+        .select(col("event_id").as("id")).distinct().localCheckpoint()
+      val next = nodes.select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .filter(col("src") % 100 =!= 99)
+      val cross = nodes.select(col("id").as("src"), (col("id") + 37).as("dst"))
+        .filter(col("src") % 251 === 0)
+      val edges = next.union(cross)
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      Components.connectedComponents(nodes, edges,
+          algorithm = Components.StarContraction)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy("comp")
+    },
+    Some("""WITH RECURSIVE n AS (SELECT DISTINCT event_id AS id FROM events WHERE event_id < 20000),
+      nx AS (SELECT id AS src, id + 1 AS dst FROM n WHERE id % 100 <> 99),
+      cr AS (SELECT id AS src, id + 37 AS dst FROM n WHERE id % 251 = 0),
+      ed0 AS (SELECT * FROM nx UNION ALL SELECT * FROM cr),
+      ed AS (SELECT e.src, e.dst FROM ed0 e JOIN n ON e.dst = n.id),
+      sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+      r AS (SELECT id, id AS reach FROM n
+            UNION
+            SELECT sym.src AS id, r.reach FROM sym JOIN r ON sym.dst = r.id),
+      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+      SELECT comp, COUNT(*) AS n_members, MAX(id) AS max_id
+      FROM comp GROUP BY comp ORDER BY comp"""))
+
   val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup,
-    dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune)
+    dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
+    componentsStar)
 }
