@@ -101,6 +101,70 @@ object ScaleProbe {
           () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
           () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
           .run(mf))
+      },
+      "line_dedup" -> { m =>
+        // the dedup_lines core: aligned 10-token segments → corpus count →
+        // scrub lines seen >= 5×. Salted replicas keep line counts linear.
+        val W = 10
+        val base = graft.ops.Parallelism.ensure(docs(m))
+          .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+          .withColumn("n_lines",
+            floor((size(col("toks")).cast("long") + lit(W - 1)) / lit(W)).cast("long"))
+          .localCheckpoint(false)
+        val lines = base.select(col("doc_id"), col("toks"),
+            explode(sequence(lit(1L), col("n_lines"))).as("i"))
+          .select(col("doc_id"), col("i"), concat_ws(" ",
+            slice(col("toks"), ((col("i") - 1) * W + 1).cast("int"), lit(W))).as("line"))
+        val boiler = lines.groupBy("line").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5).select("line")
+        noop(lines.join(boiler, "line")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_removed")))
+      },
+      "bloom_prune" -> { m =>
+        // fixed small side, replicated big side: the scan-side prune work
+        // must scale linearly in the big side alone
+        val small = spark.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_acctbal") > 9000).select(col("c_custkey").as("key"))
+        val big = replicate(
+          spark.read.parquet(s"$dir/orders.parquet"), m, "o_orderkey", saltText = false)
+        noop(graft.operators.BloomPrune.prunedJoin(big, "o_custkey", small, "key"))
+      },
+      "star_components" -> { m =>
+        // chains of 100 (past the label-propagation bound): component
+        // structure constant, node/edge count scales with m — rounds stay
+        // O(log component size), per-round work linear
+        val n = 20000L * m
+        val nodes = spark.range(n).select(col("id"))
+        val edges = spark.range(n).filter(col("id") % 100 =!= 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        noop(Components.connectedComponents(nodes, edges,
+          algorithm = Components.StarContraction))
+      },
+      "dedup_corpus" -> { m =>
+        // the composed exact → minhash-LSH → components chain (the
+        // pipeline_dedup_corpus shape, thresholds included)
+        val d = graft.ops.Parallelism.ensure(docs(m))
+          .select(col("doc_id"), col("text"))
+        val keyed = d.withColumn("ch", md5(Dedup.bagOfWordsKey(col("text"))))
+        val groups = keyed.groupBy("ch").agg(min(col("doc_id")).as("keep_id"))
+        val surv = keyed.join(groups, "ch").filter(col("doc_id") === col("keep_id"))
+        val sh = surv.select(col("doc_id"),
+            array_sort(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("sh"))
+          .localCheckpoint(false)
+        val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+          .select("doc_id", "sig").localCheckpoint(false)
+        val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 8, 4, replayable = true)
+          .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
+          .filter(col("est") >= 0.35)
+        val edges = pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+          .filter(col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double") >= 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        noop(Components.connectedComponents(
+          surv.select(col("doc_id").as("id")), edges))
       })
 
     println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s")

@@ -156,9 +156,11 @@ object MiscQueries {
       val small = table(s, dir, "customer").filter(col("c_acctbal") > 9000)
         .select(col("c_custkey").as("key")).distinct()
       val bits = BloomPrune.buildBits(small, col("key"), nH, m)
+      // NOT checkpointed: both consumers (candidate agg + exact join) re-run
+      // the scan + bloom filter — a narrow codegen'd map (the md5s CSE to
+      // one per row) that costs less than materializing the candidate set.
       val cands = table(s, dir, "orders")
         .filter(BloomPrune.mightContain(col("o_custkey"), bits, nH, m))
-        .localCheckpoint() // read by the candidate agg AND the exact join
       val exact = cands.join(small, col("o_custkey") === col("key"), "left_semi")
       val cAgg = cands.groupBy("o_orderstatus").agg(count(lit(1)).as("n_candidates"))
       val eAgg = exact.groupBy("o_orderstatus")

