@@ -238,6 +238,43 @@ object Multimodal {
       .withColumn("resized", needs)
   }
 
+  case class AudioWindow(media_id: Long, window_idx: Long, n_samples: Long,
+                         energy: Long, peak: Long)
+
+  /** Audio windowed-energy stage — the silence-detection / VAD-gating
+    * front end of an audio curation pipeline (segment on energy, drop
+    * silent spans, route loud spans to transcription). STUB sample
+    * decode: bytes are read as unsigned 8-bit PCM centered at 97 (the
+    * corpus bytes are lowercase ASCII, so samples land near zero and
+    * word boundaries spike) — a real deployment parses WAV/FLAC headers
+    * and int16 frames behind the same signature. The Spark plumbing is
+    * the real thing: typed flatMap fan-out (one row per window, ~n/win
+    * rows), integer-exact energy/peak so any engine replays it, bytes
+    * column-pruned everywhere downstream. */
+  def audioEnergy(items: Dataset[MediaItem], win: Int)
+                 (implicit spark: SparkSession): Dataset[AudioWindow] = {
+    import spark.implicits._
+    items.flatMap { it =>
+      val b = if (it.bytes == null) Array.emptyByteArray else it.bytes
+      val n = b.length
+      val nWin = (n + win - 1) / win
+      (0 until nWin).map { w =>
+        val start = w * win
+        val end = math.min(n, start + win)
+        var e = 0L
+        var p = 0L
+        var i = start
+        while (i < end) {
+          val c = (b(i) & 0xff).toLong - 97L
+          e += c * c
+          if (math.abs(c) > p) p = math.abs(c)
+          i += 1
+        }
+        AudioWindow(it.media_id, w.toLong, (end - start).toLong, e, p)
+      }
+    }
+  }
+
   /** Feature-extract stub: fixed-size feature vector from bytes (real impl:
     * image embedding model). Deterministic: byte histogram projected to
     * `dim` buckets, L1-normalized. */

@@ -116,6 +116,32 @@ object ExtensionQueries {
       SELECT media_id, UNNEST(generate_series(0, n_frames - 1, 24)) AS frame_idx
       FROM m WHERE n_frames >= 1 ORDER BY media_id, frame_idx"""))
 
+  /** Audio windowed-energy/silence front end ([[Multimodal.audioEnergy]]):
+    * one row per 50-sample window with integer-exact energy and peak —
+    * the VAD-gating shape (segment on energy, drop silence, route loud
+    * spans onward). The stub reads corpus bytes as centered 8-bit PCM;
+    * the oracle replays every window arithmetic exactly. */
+  val multimodalAudioEnergy = QueryDef("multimodal_audio_energy",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.audioEnergy(mediaItems(s, dir), win = 50).toDF()
+        .select("media_id", "window_idx", "n_samples", "energy", "peak")
+        .orderBy("media_id", "window_idx")
+    },
+    Some("""WITH b AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        FROM documents),
+      w AS (SELECT media_id, text, n,
+              UNNEST(generate_series(0, CAST(FLOOR((n + 49) / 50.0) AS BIGINT) - 1)) AS window_idx
+            FROM b WHERE n > 0),
+      s AS (SELECT media_id, window_idx,
+              [CAST(ascii(text[CAST(i AS INT)]) AS BIGINT) - 97
+               for i in generate_series(window_idx * 50 + 1, LEAST(n, window_idx * 50 + 50))] AS cs
+            FROM w)
+      SELECT media_id, window_idx, CAST(len(cs) AS BIGINT) AS n_samples,
+        CAST(list_sum([c * c for c in cs]) AS BIGINT) AS energy,
+        CAST(list_max([abs(c) for c in cs]) AS BIGINT) AS peak
+      FROM s ORDER BY media_id, window_idx"""))
+
   /** Aspect-preserving resize planning over decoded metadata (cap 256). */
   val multimodalResize = QueryDef("multimodal_resize",
     (s, dir) => {
@@ -239,6 +265,6 @@ object ExtensionQueries {
 
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, sessionizeQ, streamIntervalJoin, multimodalMeta,
-    multimodalFrameSample, multimodalResize, asofJoinQ, corpusStats,
-    parseJsonProps, windowRunningSum, dedupImageDhash)
+    multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
+    asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash)
 }

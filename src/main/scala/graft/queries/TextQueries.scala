@@ -318,6 +318,117 @@ object TextQueries {
     },
     Some(simhashOracleSql))
 
+  /** Incremental (ingest-time) dedup — the daily-batch production shape:
+    * a NEW batch (every 5th doc) is deduplicated AGAINST the existing
+    * corpus, never against itself and never re-deduping the corpus.
+    * Verdict per batch doc: `exact_dup` (bag-of-words content match —
+    * one keyed join against the corpus key index), `near_dup` (md5-
+    * minhash bands of the batch joined against the CORPUS band index —
+    * candidate work ∝ batch × bucket occupancy, not corpus²; est
+    * pre-screen then true-Jaccard ≥ 0.5), else `new`; match_id = the
+    * earliest matching corpus doc. At 100 TB the corpus-side key/band
+    * indexes are the persisted state (the [[graft.operators.Ivf]]
+    * addVectors analog for text), and each ingest scans only the batch
+    * plus the buckets it touches. */
+  val dedupIncrementalQ = QueryDef("dedup_incremental",
+    (s, dir) => {
+      val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint() // existing/batch splits + shingle frames
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val exKeys = existing
+        .select(md5(Dedup.bagOfWordsKey(col("text"))).as("ch"), col("doc_id").as("ex_id"))
+        .groupBy("ch").agg(min(col("ex_id")).as("ex_id"))
+      val exactMatch = batch
+        .withColumn("ch", md5(Dedup.bagOfWordsKey(col("text"))))
+        .join(exKeys, Seq("ch"), "left")
+        .select(col("doc_id"), col("text"), col("ex_id"))
+        .localCheckpoint() // read by the near-dup stage and final assembly
+      val rest = exactMatch.filter(col("ex_id").isNull).select("doc_id", "text")
+      def shingled(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+        .localCheckpoint()
+      val shE = shingled(existing); val shB = shingled(rest)
+      def banded(sh: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+        Dedup.withMinhashSignatureMd5(sh, col("sh"), 32).select("doc_id", "sig"),
+        "doc_id", "sig", bands = 8, rowsPerBand = 4, replayable = true)
+      val cands = banded(shB)
+        .withColumnRenamed("doc_id", "b_id").withColumnRenamed("sig", "sig_b")
+        .join(banded(shE)
+          .withColumnRenamed("doc_id", "e_id").withColumnRenamed("sig", "sig_e"),
+          Seq("band_idx", "band_hash"))
+        .select("b_id", "e_id", "sig_b", "sig_e").distinct()
+        .withColumn("est", Dedup.estJaccard(col("sig_b"), col("sig_e"), 32))
+        .filter(col("est") >= 0.35)
+      val near = cands
+        .join(shB.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+        .join(shE.select(col("doc_id").as("e_id"), col("sh").as("sh_e")), "e_id")
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_b"), col("sh_e")))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_b")) + size(col("sh_e")) - col("inter")).cast("double") >= 0.5)
+        .groupBy(col("b_id").as("doc_id")).agg(min(col("e_id")).as("near_id"))
+      exactMatch.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_id").isNotNull, lit("exact_dup"))
+            .when(col("near_id").isNotNull, lit("near_dup"))
+            .otherwise(lit("new")).as("verdict"),
+          coalesce(col("ex_id"), col("near_id")).as("match_id"))
+        .orderBy("doc_id")
+    },
+    Some(incrementalOracleSql))
+
+  /** DuckDB replay of [[dedupIncrementalQ]]: content-key match, then
+    * batch-bands × corpus-bands with the same est pre-screen and
+    * true-Jaccard verification. Generated for lock-step constants. */
+  private def incrementalOracleSql: String = {
+    val k = 32; val bands = 8; val rpb = 4
+    val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents),
+      keys AS (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS ch FROM d),
+      exk AS (SELECT ch, MIN(doc_id) AS ex_id FROM keys WHERE doc_id % 5 <> 0 GROUP BY ch),
+      em AS (SELECT k.doc_id, exk.ex_id FROM keys k LEFT JOIN exk USING (ch)
+             WHERE k.doc_id % 5 = 0),
+      gsh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      ex AS (SELECT doc_id, UNNEST(sh) AS t FROM gsh),
+      th AS (SELECT doc_id,
+        CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
+        CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
+      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      bd AS ($bandSelects),
+      cand AS (SELECT DISTINCT b.doc_id AS b_id, e.doc_id AS e_id
+               FROM bd b JOIN bd e ON b.band_idx = e.band_idx AND b.band_hash = e.band_hash
+               WHERE b.doc_id IN (SELECT doc_id FROM em WHERE ex_id IS NULL)
+                 AND e.doc_id % 5 <> 0),
+      est AS (SELECT b_id, e_id FROM cand
+              JOIN sig sa ON sa.doc_id = cand.b_id
+              JOIN sig sb ON sb.doc_id = cand.e_id
+              WHERE CAST($estSum AS DOUBLE) / $k >= 0.35),
+      near AS (SELECT c.b_id AS doc_id, MIN(c.e_id) AS near_id
+               FROM est c JOIN gsh ga ON ga.doc_id = c.b_id JOIN gsh gb ON gb.doc_id = c.e_id
+               WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+                     CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) >= 0.5
+               GROUP BY c.b_id)
+      SELECT em.doc_id,
+        CASE WHEN em.ex_id IS NOT NULL THEN 'exact_dup'
+             WHEN near.near_id IS NOT NULL THEN 'near_dup'
+             ELSE 'new' END AS verdict,
+        COALESCE(em.ex_id, near.near_id) AS match_id
+      FROM em LEFT JOIN near USING (doc_id)
+      ORDER BY em.doc_id"""
+  }
+
   /** Vocabulary building: top-20 tokens per language by corpus frequency.
     * explode → two-level count (token counts do map-side partial combine)
     * → window rank. The rank payload is a STRING, so the window form (not
@@ -614,5 +725,5 @@ object TextQueries {
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,
-    heavyHittersQ)
+    heavyHittersQ, dedupIncrementalQ)
 }
