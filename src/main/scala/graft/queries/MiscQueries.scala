@@ -243,7 +243,39 @@ object MiscQueries {
       SELECT comp, COUNT(*) AS n_members, MAX(id) AS max_id
       FROM comp GROUP BY comp ORDER BY comp"""))
 
+  /** Deletion propagation — the right-to-be-forgotten pass a 100 TB store
+    * runs on a schedule: a deletion-request list (here: every user whose
+    * id ≡ 0 mod 97, ~1% of users) anti-joins the fact table, and the
+    * audit row per event_type proves n_before = n_deleted + n_after.
+    * Scale: the request list is small (AQE broadcasts it into BOTH the
+    * semi- and anti-join); the audit is one partial-agg pass; the
+    * surviving-rows rewrite is the same anti-join feeding a partitioned
+    * writer ([[graft.sources.Storage]] compaction handles the rest). */
+  val deletePropagate = QueryDef("delete_propagate",
+    (s, dir) => {
+      val events = table(s, dir, "events")
+      val requests = events.select(col("user_id")).distinct()
+        .filter(col("user_id") % 97 === 0)
+      val deleted = events.join(requests, Seq("user_id"), "left_semi")
+        .groupBy("event_type").agg(count(lit(1)).as("n_deleted"))
+      val before = events.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      before.join(deleted, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_before"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          (col("n_before") - coalesce(col("n_deleted"), lit(0L))).as("n_after"))
+        .orderBy("event_type")
+    },
+    Some("""WITH req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+      del AS (SELECT event_type, COUNT(*) AS n_deleted
+              FROM events e JOIN req USING (user_id) GROUP BY event_type),
+      bef AS (SELECT event_type, COUNT(*) AS n_before FROM events GROUP BY event_type)
+      SELECT bef.event_type, bef.n_before,
+        COALESCE(del.n_deleted, 0) AS n_deleted,
+        bef.n_before - COALESCE(del.n_deleted, 0) AS n_after
+      FROM bef LEFT JOIN del USING (event_type)
+      ORDER BY bef.event_type"""))
+
   val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
-    componentsStar)
+    componentsStar, deletePropagate)
 }
