@@ -38,6 +38,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dedup_incremental: exact batch copies of corpus docs verdict exact_dup") {
+    // Verdict-consistency law against an independent computation: a batch
+    // doc (id % 5 == 0) whose bag-of-words equals some existing doc's MUST
+    // be exact_dup with the earliest such existing doc; docs verdicted
+    // 'new' must have no bag-of-words twin in the corpus.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def bag(t: String) = t.split(" ").filter(_.nonEmpty).distinct.sorted.mkString(" ")
+    val existingByBag = docs.filter(_._1 % 5 != 0)
+      .groupBy(d => bag(d._2)).map { case (b, ds) => b -> ds.map(_._1).min }
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .as[(Long, String, Option[Long])].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 % 5 == 0))
+    val textOf = docs.toMap
+    rows.foreach { case (id, verdict, matchId) =>
+      existingByBag.get(bag(textOf(id))) match {
+        case Some(exp) =>
+          assert(verdict == "exact_dup" && matchId.contains(exp),
+            s"doc $id: expected exact_dup->$exp, got $verdict->$matchId")
+        case None =>
+          assert(verdict != "exact_dup", s"doc $id: spurious exact_dup")
+      }
+      if (verdict == "new") assert(matchId.isEmpty)
+    }
+  }
+
+  test("audioEnergy windows match hand-computed energy and peak") {
+    import graft.multimodal.Multimodal
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // 7 bytes with win=4 → windows [abcz] and [aaa] (partial tail)
+    val bytes = "abczaaa".getBytes("UTF-8")
+    val items = Seq(Multimodal.MediaItem(1L, "audio", "/m/1.pcm", bytes))
+      .toDS()
+    val got = Multimodal.audioEnergy(items, win = 4).collect().toSeq
+      .sortBy(_.window_idx)
+    // centered at 97: a=0 b=1 c=2 z=25
+    assert(got == Seq(
+      Multimodal.AudioWindow(1L, 0L, 4L, 0 + 1 + 4 + 625, 25L),
+      Multimodal.AudioWindow(1L, 1L, 3L, 0L, 0L)))
+  }
+
   test("dedup_lines matches an independent in-memory reference") {
     // Independent Scala reimplementation on the same corpus: plant the nav
     // line, segment at 10 tokens, count lines corpus-wide, drop lines with
