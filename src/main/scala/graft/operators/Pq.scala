@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the codebook compression step of a
+  * billion-vector ANN index (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI'11): the vector is split into `nSub`
+  * subspaces, each subspace k-means-quantized to one of `nCentroids`
+  * codes, so a 64-dim float vector (256 B) stores as nSub bytes (4 B at
+  * the defaults — 64×). Search is ADC (asymmetric distance): per query,
+  * a tiny nSub×nCentroids lookup table of exact query-to-centroid
+  * distances; a candidate's approximate distance is nSub table lookups —
+  * no float math against the corpus at all.
+  *
+  * Scale shape:
+  *  - codebooks train on a BOUNDED hash-spread sample (same rationale as
+  *    [[Ivf.build]]) with the same deterministic driver-local Lloyd;
+  *  - encoding is a narrow argmin expression per subspace riding the
+  *    scan (fused [[graft.plans.CentroidProbes]] kernel when available)
+  *    — no shuffle, no model object;
+  *  - ADC is fully relational: codes explode to (id, sub, code) rows —
+  *    nSub rows per vector — and meet the broadcast lookup table in an
+  *    equi-join; one partial-agg sum per (query, id) then the bounded-
+  *    heap top-k. The corpus-side scan ships 4-byte codes, never floats.
+  */
+object Pq {
+
+  /** `centers(s)(j)` = centroid j of subspace s (subDim doubles each). */
+  final case class Codebooks(nSub: Int, subDim: Int,
+                             centers: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks on a bounded hash-spread sample. */
+  def train(vectors: DataFrame, dim: Int, nSub: Int = 4, nCentroids: Int = 16,
+            seed: Long = 42L, sampleCap: Int = 2048,
+            vecCol: String = "embedding"): Codebooks = {
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val subDim = dim / nSub
+    val pts = vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(sampleCap).as[Seq[Float]]
+      .collect().map(_.toArray.map(_.toDouble))
+    val centers = Array.tabulate(nSub) { s =>
+      Ivf.lloyd(pts.map(p => java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim)),
+        nCentroids, seed + s, maxIter = 8)
+    }
+    Codebooks(nSub, subDim, centers)
+  }
+
+  /** Squared L2 from a (sub)vector column to a literal center. */
+  private def distSq(vec: Column, center: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, array(center.map(lit): _*), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid code for one subspace (fused kernel when available;
+    * declarative argmin fallback with identical distance-asc, id-asc order). */
+  private def nearestSub(sub: Column, centers: Array[Array[Double]]): Column = {
+    val native =
+      try Some(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.CentroidProbes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(sub), centers, 1)))
+      catch { case _: Throwable => None }
+    native.map(a => element_at(a, 1)).getOrElse {
+      val scored = array(centers.zipWithIndex.map { case (ctr, j) =>
+        struct(distSq(sub, ctr).as("d"), lit(j).as("idx"))
+      }: _*)
+      element_at(transform(slice(array_sort(scored), 1, 1), s => s.getField("idx")), 1)
+    }
+  }
+
+  /** Append the PQ code column: array of nSub small ints, a pure narrow
+    * map over the scan. */
+  def encode(df: DataFrame, cb: Codebooks, vecCol: String = "embedding",
+             codeCol: String = "code"): DataFrame =
+    df.withColumn(codeCol, array((0 until cb.nSub).map { s =>
+      nearestSub(slice(col(vecCol), s * cb.subDim + 1, cb.subDim), cb.centers(s))
+    }: _*))
+
+  /** ADC approximate top-k: the bounded query set collects once, its
+    * nSub×nCentroids distance tables broadcast as a tiny lookup frame,
+    * and the corpus side is explode → equi-join → partial-agg sum →
+    * bounded-heap rank. Ties break (distance asc, id asc). */
+  def adcTopK(codes: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
+              idCol: String = "vec_id", codeCol: String = "code",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qidCol), col(qvecCol)).as[(Long, Seq[Float])].collect()
+    val lut = for {
+      (qid, qv) <- qs.toSeq
+      s <- 0 until cb.nSub
+      (ctr, j) <- cb.centers(s).zipWithIndex.toSeq
+    } yield {
+      var d = 0.0
+      var i = 0
+      while (i < cb.subDim) {
+        val t = qv(s * cb.subDim + i).toDouble - ctr(i)
+        d += t * t
+        i += 1
+      }
+      (qid, s, j, d)
+    }
+    val lutDf = lut.toDF(qidCol, "sub", "code_val", "dist")
+    codes.select(col(idCol), posexplode(col(codeCol)).as(Seq("sub", "code_val")))
+      .join(broadcast(lutDf), Seq("sub", "code_val"))
+      .filter(col(idCol) =!= col(qidCol))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("dist")).as("adc_dist"))
+      .withColumn("sim", -col("adc_dist"))
+      .transform(Similarity.rankTopK(_, k, qidCol, idCol))
+      .withColumnRenamed("sim", "neg_adc_dist")
+  }
+
+  /** ADC shortlist + exact re-rank — the production PQ search shape:
+    * coarse codes can TIE entire clusters (a 4×16 codebook maps near
+    * neighbors to identical codes, and a tie-broken top-k then loses the
+    * true neighbors to id order), so the ADC pass only shortlists
+    * `shortlist` candidates per query and the float vectors are fetched
+    * FOR THE SHORTLIST ONLY (an equi-join bounded at queries×shortlist
+    * rows — the corpus scan still ships codes) and re-ranked with exact
+    * cosine. Measured on clustered data: recall@5 0.28 ADC-only → ≥ 0.9
+    * re-ranked (ScaleOpsSpec). */
+  def adcRerankTopK(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
+                    cb: Codebooks, k: Int, shortlist: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    codeCol: String = "code",
+                    qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val c = if (shortlist > 0) shortlist else 12 * k
+    val short = adcTopK(codes, queries, cb, c, idCol, codeCol, qidCol, qvecCol)
+    short.select(col(qidCol), col(idCol))
+      .join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
+      .transform(Similarity.rankTopK(_, k, qidCol, idCol))
+  }
+}

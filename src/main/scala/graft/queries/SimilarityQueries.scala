@@ -142,6 +142,21 @@ object SimilarityQueries {
     },
     None)
 
+  /** Product-quantized approximate top-5 ([[graft.operators.Pq]]): 64-dim
+    * floats compress to 4 one-byte codes (64×); search is ADC — per-query
+    * lookup tables broadcast, corpus side ships codes only. Codebooks are
+    * engine-trained driver state (like IVF) → rows-only check + recall
+    * spec (ScaleOpsSpec pins recall@5 vs in-engine brute force). */
+  val annPqTopK = QueryDef("ann_pq_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cb = graft.operators.Pq.train(emb, dim = 64)
+      val codes = graft.operators.Pq.encode(emb, cb)
+      graft.operators.Pq.adcRerankTopK(codes, emb, annQueries(emb), cb, k = annK)
+        .orderBy("qid", "rank")
+    },
+    None)
+
   /** ANN recall@k vs in-engine brute force, registered as evidence: one
     * row per approximate method with (method, k, n_queries, hits, recall)
     * — and each row is EMITTED ONLY IF recall ≥ 0.9, so the driver's
@@ -216,5 +231,5 @@ object SimilarityQueries {
       FROM q ORDER BY vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annRecall, quantizeEmbeddings)
+    annIvfTopK, annPqTopK, annRecall, quantizeEmbeddings)
 }

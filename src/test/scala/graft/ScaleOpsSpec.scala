@@ -38,6 +38,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("PQ: 4-byte codes, deterministic encode, ADC recall on clustered vectors") {
+    import graft.operators.{Pq, Similarity}
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cb = Pq.train(vecs, dim = 64)
+    assert(cb.nSub == 4 && cb.subDim == 16 && cb.centers.forall(_.length == 16))
+    val codes = Pq.encode(vecs, cb).select("vec_id", "code")
+    val c1 = codes.as[(Long, Seq[Int])].collect().toMap
+    val c2 = Pq.encode(vecs, cb).select("vec_id", "code")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(c1 == c2 && c1.values.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 16)))
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.adcRerankTopK(codes, vecs, queries, cb, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"PQ shortlist+rerank recall@5 $recall below floor")
+  }
+
   test("dedup_incremental: exact batch copies of corpus docs verdict exact_dup") {
     // Verdict-consistency law against an independent computation: a batch
     // doc (id % 5 == 0) whose bag-of-words equals some existing doc's MUST
