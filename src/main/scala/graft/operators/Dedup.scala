@@ -181,6 +181,47 @@ object Dedup {
       .select(col(idCol), col("simhash"))
   }
 
+  // ── Bottom-k (KMV) set sketch ──────────────────────────────────────────
+
+  /** Bottom-k (KMV) sketch per key: the k SMALLEST md5-derived 60-bit
+    * hashes of the group's distinct items, as one sorted array — the
+    * single-permutation min-wise sample (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES'97; Bar-Yossef et al.'s KMV
+    * distinct-value sketch, RANDOM'02). One hash per item, mergeable
+    * (union two sketches = bottom-k of their concat), bounded at k longs
+    * per key — the corpus-pair similarity sketch that compares 100 TB
+    * datasets with a tiny array join.
+    *
+    * NOT interchangeable with the Kirsch–Mitzenmacher k-permutation
+    * signature ([[withMinhashSignatureMd5]]): over a corpus-sized item
+    * set all k of its g_j = h1 + j·h2 minima concentrate on the same
+    * tiny-h1/tiny-h2 element, so its per-position match indicators
+    * collapse into one correlated coin (measured |est − exact| up to
+    * 0.97 as a dataset-similarity estimate — fine only for LSH candidate
+    * screening, where exact verification follows). Bottom-k match
+    * indicators are distinct elements of the union, which is what holds
+    * the estimator variance at √(J(1−J)/k).
+    *
+    * Implementation: exact integer window top-k (row_number over the
+    * hash) — NOT a double-scored heap: doubles lose exactness above 2^53
+    * and these are 60-bit keys an oracle compares as exact integers. */
+  def bottomKSketch(df: DataFrame, keyCol: String, itemCol: String, k: Int,
+                    outCol: String = "hs"): DataFrame = {
+    val hashed = df.select(col(keyCol), md5Hash60(col(itemCol)).as("_h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("_h")
+    hashed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(keyCol).agg(sort_array(collect_list(col("_h"))).as(outCol))
+  }
+
+  /** Jaccard estimate from two [[bottomKSketch]] arrays:
+    * |bottomk(A∪B) ∩ botA ∩ botB| / k. */
+  def kmvJaccardEst(ha: Column, hb: Column, k: Int): Column = {
+    val unionBotK = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
+    size(filter(unionBotK, x => array_contains(ha, x) && array_contains(hb, x)))
+      .cast("double") / k
+  }
+
   /** Oracle-replayable 60-bit SimHash: md5-keyed token hashes, bit votes
     * folded relationally (explode → 60 conditional sums, map-side partial
     * → bit reassembly; one shuffle on idCol). The 64-bit native kernel

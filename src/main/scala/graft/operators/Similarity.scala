@@ -176,6 +176,34 @@ object Similarity {
     rankTopK(paired, k, qidCol, idCol)
   }
 
+  /** SemDeDup-shaped near-duplicate pairs at corpus scale (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): candidates are vectors sharing any LSH
+    * (table, bucket) key — linear in corpus size, never the O(n²) pair
+    * space — then exact cosine verifies each candidate. The bucket
+    * explode ships only (table, bucket, id); candidate id pairs are
+    * DEDUPLICATED across tables BEFORE the float vectors join back, so
+    * each surviving pair ships its two vectors exactly once (the same
+    * ship-arrays-late lesson the minhash est-prescreen encodes).
+    * Pass [[md5Planes]] for a fully oracle-replayable pair set. */
+  def lshNearDupPairs(df: DataFrame, threshold: Double,
+                      planeMatrix: Array[Array[Array[Double]]],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = df.select(col(idCol),
+      posexplode(tableBuckets(col(vecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
+    val cand = buckets.select(col("table_idx"), col("bucket"), col(idCol).as("id_a"))
+      .join(buckets.select(col("table_idx"), col("bucket"), col(idCol).as("id_b")),
+        Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Per-vector int8 scalar quantization — the storage-compression step of
     * a billion-vector ANN index (4 bytes → 1 byte per dim): codes
     * `q_i = floor((x_i − min)/scale + 0.5)` clipped to [0, 255] with

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Components, Dedup, Similarity}
+
+/** Dataset-level curation capabilities: semantic (embedding) dedup at
+  * corpus scale, quality-based duplicate-cluster representative selection,
+  * and corpus-pair similarity measurement — the three decisions a training
+  * -data pipeline makes ABOVE the single-document level. All three are
+  * fully oracle-replayable: md5-derived planes/signatures, documented
+  * left-fold float math, recursive-CTE component closure.
+  */
+object DatasetQueries {
+  import Tables.table
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+  private val normSql = (a: String) =>
+    s"sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a], (p, q) -> p + q))"
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val stopListSql = "['the','a','an','of','and','to','in','is','it','for']"
+
+  // ── dedup_semantic ──────────────────────────────────────────────────────
+
+  /** Replayable hyperplanes for the semantic-dedup buckets: 4 tables × 8
+    * planes (256 buckets/table) — deeper than the ANN config because a
+    * SELF-join dedup pays bucket-occupancy², not occupancy×queries. */
+  private val semTables = 4
+  private val semPlanes = 8
+  private lazy val semPlaneInts = Similarity.md5PlaneInts(semPlanes, semTables, 64, "graft-semdedup")
+  private lazy val semPlaneMatrix = Similarity.md5Planes(semPlanes, semTables, 64, "graft-semdedup")
+
+  private def semDedupOracleSql: String = {
+    val planeRows = (for (t <- 0 until semTables; j <- 0 until semPlanes) yield
+      s"SELECT $t AS t, $j AS j, [${semPlaneInts(t)(j).mkString(",")}] AS hs")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+      pl AS ($planeRows),
+      pu AS (SELECT t, j,
+               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM pl),
+      pt AS (SELECT vec_id + 1000000 AS vec_id,
+               [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) AS FLOAT)
+                for i in generate_series(1, len(embedding))] AS embedding
+             FROM embeddings WHERE vec_id % 5 = 0),
+      corpus AS (SELECT vec_id, embedding FROM embeddings
+                 UNION ALL SELECT vec_id, embedding FROM pt),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM corpus),
+      dots AS (SELECT d.vec_id, pu.t, pu.j, ${dotSql("d.embedding", "pu.u")} AS dp
+               FROM d, pu),
+      bk AS (SELECT vec_id, t,
+               SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS bucket
+             FROM dots GROUP BY vec_id, t),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id),
+      edges AS (SELECT id_a, id_b FROM cand
+                JOIN d a ON a.vec_id = cand.id_a
+                JOIN d b ON b.vec_id = cand.id_b
+                WHERE CASE WHEN a.nrm > 0 AND b.nrm > 0
+                           THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                           ELSE 0.0 END >= 0.99),
+      e AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+      r AS (SELECT vec_id AS id, vec_id AS reach FROM corpus
+            UNION
+            SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
+      SELECT c.id AS vec_id, c.comp, z.n_members,
+             CASE WHEN c.id = c.comp THEN 1 ELSE 0 END AS keep
+      FROM comp c JOIN sizes z USING (comp)
+      ORDER BY vec_id"""
+  }
+
+  /** Semantic dedup over the full embedding corpus, SemDeDup-shaped:
+    * LSH-bucketed candidates → exact-cosine edges (≥ 0.99) → connected
+    * components → keep the min-id representative per cluster. Never
+    * O(corpus²): the only wide ops are the (table, bucket) band join and
+    * the component label shuffles. The corpus plants a deterministic
+    * near-twin for every 5th vector (component-wise ×(1 + (i%5−2)/10³),
+    * cosine ≈ 0.999999 vs a 0.513 max between distinct originals — the
+    * synthesized-evidence pattern dedup_lines uses), so every scale has a
+    * non-trivial planted cluster set: each twin MUST land in its
+    * original's component and lose (keep = 0). Fully oracle-replayable —
+    * md5-derived planes, IEEE left-fold cosine, recursive-CTE closure. */
+  val dedupSemantic = QueryDef("dedup_semantic",
+    (s, dir) => {
+      val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
+              .cast("float")).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val pairs = Similarity.lshNearDupPairs(corpus, threshold = 0.99, semPlaneMatrix)
+      val comps = Components.connectedComponents(
+        corpus.select(col("vec_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val sizes = comps.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      comps.join(sizes, "comp")
+        .select(col("id").as("vec_id"), col("comp"), col("n_members"),
+          when(col("id") === col("comp"), 1).otherwise(0).as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(semDedupOracleSql))
+
+  // ── dedup_representative ────────────────────────────────────────────────
+
+  private def representativeOracleSql: String = {
+    val k = 32; val bands = 8; val rpb = 4
+    val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
+    val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+      kd AS (SELECT doc_id, text, $toksSql AS toks,
+          md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_hash
+        FROM documents),
+      g AS (SELECT content_hash, MIN(doc_id) AS keep_id FROM kd GROUP BY content_hash),
+      wk AS (SELECT kd.doc_id, kd.text, kd.toks, g.keep_id
+             FROM kd JOIN g USING (content_hash)),
+      d AS (SELECT doc_id, toks FROM wk WHERE doc_id = keep_id),
+      gsh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      ex AS (SELECT doc_id, UNNEST(sh) AS t FROM gsh),
+      th AS (SELECT doc_id,
+        CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
+        CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
+      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      bd AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id),
+      est AS (SELECT id_a, id_b FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b
+              WHERE CAST($estSum AS DOUBLE) / $k >= 0.35),
+      tj AS (SELECT c.id_a, c.id_b
+             FROM est c JOIN gsh ga ON ga.doc_id = c.id_a JOIN gsh gb ON gb.doc_id = c.id_b
+             WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+                   CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) >= 0.5),
+      e AS (SELECT id_a AS src, id_b AS dst FROM tj UNION SELECT id_b, id_a FROM tj),
+      r AS (SELECT doc_id AS id, doc_id AS reach FROM d
+            UNION
+            SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      q AS (SELECT doc_id, keep_id,
+        ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / 100.0) * 0.4 +
+              (CAST(1.0 AS DOUBLE) -
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END) * 0.3 +
+              CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END * 0.3, 6) AS quality
+        FROM wk),
+      mem AS (SELECT q.doc_id, c.comp, q.quality
+              FROM q JOIN comp c ON q.keep_id = c.id),
+      mq AS (SELECT comp, MAX(quality) AS mxq FROM mem GROUP BY comp),
+      reps AS (SELECT m.comp, MIN(m.doc_id) AS rep_id
+               FROM mem m JOIN mq ON m.comp = mq.comp AND m.quality = mq.mxq
+               GROUP BY m.comp)
+      SELECT m.doc_id, m.comp, m.quality, rp.rep_id,
+             CASE WHEN m.doc_id = rp.rep_id THEN 1 ELSE 0 END AS keep
+      FROM mem m JOIN reps rp USING (comp)
+      ORDER BY m.doc_id"""
+  }
+
+  /** Duplicate-cluster representative selection by QUALITY — production
+    * near-dup dedup keeps the best document of each cluster, not the
+    * lowest id (a crawl's canonical page beats its mirror with truncated
+    * boilerplate). Chain: exact bag-of-words dedup FIRST, then md5-minhash
+    * → LSH bands → est-prescreened exact-Jaccard edges over the exact
+    * SURVIVORS only → connected components → verdicts expanded back over
+    * every doc through its content group's keep_id; per cluster keep the
+    * max-quality member, ties to min doc_id.
+    *
+    * The exact pre-stage is LOAD-BEARING at scale, not an optimization
+    * nicety: running LSH over a corpus that still contains exact-dup
+    * groups makes every group of m identical docs band into the same
+    * buckets and emit m² candidate pairs each shipping two shingle
+    * arrays — measured 20.3 s at sf0.1 without the stage vs ~5 s with it
+    * (same lesson at 100 TB, where m reaches millions for boilerplate
+    * pages). Representative semantics are unchanged by the expansion: an
+    * exact group's members tie on quality (identical text) and its
+    * keep_id is the group's min doc_id, so the tie-break elects the
+    * survivor either way. */
+  val dedupRepresentative = QueryDef("dedup_representative",
+    (s, dir) => {
+      val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val keyed = docs.withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
+      val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
+      val withKeep = keyed.join(groups, "content_hash").localCheckpoint()
+      val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("text"))
+      val sh = survivors
+        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+        .localCheckpoint() // read by signatures + both verification joins
+      // Checkpoint the signatures: the band self-join otherwise carries the
+      // 32-permutation signature tree on BOTH sides and Catalyst analysis
+      // of the doubled tree dominates construction (measured +6 s plan).
+      val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+        .select("doc_id", "sig").localCheckpoint()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+          bands = 8, rowsPerBand = 4, replayable = true)
+        .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
+        .filter(col("est") >= 0.35)
+      val edges = pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("tj", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("tj") >= 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comps = Components.connectedComponents(
+        survivors.select(col("doc_id").as("id")), edges)
+      val members = withKeep
+        .select(col("doc_id"), col("keep_id"), qualityScore(col("text")).as("quality"))
+        .join(comps, col("keep_id") === comps("id"))
+        .select(col("doc_id"), col("comp"), col("quality"))
+      val mq = members.groupBy("comp").agg(max(col("quality")).as("mxq"))
+      val reps = members.join(mq, "comp")
+        .filter(col("quality") === col("mxq"))
+        .groupBy("comp").agg(min(col("doc_id")).as("rep_id"))
+      members.join(reps, "comp")
+        .select(col("doc_id"), col("comp"), col("quality"), col("rep_id"),
+          when(col("doc_id") === col("rep_id"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(representativeOracleSql))
+
+  // ── corpus_overlap ──────────────────────────────────────────────────────
+
+  private def corpusOverlapOracleSql: String = {
+    val k = 32
+    s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+      gsh AS (SELECT source,
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                 for i in generate_series(1, len(toks) - 2)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      ex AS (SELECT DISTINCT source, t
+             FROM (SELECT source, UNNEST(sh) AS t FROM gsh)),
+      th AS (SELECT DISTINCT source,
+        CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM ex),
+      bh AS (SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM th),
+      bk AS (SELECT source, list_sort(list(h)) AS hs
+             FROM bh WHERE rn <= $k GROUP BY source),
+      cnt AS (SELECT source, COUNT(*) AS n FROM ex GROUP BY source),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ni
+                FROM ex a JOIN ex b ON a.t = b.t AND a.source < b.source
+                GROUP BY 1, 2),
+      pairs AS (SELECT ca.source AS src_a, cb.source AS src_b,
+                       ca.n AS n_a, cb.n AS n_b
+                FROM cnt ca JOIN cnt cb ON ca.source < cb.source)
+      SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        COALESCE(i.ni, 0) AS n_inter,
+        CAST(COALESCE(i.ni, 0) AS DOUBLE) /
+          CAST(p.n_a + p.n_b - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard,
+        CAST(len(list_filter(list_sort(list_distinct(sa.hs || sb.hs))[1:$k],
+               x -> list_contains(sa.hs, x) AND list_contains(sb.hs, x))) AS DOUBLE) / $k
+          AS est_jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+      JOIN bk sa ON sa.source = p.src_a
+      JOIN bk sb ON sb.source = p.src_b
+      ORDER BY p.src_a, p.src_b"""
+  }
+
+  /** Corpus-pair similarity: for every pair of sources, the Jaccard of
+    * their distinct word-3-shingle SETS — dataset-level contamination /
+    * diversity measurement (is src_a a re-crawl of src_b? how much do two
+    * vendors' corpora overlap?). Two estimators side by side, both
+    * hash-checked: the EXACT Jaccard (distinct-shingle equi-join — fine
+    * at verification scale, corpus-sized shuffle at 100 TB) and a
+    * bottom-k (KMV) sketch estimate (Broder'97 single-permutation
+    * min-wise sampling; Bar-Yossef et al.'02 distinct-value KMV): per
+    * source keep the k = 32 SMALLEST md5 shingle hashes — one md5 per
+    * shingle, a mergeable bounded sketch — and estimate
+    * J ≈ |bottomk(A∪B) ∩ botA ∩ botB| / k, std err √(J(1−J)/k). The
+    * sketch path compares 100 TB corpora with a 190-row join of
+    * 32-element arrays. Having the oracle pin the estimate beside the
+    * exact value IS the accuracy evidence (the visible-verdict pattern
+    * from approx_distinct). Why bottom-k and not the K-M k-permutation
+    * signature: see [[graft.operators.Dedup.bottomKSketch]] — the
+    * permutation minima collapse into one correlated coin at corpus
+    * set sizes (measured |est − exact| up to 0.97 on this table). */
+  val corpusOverlap = QueryDef("corpus_overlap",
+    (s, dir) => {
+      val k = 32
+      val docs = table(s, dir, "documents").select(col("source"), col("text"))
+      val ex = docs
+        .select(col("source"), explode(wordShingles(col("text"), 3)).as("t"))
+        .distinct()
+        .localCheckpoint() // read by the sketch agg, both exact-join sides, counts
+      val bottomK = Dedup.bottomKSketch(ex, "source", "t", k)
+      val counts = ex.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ex.select(col("source").as("src_a"), col("t"))
+        .join(ex.select(col("source").as("src_b"), col("t")), "t")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("ni"))
+      val pairs = counts.select(col("source").as("src_a"), col("n").as("n_a"))
+        .join(counts.select(col("source").as("src_b"), col("n").as("n_b")),
+          col("src_a") < col("src_b"))
+      pairs
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(bottomK.select(col("source").as("src_a"), col("hs").as("ha")), "src_a")
+        .join(bottomK.select(col("source").as("src_b"), col("hs").as("hb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("ni"), lit(0L)).as("n_inter"),
+          (coalesce(col("ni"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("ni"), lit(0L))).cast("double"))
+            .as("jaccard"),
+          Dedup.kmvJaccardEst(col("ha"), col("hb"), k).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(corpusOverlapOracleSql))
+
+  val defs: Seq[QueryDef] = Seq(dedupSemantic, dedupRepresentative, corpusOverlap)
+}

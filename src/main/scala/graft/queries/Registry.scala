@@ -6,5 +6,5 @@ object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ ExtensionQueries.defs ++ PipelineQueries.defs ++
-      MiscQueries.defs ++ CurationQueries.defs
+      MiscQueries.defs ++ CurationQueries.defs ++ DatasetQueries.defs
 }

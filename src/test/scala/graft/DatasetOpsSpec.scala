@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Laws for the dataset-level curation operators (dedup_semantic /
+  * dedup_representative / corpus_overlap carry the oracle evidence; these
+  * pin the operator guarantees on constructed inputs). */
+class DatasetOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val semPlanes = Similarity.md5Planes(8, 4, 16, "graft-semdedup-spec")
+
+  test("lshNearDupPairs finds every exact twin and verifies every pair") {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(6)(Array.fill(16)(rng.nextGaussian()))
+    val base = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    // exact twins: identical vectors bucket identically in EVERY table,
+    // so candidate recall for them is structural, not probabilistic
+    val twins = base.filter(_._1 % 10 == 0).map { case (id, v) => (id + 1000L, v) }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(corpus, threshold = 0.999, semPlanes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wantTwins = base.filter(_._1 % 10 == 0).map { case (id, _) => (id, id + 1000L) }.toSet
+    assert(wantTwins.subsetOf(pairs),
+      s"missed twin pairs: ${wantTwins -- pairs}")
+    // every emitted pair really is >= threshold (exact verification ran)
+    val sims = Similarity.lshNearDupPairs(corpus, threshold = 0.999, semPlanes)
+      .select("sim").as[Double].collect()
+    assert(sims.forall(_ >= 0.999))
+  }
+
+  test("lshNearDupPairs emits each candidate pair once (multi-table dedup)") {
+    val v = Seq(0.5f, -1.0f, 2.0f, 0.25f) ++ Seq.fill(12)(0.1f)
+    val corpus = Seq((1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
+    val rows = Similarity.lshNearDupPairs(corpus, threshold = 0.5, semPlanes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toList
+    assert(rows.sorted == List((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("KMV bottom-k Jaccard estimate: exact on identical sets, 3-sigma on known overlap") {
+    val k = 32
+    val a = (0 until 300).map(i => ("A", s"item$i"))
+    val b = (150 until 450).map(i => ("B", s"item$i")) // J = 150/450 = 1/3
+    val c = (0 until 300).map(i => ("C", s"item$i"))   // identical to A
+    val ex = (a ++ b ++ c).toDF("source", "t")
+    val bk = Dedup.bottomKSketch(ex, "source", "t", k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(bk.values.forall(hs => hs.length == k && hs == hs.sorted))
+    def est(x: String, y: String): Double =
+      Seq((bk(x), bk(y))).toDF("ha", "hb")
+        .select(Dedup.kmvJaccardEst(col("ha"), col("hb"), k)).as[Double].head()
+    assert(est("A", "C") == 1.0)
+    val e = est("A", "B")
+    // sigma = sqrt(J(1-J)/k) ~= 0.083; allow 3 sigma around 1/3
+    assert(math.abs(e - 1.0 / 3.0) <= 0.25, s"KMV estimate $e too far from 1/3")
+  }
+
+  test("bottomKSketch merge law: bottom-k of a union = re-sketch of concatenated input") {
+    val k = 16
+    val a = (0 until 200).map(i => ("A", s"x$i"))
+    val b = (100 until 300).map(i => ("B", s"x$i"))
+    val merged = (a ++ b).map { case (_, t) => ("M", t) }
+    val ex = (a ++ b ++ merged).toDF("source", "t")
+    val bk = Dedup.bottomKSketch(ex, "source", "t", k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val mergedFromSketches = (bk("A") ++ bk("B")).distinct.sorted.take(k)
+    assert(bk("M") == mergedFromSketches)
+  }
+
+  test("dedup_representative law on testdata: one rep per cluster, max quality, tie to min id") {
+    val out = graft.queries.DatasetQueries.dedupRepresentative
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("doc_id", "comp", "quality", "rep_id", "keep")
+      .as[(Long, Long, Double, Long, Int)].collect()
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      val keeps = members.filter(_._5 == 1)
+      assert(keeps.length == 1, s"cluster $comp has ${keeps.length} reps")
+      val rep = keeps.head
+      val maxQ = members.map(_._3).max
+      assert(rep._3 == maxQ, s"cluster $comp rep quality ${rep._3} < max $maxQ")
+      val minIdAtMax = members.filter(_._3 == maxQ).map(_._1).min
+      assert(rep._1 == minIdAtMax && members.forall(_._4 == rep._1))
+    }
+  }
+
+  test("dedup_semantic law on testdata: every planted twin loses to its original") {
+    val out = graft.queries.DatasetQueries.dedupSemantic
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("vec_id", "comp", "keep").as[(Long, Long, Int)].collect()
+    val planted = out.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, comp, keep) =>
+      assert(keep == 0 && comp == id - 1000000L,
+        s"twin $id: comp=$comp keep=$keep (want comp=${id - 1000000L} keep=0)")
+    }
+    assert(out.filter(_._1 < 1000000L).forall(_._3 == 1))
+  }
+}
