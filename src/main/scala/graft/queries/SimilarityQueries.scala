@@ -158,12 +158,13 @@ object SimilarityQueries {
     None)
 
   /** ANN recall@k vs in-engine brute force, registered as evidence: one
-    * row per approximate method with (method, k, n_queries, hits, recall)
-    * — and each row is EMITTED ONLY IF recall ≥ 0.9, so the driver's
-    * rows-only smoke check (rows > 0, here exactly 2) certifies the
-    * recall floor instead of a bare row count: a missing row IS a recall
-    * regression. Deterministic end-to-end (seeded planes/centroids,
-    * exact tie-break ordering), so reruns emit identical rows. */
+    * row per approximate method (ivf, lsh, pq) with (method, k,
+    * n_queries, hits, recall) — and each row is EMITTED ONLY IF
+    * recall ≥ 0.9, so the driver's rows-only smoke check (rows > 0, here
+    * exactly 3) certifies the recall floor instead of a bare row count:
+    * a missing row IS a recall regression. Deterministic end-to-end
+    * (seeded planes/centroids/codebooks, exact tie-break ordering), so
+    * reruns emit identical rows. */
   val annRecall = QueryDef("ann_recall",
     (s, dir) => {
       val k = annK
@@ -189,7 +190,11 @@ object SimilarityQueries {
       val lsh = Similarity.lshTopKPlanes(emb, queries, k, lshPlaneMatrix)
       val ivf = graft.operators.Ivf.topK(
         graft.operators.Ivf.build(emb, nLists = ivfLists), queries, k, nProbe = ivfProbe)
+      val pqCb = graft.operators.Pq.train(emb, dim = 64)
+      val pq = graft.operators.Pq.adcRerankTopK(
+        graft.operators.Pq.encode(emb, pqCb), emb, queries, pqCb, k)
       recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
+        .unionByName(recallOf("pq", pq))
         .orderBy("method")
     },
     None)

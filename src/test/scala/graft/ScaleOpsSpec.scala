@@ -46,7 +46,9 @@ class ScaleOpsSpec extends AnyFunSuite {
       val c = centers(i % 8)
       (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.15).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
-    val cb = Pq.train(vecs, dim = 64)
+    // 4-bit codes here (16 centroids): the coarse config that NEEDS the
+    // re-rank; the registered query uses the 8-bit (256) default
+    val cb = Pq.train(vecs, dim = 64, nCentroids = 16)
     assert(cb.nSub == 4 && cb.subDim == 16 && cb.centers.forall(_.length == 16))
     val codes = Pq.encode(vecs, cb).select("vec_id", "code")
     val c1 = codes.as[(Long, Seq[Int])].collect().toMap
