@@ -140,6 +140,61 @@ object ScaleProbe {
         noop(Components.connectedComponents(nodes, edges,
           algorithm = Components.StarContraction))
       },
+      "pq_ann" -> { m =>
+        // exhaustive-ADC shape: corpus×queries aggregate with 4 table
+        // lookups per candidate (queries fixed, so time ∝ corpus)
+        val emb = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val queries = emb.filter(col("vec_id") < 100000000L && col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cb = graft.operators.Pq.train(emb, dim = 64)
+        val codes = graft.operators.Pq.encode(emb, cb)
+        noop(graft.operators.Pq.adcRerankTopK(codes, emb, queries, cb, k = 5,
+          shortlist = 60))
+      },
+      "semantic_dedup" -> { m =>
+        // replicas are direction-salted (per-replica elementwise factors,
+        // amplitude 0.15 → cross-replica cosine ≲ 0.95) so only each
+        // replica's PLANTED twins pass the 0.99 gate and the verified
+        // pair count stays linear — a naive copy would make every vector
+        // an m-way exact dup and square the pair space
+        val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val rep = (col("vec_id") / 100000000L).cast("int")
+        val base = emb0.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((i * (rep + 1)) % 11) - 5).cast("double") * 0.15)).cast("float")))
+          .localCheckpoint(false)
+        val planted = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
+                .cast("float")).as("embedding"))
+        val corpus = base.unionByName(planted)
+        val pairs = graft.operators.Similarity.lshNearDupPairs(corpus, 0.99,
+          graft.operators.Similarity.md5Planes(8, 4, 64, "graft-semdedup"))
+        noop(Components.connectedComponents(
+          corpus.select(col("vec_id").as("id")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst"))))
+      },
+      "corpus_overlap" -> { m =>
+        // 20 sources, 10× the distinct shingles per source: times the
+        // bottom-k window sketch and the exact intersect join at set
+        // sizes the sketch exists to avoid
+        val ex = docs(m)
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("t"))
+          .distinct().localCheckpoint(false)
+        val bk = Dedup.bottomKSketch(ex, "source", "t", 32)
+        val inter = ex.select(col("source").as("src_a"), col("t"))
+          .join(ex.select(col("source").as("src_b"), col("t")), "t")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("ni"))
+        noop(inter.join(bk.select(col("source").as("src_a"), col("hs").as("ha")), "src_a")
+          .join(bk.select(col("source").as("src_b"), col("hs").as("hb")), "src_b")
+          .withColumn("est", Dedup.kmvJaccardEst(col("ha"), col("hb"), 32)))
+      },
       "dedup_corpus" -> { m =>
         // the composed exact → minhash-LSH → components chain (the
         // pipeline_dedup_corpus shape, thresholds included)

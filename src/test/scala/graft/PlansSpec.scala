@@ -156,6 +156,18 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "signature must stay a narrow map (no shuffle)")
   }
 
+  test("semantic-dedup candidate generation is a bucket equi-join, never a nested loop") {
+    import spark.implicits._
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Seq.fill(16)((i % 7).toFloat + 0.25f)))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.lshNearDupPairs(corpus, 0.99,
+      graft.operators.Similarity.md5Planes(8, 4, 16, "graft-semdedup-spec"))
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to an all-pairs join:\n$p")
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + scattered tail
