@@ -223,7 +223,7 @@ object Ivf {
   }
 
   /** The `nProbe` nearest list ids for each query vector. */
-  private def probeLists(qvec: Column, centers: Array[Array[Double]], nProbe: Int): Column =
+  private[operators] def probeLists(qvec: Column, centers: Array[Array[Double]], nProbe: Int): Column =
     probes(qvec, centers, nProbe)
 
   /** Approximate top-k: probe `nProbe` lists per query, exact cosine rank

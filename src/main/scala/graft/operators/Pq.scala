@@ -85,14 +85,12 @@ object Pq {
       nearestSub(slice(col(vecCol), s * cb.subDim + 1, cb.subDim), cb.centers(s))
     }: _*))
 
-  /** ADC approximate top-k: the bounded query set collects once, its
-    * nSub×nCentroids distance tables broadcast as a tiny lookup frame,
-    * and the corpus side is explode → equi-join → partial-agg sum →
-    * bounded-heap rank. Ties break (distance asc, id asc). */
-  def adcTopK(codes: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
-              idCol: String = "vec_id", codeCol: String = "code",
-              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val spark = codes.sparkSession
+  /** Per-query ADC lookup table as a broadcastable frame: (qid, sub,
+    * code_val, dist) — exact query-to-subcentroid squared distances, the
+    * nSub×nCentroids table ADC search replaces float math with. */
+  private def adcLut(queries: DataFrame, cb: Codebooks,
+                     qidCol: String, qvecCol: String): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val qs = queries.select(col(qidCol), col(qvecCol)).as[(Long, Seq[Float])].collect()
     val lut = for {
@@ -109,9 +107,41 @@ object Pq {
       }
       (qid, s, j, d)
     }
-    val lutDf = lut.toDF(qidCol, "sub", "code_val", "dist")
+    lut.toDF(qidCol, "sub", "code_val", "dist")
+  }
+
+  /** Summed ADC distance per (query, candidate) → bounded-heap top-k.
+    * `exploded` must carry (qidCol, idCol, sub, code_val). */
+  private def adcRank(exploded: DataFrame, lut: DataFrame, k: Int,
+                      qidCol: String, idCol: String): DataFrame =
+    exploded
+      .join(broadcast(lut), Seq(qidCol, "sub", "code_val"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("dist")).as("adc_dist"))
+      .withColumn("sim", -col("adc_dist"))
+      .transform(Similarity.rankTopK(_, k, qidCol, idCol))
+
+  /** Exact-cosine re-rank of a shortlist: float vectors are fetched for
+    * the shortlist rows ONLY (equi-join bounded at queries×shortlist). */
+  private def rerankExact(short: DataFrame, vectors: DataFrame, queries: DataFrame,
+                          k: Int, idCol: String, vecCol: String,
+                          qidCol: String, qvecCol: String): DataFrame =
+    short.select(col(qidCol), col(idCol))
+      .join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
+      .transform(Similarity.rankTopK(_, k, qidCol, idCol))
+
+  /** ADC approximate top-k: the bounded query set collects once, its
+    * nSub×nCentroids distance tables broadcast as a tiny lookup frame,
+    * and the corpus side is explode → equi-join → partial-agg sum →
+    * bounded-heap rank. Ties break (distance asc, id asc). */
+  def adcTopK(codes: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
+              idCol: String = "vec_id", codeCol: String = "code",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val lut = adcLut(queries, cb, qidCol, qvecCol)
     codes.select(col(idCol), posexplode(col(codeCol)).as(Seq("sub", "code_val")))
-      .join(broadcast(lutDf), Seq("sub", "code_val"))
+      .join(broadcast(lut), Seq("sub", "code_val"))
       .filter(col(idCol) =!= col(qidCol))
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("dist")).as("adc_dist"))
@@ -150,10 +180,47 @@ object Pq {
       math.min(4096L, math.max(12L * k, est / 20L)).toInt
     }
     val short = adcTopK(codes, queries, cb, c, idCol, codeCol, qidCol, qvecCol)
-    short.select(col(qidCol), col(idCol))
-      .join(vectors.select(col(idCol), col(vecCol)), idCol)
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
-      .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
-      .transform(Similarity.rankTopK(_, k, qidCol, idCol))
+    rerankExact(short, vectors, queries, k, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** IVF-PQ — the billion-vector index architecture (Jégou et al.'11's
+    * IVFADC shape): the coarse quantizer PRUNES (each query touches only
+    * its `nProbe` inverted lists), PQ codes make the within-list distance
+    * CHEAP (nSub lookups, no floats shipped), and the float vectors are
+    * fetched only for the final exact re-rank. Against plain
+    * [[adcRerankTopK]] the ADC aggregate shrinks from corpus×queries to
+    * (nProbe/nLists)·corpus×queries; against [[Ivf.topK]] the probed
+    * candidates ship 4-byte codes instead of full float vectors.
+    *
+    * Codes are raw-vector encodings under ONE global codebook — computed
+    * once corpus-wide, valid across lists — rather than the paper's
+    * per-list residual encodings (finer quantization, but codes must be
+    * re-derived against each list centroid). The exact re-rank absorbs
+    * the precision difference; the recall floor is certified by
+    * `ann_recall` on the registered parameters either way. */
+  def ivfPqTopK(index: Ivf.Index, cb: Codebooks, queries: DataFrame, k: Int,
+                nProbe: Int, shortlist: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                codeCol: String = "code",
+                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val c = if (shortlist > 0) shortlist else {
+      val stats = index.assigned.queryExecution.optimizedPlan.stats
+      val defaultRow = math.max(1, index.assigned.schema.map(_.dataType.defaultSize).sum)
+      val est = stats.rowCount.map(_.toLong)
+        .getOrElse((stats.sizeInBytes / defaultRow).toLong).max(1L)
+      math.min(4096L, math.max(12L * k, est / 20L)).toInt
+    }
+    val codes = encode(index.assigned, cb, vecCol, codeCol)
+      .select(col("list_id"), col(idCol), col(codeCol))
+    val probed = queries
+      .withColumn("list_id", explode(Ivf.probeLists(col(qvecCol), index.centers, nProbe)))
+      .select(col(qidCol), col("list_id"))
+    val exploded = codes.join(broadcast(probed), Seq("list_id"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        posexplode(col(codeCol)).as(Seq("sub", "code_val")))
+    val lut = adcLut(queries, cb, qidCol, qvecCol)
+    val short = adcRank(exploded, lut, c, qidCol, idCol)
+    rerankExact(short, index.assigned, queries, k, idCol, vecCol, qidCol, qvecCol)
   }
 }

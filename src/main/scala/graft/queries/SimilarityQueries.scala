@@ -157,11 +157,27 @@ object SimilarityQueries {
     },
     None)
 
+  /** IVF-PQ composed index ([[graft.operators.Pq.ivfPqTopK]]): coarse
+    * quantizer prunes to `nProbe` lists, PQ ADC scores the probed
+    * candidates from 4-byte codes, floats fetched for the exact re-rank
+    * only — the billion-vector architecture assembled from the two
+    * registered pieces. Engine-trained centroids+codebooks → rows-only
+    * check + the `ann_recall` floor. */
+  val annIvfPqTopK = QueryDef("ann_ivfpq_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val index = graft.operators.Ivf.build(emb, nLists = ivfLists)
+      val cb = graft.operators.Pq.train(emb, dim = 64)
+      graft.operators.Pq.ivfPqTopK(index, cb, annQueries(emb), k = annK, nProbe = ivfProbe)
+        .orderBy("qid", "rank")
+    },
+    None)
+
   /** ANN recall@k vs in-engine brute force, registered as evidence: one
-    * row per approximate method (ivf, lsh, pq) with (method, k,
+    * row per approximate method (ivf, ivfpq, lsh, pq) with (method, k,
     * n_queries, hits, recall) — and each row is EMITTED ONLY IF
     * recall ≥ 0.9, so the driver's rows-only smoke check (rows > 0, here
-    * exactly 3) certifies the recall floor instead of a bare row count:
+    * exactly 4) certifies the recall floor instead of a bare row count:
     * a missing row IS a recall regression. Deterministic end-to-end
     * (seeded planes/centroids/codebooks, exact tie-break ordering), so
     * reruns emit identical rows. */
@@ -193,8 +209,11 @@ object SimilarityQueries {
       val pqCb = graft.operators.Pq.train(emb, dim = 64)
       val pq = graft.operators.Pq.adcRerankTopK(
         graft.operators.Pq.encode(emb, pqCb), emb, queries, pqCb, k)
-      recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
-        .unionByName(recallOf("pq", pq))
+      val ivfpq = graft.operators.Pq.ivfPqTopK(
+        graft.operators.Ivf.build(emb, nLists = ivfLists), pqCb, queries, k,
+        nProbe = ivfProbe)
+      recallOf("ivf", ivf).unionByName(recallOf("ivfpq", ivfpq))
+        .unionByName(recallOf("lsh", lsh)).unionByName(recallOf("pq", pq))
         .orderBy("method")
     },
     None)
@@ -236,5 +255,5 @@ object SimilarityQueries {
       FROM q ORDER BY vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annPqTopK, annRecall, quantizeEmbeddings)
+    annIvfTopK, annPqTopK, annIvfPqTopK, annRecall, quantizeEmbeddings)
 }

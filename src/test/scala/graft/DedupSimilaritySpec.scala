@@ -204,14 +204,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("registered ann_recall query certifies recall >= 0.9 for ALL THREE methods") {
-    // The query filters on recall >= 0.9 before emitting, so three rows ⟺
-    // all headline ANN queries (ivf, lsh, pq) hold the floor on the real
-    // embeddings table with their registered parameters.
+  test("registered ann_recall query certifies recall >= 0.9 for ALL FOUR methods") {
+    // The query filters on recall >= 0.9 before emitting, so four rows ⟺
+    // all headline ANN queries (ivf, ivfpq, lsh, pq) hold the floor on
+    // the real embeddings table with their registered parameters.
     val out = graft.SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
       .select("method", "k", "recall")
       .as[(String, Long, Double)].collect().sortBy(_._1)
-    assert(out.map(_._1).toSeq == Seq("ivf", "lsh", "pq"), s"missing method row: ${out.mkString(",")}")
+    assert(out.map(_._1).toSeq == Seq("ivf", "ivfpq", "lsh", "pq"), s"missing method row: ${out.mkString(",")}")
     out.foreach { case (m, k, r) =>
       assert(k == 5L)
       assert(r >= 0.9, s"$m recall $r below floor")
