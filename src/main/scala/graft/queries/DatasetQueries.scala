@@ -329,5 +329,33 @@ object DatasetQueries {
     },
     Some(corpusOverlapOracleSql))
 
-  val defs: Seq[QueryDef] = Seq(dedupSemantic, dedupRepresentative, corpusOverlap)
+  // ── shard_assign ────────────────────────────────────────────────────────
+
+  /** Token-balanced training-shard assignment
+    * ([[graft.operators.Sharding.snakeShards]]): snake-deal the
+    * size-sorted corpus into 8 shards so data loaders see near-equal
+    * token totals. The whole assignment is a pure function of the global
+    * (n_tokens desc, doc_id) rank, so the oracle replays rank, shard and
+    * the resulting totals exactly; ShardingSpec pins the balance law
+    * (max−min shard total ≤ one round's spread). */
+  val shardAssign = QueryDef("shard_assign",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sharding.snakeShards(docs, nShards = 8, "n_tokens", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("rank"), col("shard"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+        CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+              ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rank
+            FROM t)
+      SELECT doc_id, n_tokens, rank,
+        CAST(CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                  ELSE 7 - (rank % 8) END AS BIGINT) AS shard
+      FROM r ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(dedupSemantic, dedupRepresentative, corpusOverlap, shardAssign)
 }

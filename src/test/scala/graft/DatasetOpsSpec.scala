@@ -74,6 +74,29 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(bk("M") == mergedFromSketches)
   }
 
+  test("snakeShards: dense unique ranks, pure rank arithmetic, balanced totals") {
+    import graft.operators.Sharding
+    val rng = new scala.util.Random(5)
+    val docs = (0 until 500).map(i => (i.toLong, 10L + rng.nextInt(990)))
+      .toDF("doc_id", "n_tokens")
+    val out = Sharding.snakeShards(docs, 8, "n_tokens", "doc_id")
+      .select("doc_id", "n_tokens", "rank", "shard")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._3).sorted.toSeq == (0L until 500L))
+    // rank order IS (n_tokens desc, doc_id asc)
+    val byRank = out.sortBy(_._3)
+    assert(byRank.map(r => (-r._2, r._1)).toSeq == byRank.map(r => (-r._2, r._1)).sortBy(identity).toSeq)
+    // shard is the snake function of rank
+    out.foreach { case (_, _, rank, shard) =>
+      val want = if ((rank / 8) % 2 == 0) rank % 8 else 7 - rank % 8
+      assert(shard == want)
+    }
+    // balance: max-min shard token totals within one item's weight
+    val totals = out.groupBy(_._4).map(_._2.map(_._2).sum)
+    assert(totals.max - totals.min <= out.map(_._2).max,
+      s"shard totals spread ${totals.max - totals.min} exceeds max doc size")
+  }
+
   test("dedup_representative law on testdata: one rep per cluster, max quality, tie to min id") {
     val out = graft.queries.DatasetQueries.dedupRepresentative
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
