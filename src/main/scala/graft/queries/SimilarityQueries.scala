@@ -204,13 +204,13 @@ object SimilarityQueries {
               .as("recall"))
       }
       val lsh = Similarity.lshTopKPlanes(emb, queries, k, lshPlaneMatrix)
-      val ivf = graft.operators.Ivf.topK(
-        graft.operators.Ivf.build(emb, nLists = ivfLists), queries, k, nProbe = ivfProbe)
+      // one index build + one codebook train feed all quantized methods
+      val index = graft.operators.Ivf.build(emb, nLists = ivfLists)
       val pqCb = graft.operators.Pq.train(emb, dim = 64)
+      val ivf = graft.operators.Ivf.topK(index, queries, k, nProbe = ivfProbe)
       val pq = graft.operators.Pq.adcRerankTopK(
         graft.operators.Pq.encode(emb, pqCb), emb, queries, pqCb, k)
-      val ivfpq = graft.operators.Pq.ivfPqTopK(
-        graft.operators.Ivf.build(emb, nLists = ivfLists), pqCb, queries, k,
+      val ivfpq = graft.operators.Pq.ivfPqTopK(index, pqCb, queries, k,
         nProbe = ivfProbe)
       recallOf("ivf", ivf).unionByName(recallOf("ivfpq", ivfpq))
         .unionByName(recallOf("lsh", lsh)).unionByName(recallOf("pq", pq))
