@@ -215,11 +215,18 @@ object Dedup {
   }
 
   /** Jaccard estimate from two [[bottomKSketch]] arrays:
-    * |bottomk(A∪B) ∩ botA ∩ botB| / k. */
+    * |X ∩ botA ∩ botB| / |X| with X = bottom-k of A∪B (assembled from
+    * the two sketches). The denominator is |X|, NOT k: when the union
+    * has fewer than k distinct hashes X is the ENTIRE union and the
+    * estimate is exact (identical small sets → 1.0, disjoint → 0.0);
+    * dividing by k would bias every small-set estimate toward 0. */
   def kmvJaccardEst(ha: Column, hb: Column, k: Int): Column = {
     val unionBotK = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
-    size(filter(unionBotK, x => array_contains(ha, x) && array_contains(hb, x)))
-      .cast("double") / k
+    val common = size(filter(unionBotK, x =>
+      array_contains(ha, x) && array_contains(hb, x)))
+    when(size(unionBotK) > 0,
+      common.cast("double") / size(unionBotK).cast("double"))
+      .otherwise(lit(0.0))
   }
 
   /** Oracle-replayable 60-bit SimHash: md5-keyed token hashes, bit votes

@@ -271,7 +271,8 @@ object DatasetQueries {
         CAST(COALESCE(i.ni, 0) AS DOUBLE) /
           CAST(p.n_a + p.n_b - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard,
         CAST(len(list_filter(list_sort(list_distinct(sa.hs || sb.hs))[1:$k],
-               x -> list_contains(sa.hs, x) AND list_contains(sb.hs, x))) AS DOUBLE) / $k
+               x -> list_contains(sa.hs, x) AND list_contains(sb.hs, x))) AS DOUBLE) /
+          CAST(len(list_sort(list_distinct(sa.hs || sb.hs))[1:$k]) AS DOUBLE)
           AS est_jaccard
       FROM pairs p
       LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b

@@ -62,6 +62,20 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(math.abs(e - 1.0 / 3.0) <= 0.25, s"KMV estimate $e too far from 1/3")
   }
 
+  test("KMV estimate is EXACT below sketch capacity (denominator is |union|, not k)") {
+    val k = 32
+    val small = (0 until 10).map(i => ("S1", s"w$i")) ++
+      (0 until 10).map(i => ("S2", s"w$i")) ++           // identical to S1
+      (5 until 15).map(i => ("S3", s"w$i"))              // J(S1,S3) = 5/15
+    val bk = Dedup.bottomKSketch(small.toDF("source", "t"), "source", "t", k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def est(x: String, y: String): Double =
+      Seq((bk(x), bk(y))).toDF("ha", "hb")
+        .select(Dedup.kmvJaccardEst(col("ha"), col("hb"), k)).as[Double].head()
+    assert(est("S1", "S2") == 1.0, s"identical small sets must estimate 1.0, got ${est("S1", "S2")}")
+    assert(est("S1", "S3") == 5.0 / 15.0, s"below capacity the estimate is exact")
+  }
+
   test("bottomKSketch merge law: bottom-k of a union = re-sketch of concatenated input") {
     val k = 16
     val a = (0 until 200).map(i => ("A", s"x$i"))
