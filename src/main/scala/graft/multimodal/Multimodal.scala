@@ -190,6 +190,33 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 9×8 grayscale PNG whose pixel (x, y) is the FIRST BYTE of
+    * md5("graft-dimg:seed:x:y") — the same value an external engine reads
+    * from the hex digest, so the downstream dHash is SQL-replayable: at
+    * the dHash's own 9×8 geometry the decode → drawImage downsample is
+    * the identity map, and the luma formula (v·299 + v·587 + v·114)/1000
+    * returns v exactly, so every gradient bit is a pure function of the
+    * md5 bytes. The `perturbed` twin adds +6 (clamped) to pixel (3, 2),
+    * feeding at most the two adjacent comparisons — ≤ 2 Hamming bits. */
+  def md5GrayPng(seed: Long, perturbed: Boolean = false): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val g = md.digest(s"graft-dimg:$seed:$x:$y".getBytes("UTF-8"))(0) & 0xff
+        val v = if (perturbed && x == 3 && y == 2) math.min(255, g + 6) else g
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Perceptual-hash stage: (media_id, phash, pixel_real). Decodable
     * images get the perceptual dHash (near-dup robust); everything else
     * the exact byte-content hash (exact-dup only). Downstream blocking

@@ -263,8 +263,73 @@ object ExtensionQueries {
     },
     None)
 
+  private def imageDhashOracleSql: String =
+    """WITH ids AS (
+        SELECT doc_id AS media_id, 0 AS pert, doc_id AS seed
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 10000, 1, doc_id
+        FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+      cells AS (SELECT media_id, pert, seed, gx.i AS x, gy.i AS y
+                FROM ids, generate_series(0, 8) gx(i), generate_series(0, 7) gy(i)),
+      px AS (SELECT media_id, x, y,
+               CASE WHEN pert = 1 AND x = 3 AND y = 2
+                    THEN LEAST(255, CAST(('0x' || substring(md5('graft-dimg:' || CAST(seed AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2)) AS INT) + 6)
+                    ELSE CAST(('0x' || substring(md5('graft-dimg:' || CAST(seed AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2)) AS INT)
+               END AS g
+             FROM cells),
+      cmp AS (SELECT a.media_id, a.y * 8 + a.x AS bit
+              FROM px a JOIN px b ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+              WHERE a.x < 8 AND a.g < b.g),
+      hs AS (SELECT ids.media_id,
+               CAST(COALESCE(SUM(CAST(1 AS UBIGINT) << cmp.bit), 0) AS UBIGINT) AS h
+             FROM ids LEFT JOIN cmp USING (media_id) GROUP BY ids.media_id),
+      bands AS (SELECT media_id, h, gb.i AS band_idx,
+                  (h >> (gb.i * 16)) & 65535 AS band_val
+                FROM hs, generate_series(0, 3) gb(i)),
+      cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 a.h AS ha, b.h AS hb
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.media_id < b.media_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+      ORDER BY id_a, id_b"""
+
+  /** Oracle COMPANION for dedup_image_dhash (the dedup_greedy_oracle
+    * pattern): the REAL decode → downsample → dHash → banded-Hamming
+    * machinery runs over 9×8 grayscale PNGs whose pixels are md5-derived
+    * ([[Multimodal.md5GrayPng]]) — at the dHash's own geometry the resize
+    * is the identity map, so every gradient bit is a pure function of the
+    * md5 hex an external engine can read, and DuckDB replays hashes,
+    * bands, the candidate join and the Hamming verdicts bit-for-bit.
+    * A +6-on-one-pixel twin (≤ 2 Hamming bits) is planted for every 10th
+    * id. The arbitrary-geometry resize path stays covered by
+    * dedup_image_dhash + ImageOpsSpec — this row moves the HASH + JOIN
+    * machinery under the hash oracle. */
+  val dedupImageDhashOracle = QueryDef("dedup_image_dhash_oracle",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val items = table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .flatMap { id =>
+          val base = Multimodal.MediaItem(id, "image", s"/synth/$id.png",
+            Multimodal.md5GrayPng(id))
+          if (id % 10 == 0)
+            Seq(base, Multimodal.MediaItem(id + 10000, "image",
+              s"/synth/${id}_twin.png", Multimodal.md5GrayPng(id, perturbed = true)))
+          else Seq(base)
+        }
+      val hashes = Multimodal.imageDHash(items)
+      graft.operators.Dedup.simhashPairs(hashes, "media_id", "phash", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+    Some(imageDhashOracleSql))
+
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, sessionizeQ, streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
-    asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash)
+    asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash,
+    dedupImageDhashOracle)
 }

@@ -142,4 +142,34 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(s2 == 0.0 && m2 == "predict_failed")
     assert(e2.exists(e => e.contains("first_err") && e.contains("bgr_err")))
   }
+
+  test("md5GrayPng: decode->resize is the identity, so dHash == direct md5 bit math") {
+    import graft.multimodal.Multimodal
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gray(seed: Long, x: Int, y: Int, perturbed: Boolean): Int = {
+      val g = md.digest(s"graft-dimg:$seed:$x:$y".getBytes("UTF-8"))(0) & 0xff
+      if (perturbed && x == 3 && y == 2) math.min(255, g + 6) else g
+    }
+    def directHash(seed: Long, perturbed: Boolean): Long = {
+      var h = 0L; var bit = 0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        if (gray(seed, x, y, perturbed) < gray(seed, x + 1, y, perturbed)) h |= (1L << bit)
+        bit += 1
+      }
+      h
+    }
+    // the law dedup_image_dhash_oracle's SQL replay rests on: the REAL
+    // decode -> drawImage(9x8) -> luma -> gradient path returns exactly
+    // the bits computed straight from the md5 bytes
+    for (seed <- Seq(0L, 7L, 10L, 123L); p <- Seq(false, true)) {
+      val engine = Multimodal.dhash64(Multimodal.md5GrayPng(seed, p))
+      assert(engine.contains(directHash(seed, p)),
+        s"seed=$seed perturbed=$p: engine $engine != direct ${directHash(seed, p)}")
+    }
+    // the planted twin sits within 2 Hamming bits of its original
+    for (seed <- Seq(0L, 10L, 50L)) {
+      val d = java.lang.Long.bitCount(directHash(seed, false) ^ directHash(seed, true))
+      assert(d <= 2, s"twin distance $d for seed $seed")
+    }
+  }
 }
