@@ -93,17 +93,30 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH banding (distinct id pairs sharing any band),
-    * each carrying both signatures for estimation/verification. */
+    * each carrying both signatures for estimation/verification.
+    *
+    * The band self-join and the distinct run over BARE (id_a, id_b) rows;
+    * signatures attach afterwards, once per surviving pair — the same
+    * ship-arrays-late shape as [[graft.operators.Similarity.lshNearDupPairs]].
+    * Carrying the two 32-element arrays THROUGH the join (sig shipped once
+    * per band row, then once per pre-distinct collision, then hashed inside
+    * a distinct over ~1 KB composite rows) measured 10.6× the rows but 30×
+    * the time at the 10× scale probe; id-only rows restore linear scaling.
+    * The candidate SET is unchanged, so oracle replays are unaffected. */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame = {
-    val a = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
-      .withColumnRenamed(idCol, "id_a").withColumnRenamed(sigCol, "sig_a")
-    val b = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
-      .withColumnRenamed(idCol, "id_b").withColumnRenamed(sigCol, "sig_b")
-    a.join(b, Seq("band_idx", "band_hash"))
+    val bd = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+    val ids = bd.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+      .join(bd.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .distinct()
+    ids
+      .join(df.select(col(idCol).as("id_a"), col(sigCol).as("sig_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(sigCol).as("sig_b")), "id_b")
+      .select("id_a", "id_b", "sig_a", "sig_b")
   }
 
   // ── Oracle-replayable (md5-keyed) variants ─────────────────────────────

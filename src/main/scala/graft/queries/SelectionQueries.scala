@@ -356,6 +356,164 @@ object SelectionQueries {
         CASE WHEN wt > 1.0 THEN 1 ELSE 0 END AS hi_weight
       FROM w ORDER BY doc_id"""))
 
+  // ── bpe_pair_counts ─────────────────────────────────────────────────────
+
+  /** Tokenizer-training prep: the FIRST BPE merge iteration's statistics
+    * (Sennrich et al. 2016) — adjacent character-pair counts over the
+    * corpus vocabulary, weighted by word frequency; the top pair is the
+    * first merge a BPE trainer would take. Two map-side-partial aggs (word
+    * counts, then pair counts over the per-word 2-gram explode — the
+    * [[graft.plans.CharNgrams]] one-pass kernel, duplicates kept) and a
+    * TakeOrdered top-30; ties broken by pair text so the cut is a total
+    * order. At 100 TB the pair space is bounded by alphabet², not corpus
+    * size — the classic reduce-side-tiny aggregation. */
+  val bpePairCounts = QueryDef("bpe_pair_counts",
+    (s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(charNgrams(col("w"), 2, distinct = false)).as("pair"))
+        .filter(length(col("pair")) === 2)
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(30)
+    },
+    Some(s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wc AS (SELECT w, COUNT(*) AS wcnt FROM tok GROUP BY w),
+      pr AS (SELECT wcnt,
+               UNNEST([substring(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+             FROM wc WHERE length(w) >= 2),
+      agg AS (SELECT pair, SUM(wcnt) AS n FROM pr GROUP BY pair)
+      SELECT pair, CAST(n AS BIGINT) AS n FROM agg
+      ORDER BY n DESC, pair ASC LIMIT 30"""))
+
+  // ── pipeline_select ─────────────────────────────────────────────────────
+
+  /** The composed selection funnel (the pipeline_dedup_corpus analog for
+    * SELECTION): per document, the three independent keep decisions —
+    * Gopher rule gate, DSIR importance (weight > 1 toward the
+    * stopword-dense target), temperature source rebalance — evaluated in
+    * one pass, with a `reason` column naming the FIRST failing stage
+    * (gate order mirrors production: cheap rules, then importance, then
+    * mix rebalance) and `selected` = all three agree. Every stage is the
+    * already-oracle-checked computation, so the composed verdict is one
+    * more hash-green row set rather than a new trust boundary. */
+  val pipelineSelect = QueryDef("pipeline_select",
+    (s, dir) => {
+      val B = 64
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("toks", tokens(col("text")))
+      // stage 1: gopher gate (integer-exact rules, as quality_gopher)
+      val n = size(col("toks")).cast("long")
+      val sumLen = aggregate(transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val nStop = size(filter(col("toks"), t => t.isin(enStopwords: _*))).cast("long")
+      val nAlpha = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
+      val nDistinct = size(array_distinct(col("toks"))).cast("long")
+      val gateOk = n >= 50 && n <= 100000 &&
+        sumLen >= n * 3 && sumLen <= n * 10 &&
+        nStop >= 2 && nAlpha * 5 >= n * 4 &&
+        (n - nDistinct) * 5 <= n * 3
+      // stage 2: dsir importance (same bucket tables as dsir_weights)
+      val withTarget = docs.withColumn("is_target",
+        size(filter(col("toks"), t => t.isin(enStopwords: _*))) * 25 >=
+          size(col("toks")) * 2 && size(col("toks")) > 0)
+      val counts = withTarget.select(col("is_target"), explode(col("toks")).as("tk"))
+        .withColumn("bk", hashBucket(col("tk"), "graft-dsir", B))
+        .groupBy("bk").agg(count(lit(1)).as("cr"),
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
+      val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
+      counts.foreach { r =>
+        val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+      }
+      val tr = cr.sum; val tt = ct.sum
+      val ratios = Array.tabulate(B) { b =>
+        ((ct(b) + 1).toDouble * (tr + B).toDouble) /
+          ((cr(b) + 1).toDouble * (tt + B).toDouble)
+      }
+      val ratioLit = array(ratios.map(lit): _*)
+      val wt = aggregate(col("toks"), lit(1.0), (acc, t) =>
+        acc * element_at(ratioLit, (hashBucket(t, "graft-dsir", B) + 1).cast("int")))
+      // stage 3: temperature keep (same rates as sample_temperature)
+      val tokCounts = docs.select(col("source"), tokenCount(col("text")).as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("n_min", min(col("n_tokens")).over(Window.partitionBy()))
+        .withColumn("thresh",
+          floor(sqrt(col("n_min").cast("double") / col("n_tokens").cast("double")) *
+            lit(1000000.0)).cast("long"))
+      withTarget.join(broadcast(tokCounts.select("source", "thresh")), "source")
+        .select(col("doc_id"),
+          when(gateOk, 1).otherwise(0).as("gate_ok"),
+          when(wt > 1.0, 1).otherwise(0).as("dsir_ok"),
+          when(hashBucket(col("doc_id"), "graft-temp", 1000000) < col("thresh"), 1)
+            .otherwise(0).as("temp_ok"),
+          when(gateOk && wt > 1.0 &&
+            hashBucket(col("doc_id"), "graft-temp", 1000000) < col("thresh"), 1)
+            .otherwise(0).as("selected"),
+          when(!gateOk, "gate")
+            .when(wt <= 1.0, "dsir")
+            .when(hashBucket(col("doc_id"), "graft-temp", 1000000) >= col("thresh"), "mix")
+            .otherwise("kept").as("reason"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, source, toks,
+        CAST(len(toks) AS BIGINT) AS n,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+          (a, x) -> a + x) AS BIGINT) AS sumlen,
+        CAST(len(list_filter(toks, t -> list_contains($stopListSql, t))) AS BIGINT) AS nstop,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS ndist
+      FROM d),
+      g AS (SELECT doc_id, source, toks,
+        CASE WHEN n >= 50 AND n <= 100000
+              AND sumlen >= n * 3 AND sumlen <= n * 10
+              AND nstop >= 2 AND nalpha * 5 >= n * 4
+              AND (n - ndist) * 5 <= n * 3 THEN 1 ELSE 0 END AS gate_ok,
+        CASE WHEN nstop * 25 >= n * 2 AND n > 0 THEN 1 ELSE 0 END AS is_target
+      FROM m),
+      tok AS (SELECT is_target, UNNEST(toks) AS tk FROM g),
+      bkt AS (SELECT is_target,
+        CAST(('0x' || substring(md5('graft-dsir:' || tk), 1, 8)) AS BIGINT) % 64 AS bk
+      FROM tok),
+      cnts AS (SELECT bk, COUNT(*) AS cr,
+                 SUM(CASE WHEN is_target = 1 THEN 1 ELSE 0 END) AS ct
+               FROM bkt GROUP BY bk),
+      tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnts),
+      grid AS (SELECT i AS bk FROM generate_series(0, 63) gg(i)),
+      rat AS (SELECT grid.bk,
+        (CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) * CAST(tots.tr + 64 AS DOUBLE)) /
+        (CAST(COALESCE(c.cr, 0) + 1 AS DOUBLE) * CAST(tots.tt + 64 AS DOUBLE)) AS ratio
+      FROM grid LEFT JOIN cnts c ON grid.bk = c.bk CROSS JOIN tots),
+      rl AS (SELECT list(ratio ORDER BY bk) AS rls FROM rat),
+      w AS (SELECT doc_id, source, gate_ok,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(toks, t ->
+            rl.rls[CAST(CAST(('0x' || substring(md5('graft-dsir:' || t), 1, 8)) AS BIGINT) % 64 + 1 AS INT)])),
+          (a, x) -> a * x) AS wt
+      FROM g CROSS JOIN rl),
+      tc AS (SELECT source, SUM(CAST(len($toksSql) AS BIGINT)) AS n_tokens
+             FROM documents GROUP BY source),
+      tc2 AS (SELECT source,
+                CAST(floor(sqrt(CAST(MIN(n_tokens) OVER () AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS thresh
+              FROM tc),
+      fin AS (SELECT w.doc_id, w.gate_ok, w.wt, tc2.thresh,
+        CAST(('0x' || substring(md5('graft-temp:' || CAST(w.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS tbkt
+      FROM w JOIN tc2 ON w.source = tc2.source)
+      SELECT doc_id, gate_ok,
+        CASE WHEN wt > 1.0 THEN 1 ELSE 0 END AS dsir_ok,
+        CASE WHEN tbkt < thresh THEN 1 ELSE 0 END AS temp_ok,
+        CASE WHEN gate_ok = 1 AND wt > 1.0 AND tbkt < thresh THEN 1 ELSE 0 END AS selected,
+        CASE WHEN gate_ok = 0 THEN 'gate'
+             WHEN wt <= 1.0 THEN 'dsir'
+             WHEN tbkt >= thresh THEN 'mix'
+             ELSE 'kept' END AS reason
+      FROM fin ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights)
+    Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
+      bpePairCounts, pipelineSelect)
 }

@@ -350,15 +350,21 @@ object TextQueries {
         .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
         .localCheckpoint()
       val shE = shingled(existing); val shB = shingled(rest)
-      def banded(sh: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
-        Dedup.withMinhashSignatureMd5(sh, col("sh"), 32).select("doc_id", "sig"),
-        "doc_id", "sig", bands = 8, rowsPerBand = 4, replayable = true)
-      val cands = banded(shB)
-        .withColumnRenamed("doc_id", "b_id").withColumnRenamed("sig", "sig_b")
-        .join(banded(shE)
-          .withColumnRenamed("doc_id", "e_id").withColumnRenamed("sig", "sig_e"),
+      def sigsOf(sh: org.apache.spark.sql.DataFrame) =
+        Dedup.withMinhashSignatureMd5(sh, col("sh"), 32).select("doc_id", "sig")
+          .localCheckpoint()
+      val sigB = sigsOf(shB); val sigE = sigsOf(shE)
+      def banded(sigs: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+          sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4, replayable = true)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      // bare-id band join + distinct, signatures attached once per
+      // surviving pair (the lshCandidatePairs ship-arrays-late shape)
+      val cands = banded(sigB).withColumnRenamed("doc_id", "b_id")
+        .join(banded(sigE).withColumnRenamed("doc_id", "e_id"),
           Seq("band_idx", "band_hash"))
-        .select("b_id", "e_id", "sig_b", "sig_e").distinct()
+        .select("b_id", "e_id").distinct()
+        .join(sigB.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+        .join(sigE.select(col("doc_id").as("e_id"), col("sig").as("sig_e")), "e_id")
         .withColumn("est", Dedup.estJaccard(col("sig_b"), col("sig_e"), 32))
         .filter(col("est") >= 0.35)
       val near = cands

@@ -89,6 +89,33 @@ class SelectionSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("bpe_pair_counts: top pairs are real 2-grams with positive descending counts") {
+    val out = SelectionQueries.bpePairCounts.spark(spark, sf).collect()
+    assert(out.length == 30)
+    assert(out.forall(r => r.getString(0).length == 2 && r.getLong(1) > 0))
+    // descending by count (ties broken by pair asc → non-increasing counts)
+    out.map(_.getLong(1)).sliding(2).foreach(w => assert(w(1) <= w(0)))
+  }
+
+  test("pipeline_select: reason names the first failing stage, selected = conjunction") {
+    val out = SelectionQueries.pipelineSelect.spark(spark, sf).cache()
+    val bad = out.filter(
+      (col("selected") === 1) =!=
+        (col("gate_ok") === 1 && col("dsir_ok") === 1 && col("temp_ok") === 1)).count()
+    assert(bad == 0)
+    val reasonBad = out.filter(
+      (col("reason") === "gate" && col("gate_ok") === 1) ||
+      (col("reason") === "dsir" && (col("gate_ok") === 0 || col("dsir_ok") === 1)) ||
+      (col("reason") === "mix" && (col("gate_ok") === 0 || col("dsir_ok") === 0 || col("temp_ok") === 1)) ||
+      (col("reason") === "kept" && col("selected") === 0)).count()
+    assert(reasonBad == 0)
+    // the funnel is non-vacuous: some docs survive, some fall at a stage
+    val n = out.count()
+    val nSel = out.filter(col("selected") === 1).count()
+    assert(nSel > 0 && nSel < n, s"funnel vacuous: $nSel of $n")
+    out.unpersist()
+  }
+
   test("dsir_weights: target-slice mean weight exceeds non-target mean") {
     val out = SelectionQueries.dsirWeights.spark(spark, sf).cache()
     val means = out.groupBy("is_target").agg(avg("weight").as("w"))
