@@ -222,47 +222,29 @@ object ScaleProbe {
           surv.select(col("doc_id").as("id")), edges))
       },
       "dsir_selection" -> { m =>
-        // the dsir_weights shape: explode → two bucket aggs (bounded 64-row
-        // collect) → narrow left-fold scoring pass. Salted replicas rotate
-        // words across buckets; token volume scales with m
-        val B = 64
-        import graft.functions.TextFunctions
+        // the dsir_weights shape via the SAME stage builders the shipped
+        // query uses (SelectionQueries) — the probe can't drift from the
+        // query: explode → two bucket aggs (bounded 64-row collect) →
+        // narrow left-fold scoring pass. Salted replicas rotate words
+        // across buckets; token volume scales with m
+        import graft.queries.SelectionQueries
         val d = graft.ops.Parallelism.ensure(docs(m)).select(col("doc_id"), col("text"))
-          .withColumn("toks", TextFunctions.tokens(col("text")))
-          .withColumn("is_target",
-            size(filter(col("toks"), t => t.isin(TextFunctions.enStopwords: _*))) * 25 >=
-              size(col("toks")) * 2 && size(col("toks")) > 0)
+          .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+          .withColumn("is_target", SelectionQueries.dsirIsTarget(col("toks")))
           .localCheckpoint(false)
-        val counts = d.select(col("is_target"), explode(col("toks")).as("tk"))
-          .withColumn("bk", TextFunctions.hashBucket(col("tk"), "graft-dsir", B))
-          .groupBy("bk").agg(count(lit(1)).as("cr"),
-            sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
-        val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
-        counts.foreach { r =>
-          val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
-        }
-        val tr = cr.sum; val tt = ct.sum
-        val ratios = Array.tabulate(B)(b =>
-          ((ct(b) + 1).toDouble * (tr + B).toDouble) /
-            ((cr(b) + 1).toDouble * (tt + B).toDouble))
-        val ratioLit = array(ratios.map(lit): _*)
-        noop(d.select(col("doc_id"), aggregate(col("toks"), lit(1.0), (acc, t) =>
-          acc * element_at(ratioLit,
-            (TextFunctions.hashBucket(t, "graft-dsir", B) + 1).cast("int")))
-          .as("weight")))
+        val ratios = SelectionQueries.dsirRatioTable(d)
+        noop(d.select(col("doc_id"),
+          SelectionQueries.dsirWeightCol(col("toks"), ratios).as("weight")))
       },
       "cluster_assign" -> { m =>
-        // nearest-centroid assignment: one narrow argmax pass + size rollup,
-        // time ∝ corpus × centroids
+        // nearest-centroid assignment (the shipped argmax entries): one
+        // narrow pass + size rollup, time ∝ corpus × centroids
+        import graft.queries.SelectionQueries
         val emb = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
-        val cents = graft.operators.Similarity.md5Planes(8, 1, 64, "graft-cluster")(0)
-        val entries = (0 until 8).map { c =>
-          struct(graft.operators.Similarity.cosine(col("embedding"),
-            array(cents(c).map(lit): _*).cast("array<float>")).as("cs"),
-            lit(-c.toLong).as("nc"))
-        }
-        val assigned = emb.select(col("vec_id"), array_max(array(entries: _*)).as("best"))
+        val assigned = emb.select(col("vec_id"),
+            array_max(array(SelectionQueries.clusterArgmaxEntries(col("embedding")): _*))
+              .as("best"))
           .select(col("vec_id"), (-col("best.nc")).cast("long").as("cluster"))
         noop(assigned.join(assigned.groupBy("cluster")
           .agg(count(lit(1)).as("n_members")), "cluster"))
@@ -270,6 +252,11 @@ object ScaleProbe {
 
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    only.foreach { names =>
+      val unknown = names -- families.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"unknown families: ${unknown.mkString(",")} (have: ${families.map(_._1).mkString(",")})")
+    }
     println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s")
     families.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, run) =>

@@ -102,7 +102,14 @@ object Dedup {
     * per band row, then once per pre-distinct collision, then hashed inside
     * a distinct over ~1 KB composite rows) measured 10.6× the rows but 30×
     * the time at the 10× scale probe; id-only rows restore linear scaling.
-    * The candidate SET is unchanged, so oracle replays are unaffected. */
+    * The candidate SET is unchanged, so oracle replays are unaffected.
+    *
+    * PRECONDITION: `idCol` is unique in `df` (one signature per id). The
+    * sig-attach joins emit one row per (pair × id occurrence), so a
+    * duplicated id would duplicate its pairs — the pre-rewrite 4-column
+    * distinct would have collapsed them. Every caller feeds a frame keyed
+    * by id (survivors of an exact-dedup groupBy or a per-doc signature
+    * select), which is also what makes the banding itself meaningful. */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame = {
     val bd = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)

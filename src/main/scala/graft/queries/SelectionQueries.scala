@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,11 +11,18 @@ import graft.operators.Similarity
   * about WHICH documents/vectors to keep and how to weight them — topic
   * bucketing (nearest-centroid assignment), temperature-rebalanced source
   * mixing, rule-based quality gating (Gopher-style), crawl text extraction
-  * (HTML strip), and importance weighting toward a target distribution
-  * (DSIR-shaped hashed n-gram likelihood ratios). All five are fully
+  * (HTML strip), importance weighting toward a target distribution
+  * (DSIR-shaped hashed n-gram likelihood ratios), tokenizer-training pair
+  * statistics, and the composed selection funnel. All fully
   * oracle-replayable: md5-derived codebooks/buckets, integer-exact rule
   * arithmetic, IEEE-exact sqrt/divide/multiply chains, documented
   * left-fold float math.
+  *
+  * The stage builders (argmax entries, gate metrics, DSIR ratio table,
+  * temperature thresholds) are defined ONCE and shared by the standalone
+  * queries, the composed `pipeline_select`, and the ScaleProbe families —
+  * a recalibration edits one definition, and the probe always measures
+  * the shipped shape.
   */
 object SelectionQueries {
   import Tables.table
@@ -27,7 +34,7 @@ object SelectionQueries {
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val stopListSql = "['the','a','an','of','and','to','in','is','it','for']"
 
-  // ── cluster_assign ──────────────────────────────────────────────────────
+  // ── shared stage builders ───────────────────────────────────────────────
 
   /** Fixed replayable codebook: 8 centroids × dim 64, the same md5 recipe
     * as the LSH planes (high-60-bit md5 ints → [−1,1)), cast to FLOAT so
@@ -37,8 +44,165 @@ object SelectionQueries {
   private val nClusters = 8
   private lazy val centroidInts =
     Similarity.md5PlaneInts(nClusters, 1, 64, "graft-cluster")(0)
-  private lazy val centroids =
+  private[graft] lazy val centroids =
     Similarity.md5Planes(nClusters, 1, 64, "graft-cluster")(0)
+
+  /** The argmax entries for [[clusterAssign]]: (cosine, −centroid) structs
+    * whose `array_max` is the nearest centroid with ties to the LOWEST
+    * id. One array build per row — each cosine evaluated once (a greatest
+    * + when-chain re-inlines every cosine into every tie probe: measured
+    * 2.4 s vs 0.59 s warm at sf0.1). Shared with the ScaleProbe family. */
+  private[graft] def clusterArgmaxEntries(vec: Column): Seq[Column] =
+    (0 until nClusters).map { c =>
+      struct(
+        Similarity.cosine(vec,
+          array(centroids(c).map(lit): _*).cast("array<float>")).as("cs"),
+        lit(-c.toLong).as("nc"))
+    }
+
+  /** Gopher gate metrics over a materialized token array column.
+    * INTEGER-only threshold comparisons (0.8 ≤ k/n ⇔ 5k ≥ 4n) — no float
+    * boundary for an engine to disagree on. Constants keep the Gopher
+    * SHAPE (Rae et al. 2021 §A1.1) but are calibrated to this corpus's
+    * 31-word synthetic vocabulary (repetition ≤ 0.6 — the paper's 0.2
+    * would reject every 50+-token doc here and make the gate vacuous);
+    * all three scales split ≈ 19% pass / 81% fail. */
+  private[graft] final case class GopherMetrics(toks: Column) {
+    val n: Column = size(toks).cast("long")
+    val sumLen: Column = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nStop: Column = size(filter(toks, t => t.isin(enStopwords: _*))).cast("long")
+    val nAlpha: Column = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nDistinct: Column = size(array_distinct(toks)).cast("long")
+    val ruleWords: Column = n >= 50 && n <= 100000
+    val ruleMeanWl: Column = sumLen >= n * 3 && sumLen <= n * 10
+    val ruleStop: Column = nStop >= 2
+    val ruleAlpha: Column = nAlpha * 5 >= n * 4
+    val ruleRep: Column = (n - nDistinct) * 5 <= n * 3
+    val gateOk: Column = ruleWords && ruleMeanWl && ruleStop && ruleAlpha && ruleRep
+  }
+
+  /** SQL fragments mirroring [[GopherMetrics]] — the `m`-CTE body (reads a
+    * CTE exposing doc_id + `toks`) and the pass condition over its
+    * columns. Defined once, spliced into both oracle strings. */
+  private val gopherMetricsSqlBody =
+    s"""CAST(len(toks) AS BIGINT) AS n,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+          (a, x) -> a + x) AS BIGINT) AS sumlen,
+        CAST(len(list_filter(toks, t -> list_contains($stopListSql, t))) AS BIGINT) AS nstop,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS ndist"""
+  private val gopherPassCondSql =
+    """n >= 50 AND n <= 100000
+              AND sumlen >= n * 3 AND sumlen <= n * 10
+              AND nstop >= 2 AND nalpha * 5 >= n * 4
+              AND (n - ndist) * 5 <= n * 3"""
+
+  /** DSIR bucket count and target predicate. The target slice is the
+    * stopword-dense "heuristically English" documents — a real
+    * distribution shift in this corpus (integer-exact: 0.08 ≤ k/n ⇔
+    * 25k ≥ 2n). */
+  private[graft] val dsirBuckets = 64
+  private[graft] def dsirIsTarget(toks: Column): Column =
+    size(filter(toks, t => t.isin(enStopwords: _*))) * 25 >= size(toks) * 2 &&
+      size(toks) > 0
+
+  /** Fit the DSIR ratio table: add-one-smoothed target/raw hashed-unigram
+    * bucket distributions → per-bucket probability ratio. Each ratio is
+    * (integer×integer)/(integer×integer) with products < 2^53, so both
+    * engines compute the identical double. BOUNDED driver collect
+    * (≤ 64 rows — the IVF centroid-load class); at 100 TB the count
+    * aggregation is one map-side-partial scan. Input needs `toks` +
+    * `is_target` columns. */
+  private[graft] def dsirRatioTable(withTarget: DataFrame): Array[Double] = {
+    val B = dsirBuckets
+    val counts = withTarget.select(col("is_target"), explode(col("toks")).as("tk"))
+      .withColumn("bk", hashBucket(col("tk"), "graft-dsir", B))
+      .groupBy("bk").agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
+    val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+    }
+    val tr = cr.sum; val tt = ct.sum
+    Array.tabulate(B) { b =>
+      ((ct(b) + 1).toDouble * (tr + B).toDouble) /
+        ((cr(b) + 1).toDouble * (tt + B).toDouble)
+    }
+  }
+
+  /** Per-document DSIR importance weight: the PRODUCT of per-token
+    * probability ratios left-folded in document order — mathematically
+    * exp(Σ log-ratio), but with only IEEE-exact multiply/divide (log is
+    * not correctly-rounded across engines, a left-fold product is). The
+    * ratio table rides along as a 64-double broadcast literal. */
+  private[graft] def dsirWeightCol(toks: Column, ratios: Array[Double]): Column = {
+    val ratioLit = array(ratios.map(lit): _*)
+    aggregate(toks, lit(1.0), (acc, t) =>
+      acc * element_at(ratioLit,
+        (hashBucket(t, "graft-dsir", dsirBuckets) + 1).cast("int")))
+  }
+
+  /** The DSIR CTE chain (bucket fit + ratio list), reading an upstream CTE
+    * that exposes `toks` and `is_target` (1/0). Ends with `rl(rls)`. */
+  private def dsirRatioCtesSql(upstream: String): String =
+    s"""tok AS (SELECT is_target, UNNEST(toks) AS tk FROM $upstream),
+      bkt AS (SELECT is_target,
+        CAST(('0x' || substring(md5('graft-dsir:' || tk), 1, 8)) AS BIGINT) % 64 AS bk
+      FROM tok),
+      cnts AS (SELECT bk, COUNT(*) AS cr,
+                 SUM(CASE WHEN is_target = 1 THEN 1 ELSE 0 END) AS ct
+               FROM bkt GROUP BY bk),
+      tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnts),
+      grid AS (SELECT i AS bk FROM generate_series(0, 63) gg(i)),
+      rat AS (SELECT grid.bk,
+        (CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) * CAST(tots.tr + 64 AS DOUBLE)) /
+        (CAST(COALESCE(c.cr, 0) + 1 AS DOUBLE) * CAST(tots.tt + 64 AS DOUBLE)) AS ratio
+      FROM grid LEFT JOIN cnts c ON grid.bk = c.bk CROSS JOIN tots),
+      rl AS (SELECT list(ratio ORDER BY bk) AS rls FROM rat)"""
+
+  /** The per-doc weight fold in SQL (reads `toks` + the `rl` CTE). */
+  private val dsirWeightSql =
+    """list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(toks, t ->
+            rl.rls[CAST(CAST(('0x' || substring(md5('graft-dsir:' || t), 1, 8)) AS BIGINT) % 64 + 1 AS INT)])),
+          (a, x) -> a * x)"""
+
+  /** Per-source temperature thresholds (α = 0.5): source s with token
+    * share p_s is resampled toward q_s ∝ p_s^α, i.e. acceptance
+    * rate_s = (q_s/p_s) / max_t(q_t/p_t) — which algebraically collapses
+    * to √(min_t n_t / n_s): the partition function CANCELS, leaving only
+    * integer token totals, one IEEE-exact divide and one IEEE-exact sqrt
+    * (no nondeterministic-order float summation anywhere). Returns
+    * (source, n_docs, n_tokens, rate, thresh); per-doc keep is
+    * `hashBucket(doc_id, "graft-temp", 1e6) < thresh`. */
+  private[graft] def temperatureThresholds(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("n_min", min(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("thresh", floor(col("rate") * lit(1000000.0)).cast("long"))
+
+  /** Temperature-threshold CTE chain in SQL — ends with
+    * `st4(source, n_docs, n_tokens, rate, thresh)`. */
+  private val temperatureCtesSql =
+    s"""td AS (SELECT doc_id, source,
+        CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+      st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+             FROM td GROUP BY source),
+      st2 AS (SELECT source, n_docs, n_tokens,
+                MIN(n_tokens) OVER () AS n_min FROM st),
+      st3 AS (SELECT source, n_docs, n_tokens,
+                sqrt(CAST(n_min AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate
+              FROM st2),
+      st4 AS (SELECT source, n_docs, n_tokens, rate,
+                CAST(floor(rate * 1000000.0) AS BIGINT) AS thresh FROM st3)"""
+
+  private val tempBucketSql = (id: String) =>
+    s"CAST(('0x' || substring(md5('graft-temp:' || CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+
+  // ── cluster_assign ──────────────────────────────────────────────────────
 
   private def clusterAssignOracleSql: String = {
     val centRows = (0 until nClusters).map(c =>
@@ -69,30 +233,20 @@ object SelectionQueries {
     * deployment-time path of k-means topic bucketing (SemDeDup clusters,
     * domain routing): training the codebook is `Ivf.build`'s Lloyd loop
     * (already covered; data-dependent, deliberately not oracle-replayed);
-    * ASSIGNMENT is a pure narrow map — per vector, argmax cosine over 8
-    * centroids, ties to the lowest centroid id — so it rides the scan with
-    * zero shuffles beyond the final size rollup, and at 100 TB it's one
-    * pass at array-scan speed (native fused cosine per centroid). The md5
-    * codebook makes the whole assignment replayable: the oracle
-    * regenerates centroids from exact integers, replays the float cast and
-    * the double-fold cosine bit-for-bit, and pins every label, similarity
-    * AND cluster size. */
+    * ASSIGNMENT is a pure narrow map ([[clusterArgmaxEntries]]) — per
+    * vector, argmax cosine over 8 centroids, ties to the lowest centroid
+    * id — so it rides the scan with zero shuffles beyond the final size
+    * rollup, and at 100 TB it's one pass at array-scan speed (native
+    * fused cosine per centroid). The md5 codebook makes the whole
+    * assignment replayable: the oracle regenerates centroids from exact
+    * integers, replays the float cast and the double-fold cosine
+    * bit-for-bit, and pins every label, similarity AND cluster size. */
   val clusterAssign = QueryDef("cluster_assign",
     (s, dir) => {
       val vecs = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // argmax as ONE array_max over (sim, −centroid) structs: each cosine
-      // is evaluated once per row (a greatest + when-chain re-inlines every
-      // cosine into every tie probe — measured 2.4 s vs 0.2 s here), and
-      // struct ordering breaks sim ties toward the LOWEST centroid id
-      // (matching the oracle's ORDER BY cs DESC, c ASC).
-      val entries = (0 until nClusters).map { c =>
-        struct(
-          Similarity.cosine(col("embedding"),
-            array(centroids(c).map(lit): _*).cast("array<float>")).as("cs"),
-          lit(-c.toLong).as("nc"))
-      }
       val assigned = vecs
-        .select(col("vec_id"), array_max(array(entries: _*)).as("best"))
+        .select(col("vec_id"),
+          array_max(array(clusterArgmaxEntries(col("embedding")): _*)).as("best"))
         .select(col("vec_id"), (-col("best.nc")).cast("long").as("cluster"),
           round(col("best.cs"), 6).as("sim"))
       val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
@@ -104,26 +258,17 @@ object SelectionQueries {
 
   // ── sample_temperature ──────────────────────────────────────────────────
 
-  /** Temperature-rebalanced source mixing (the mC4/PaLM α-sampling shape,
-    * α = 0.5): source s with token share p_s is resampled toward
-    * q_s ∝ p_s^α, i.e. acceptance rate_s = (q_s/p_s) / max_t(q_t/p_t)
-    * — which algebraically collapses to √(min_t n_t / n_s): the partition
-    * function CANCELS, leaving only integer token totals, one IEEE-exact
-    * divide and one IEEE-exact sqrt, so the oracle replays every rate
-    * bit-for-bit (no nondeterministic-order float summation anywhere).
-    * Per-doc keep is the salted md5 threshold ([[hashBucket]]) —
-    * deterministic at 100 TB where random() draws are irreproducible.
-    * Scale shape: one map-side-partial agg over the corpus, a 20-row
-    * broadcast back, a narrow filter, one more partial agg. */
+  /** Temperature-rebalanced source mixing (the mC4/PaLM α-sampling shape)
+    * — see [[temperatureThresholds]] for the exactness argument. Per-doc
+    * keep is the salted md5 threshold — deterministic at 100 TB where
+    * random() draws are irreproducible. Scale shape: one map-side-partial
+    * agg over the corpus, a 20-row broadcast back, a narrow filter, one
+    * more partial agg. */
   val sampleTemperature = QueryDef("sample_temperature",
     (s, dir) => {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), tokenCount(col("text")).as("nt"))
-      val stats = docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-        .withColumn("n_min", min(col("n_tokens")).over(Window.partitionBy()))
-        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_tokens").cast("double")))
-        .withColumn("thresh", floor(col("rate") * lit(1000000.0)).cast("long"))
+      val stats = temperatureThresholds(docs)
       val kept = docs.join(broadcast(stats.select("source", "thresh")), "source")
         .filter(hashBucket(col("doc_id"), "graft-temp", 1000000) < col("thresh"))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
@@ -133,21 +278,11 @@ object SelectionQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
     },
-    Some(s"""WITH d AS (SELECT doc_id, source,
-        CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
-      st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
-             FROM d GROUP BY source),
-      st2 AS (SELECT source, n_docs, n_tokens,
-                MIN(n_tokens) OVER () AS n_min FROM st),
-      st3 AS (SELECT source, n_docs, n_tokens,
-                sqrt(CAST(n_min AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate
-              FROM st2),
-      st4 AS (SELECT source, n_docs, n_tokens, rate,
-                CAST(floor(rate * 1000000.0) AS BIGINT) AS thresh FROM st3),
-      k AS (SELECT d.source, COUNT(*) AS n_kept
-            FROM d JOIN st4 USING (source)
-            WHERE CAST(('0x' || substring(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < thresh
-            GROUP BY d.source)
+    Some(s"""WITH $temperatureCtesSql,
+      k AS (SELECT td.source, COUNT(*) AS n_kept
+            FROM td JOIN st4 USING (source)
+            WHERE ${tempBucketSql("doc_id")} < thresh
+            GROUP BY td.source)
       SELECT st4.source, st4.n_docs, CAST(st4.n_tokens AS BIGINT) AS n_tokens,
         ROUND(st4.rate, 6) AS rate,
         CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
@@ -156,55 +291,33 @@ object SelectionQueries {
 
   // ── quality_gopher ──────────────────────────────────────────────────────
 
-  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 shape):
-    * per document, the five standard repetition/format rules as VISIBLE
-    * verdict columns (the approx_distinct lesson — a regression flips a
+  /** Gopher-style rule-based quality gate: per document, the five standard
+    * repetition/format rules ([[GopherMetrics]]) as VISIBLE verdict
+    * columns (the approx_distinct lesson — a regression flips a
     * hash-compared value, it never silently drops a row) plus the overall
-    * pass. Every rule compares INTEGERS (ratio thresholds are cleared of
-    * division: 0.8 ≤ k/n ⇔ 5k ≥ 4n), so there is no float boundary for
-    * an engine to disagree on; only the DISPLAYED mean word length is a
-    * rounded double. One narrow codegen'd map over the scan — tokenize
-    * once, derive all metrics from the materialized token array.
-    * Constants keep the Gopher SHAPE but are calibrated to this corpus's
-    * 31-word synthetic vocabulary (repetition ≤ 0.6 — the paper's 0.2
-    * would reject every 50+-token doc here and make the gate vacuous);
-    * all three scales split ≈ 19% pass / 81% fail. */
+    * pass. One narrow codegen'd map over the scan — tokenize once, derive
+    * all metrics from the materialized token array. */
   val qualityGopher = QueryDef("quality_gopher",
     (s, dir) => {
       val base = table(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val n = size(col("toks")).cast("long")
-      val sumLen = aggregate(transform(col("toks"), t => length(t).cast("long")),
-        lit(0L), (a, x) => a + x)
-      val nStop = size(filter(col("toks"), t => t.isin(enStopwords: _*))).cast("long")
-      val nAlpha = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
-      val nDistinct = size(array_distinct(col("toks"))).cast("long")
+      val m = GopherMetrics(col("toks"))
       def verdict(c: Column) = when(c, 1).otherwise(0)
       base.select(
         col("doc_id"),
-        n.as("n_words"),
-        when(n > 0, round(sumLen.cast("double") / n.cast("double"), 4))
+        m.n.as("n_words"),
+        when(m.n > 0, round(m.sumLen.cast("double") / m.n.cast("double"), 4))
           .otherwise(lit(0.0)).as("mean_word_len"),
-        verdict(n >= 50 && n <= 100000).as("rule_words"),
-        verdict(sumLen >= n * 3 && sumLen <= n * 10).as("rule_mean_wl"),
-        verdict(nStop >= 2).as("rule_stopwords"),
-        verdict(nAlpha * 5 >= n * 4).as("rule_alpha"),
-        verdict((n - nDistinct) * 5 <= n * 3).as("rule_repetition"),
-        verdict(n >= 50 && n <= 100000 &&
-          sumLen >= n * 3 && sumLen <= n * 10 &&
-          nStop >= 2 && nAlpha * 5 >= n * 4 &&
-          (n - nDistinct) * 5 <= n * 3).as("pass"))
+        verdict(m.ruleWords).as("rule_words"),
+        verdict(m.ruleMeanWl).as("rule_mean_wl"),
+        verdict(m.ruleStop).as("rule_stopwords"),
+        verdict(m.ruleAlpha).as("rule_alpha"),
+        verdict(m.ruleRep).as("rule_repetition"),
+        verdict(m.gateOk).as("pass"))
         .orderBy("doc_id")
     },
     Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      m AS (SELECT doc_id,
-        CAST(len(toks) AS BIGINT) AS n,
-        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(toks, t -> CAST(length(t) AS BIGINT))),
-          (a, x) -> a + x) AS BIGINT) AS sumlen,
-        CAST(len(list_filter(toks, t -> list_contains($stopListSql, t))) AS BIGINT) AS nstop,
-        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
-        CAST(len(list_distinct(toks)) AS BIGINT) AS ndist
+      m AS (SELECT doc_id, $gopherMetricsSqlBody
       FROM d)
       SELECT doc_id, n AS n_words,
         CASE WHEN n > 0 THEN ROUND(CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE), 4)
@@ -214,10 +327,7 @@ object SelectionQueries {
         CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS rule_stopwords,
         CASE WHEN nalpha * 5 >= n * 4 THEN 1 ELSE 0 END AS rule_alpha,
         CASE WHEN (n - ndist) * 5 <= n * 3 THEN 1 ELSE 0 END AS rule_repetition,
-        CASE WHEN n >= 50 AND n <= 100000
-              AND sumlen >= n * 3 AND sumlen <= n * 10
-              AND nstop >= 2 AND nalpha * 5 >= n * 4
-              AND (n - ndist) * 5 <= n * 3 THEN 1 ELSE 0 END AS pass
+        CASE WHEN $gopherPassCondSql THEN 1 ELSE 0 END AS pass
       FROM m ORDER BY doc_id"""))
 
   // ── html_strip ──────────────────────────────────────────────────────────
@@ -281,46 +391,18 @@ object SelectionQueries {
 
   /** DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hash word unigrams
-    * into B = 64 md5 buckets, fit add-one-smoothed bucket distributions
-    * for a TARGET slice (here: the stopword-dense "heuristically English"
-    * documents — a real distribution shift in this corpus) and the RAW
-    * corpus, and weight each document by its likelihood ratio. Two
-    * deliberate exactness choices make this replayable where the textbook
-    * formulation is not: (1) the weight is the PRODUCT of per-token
-    * probability ratios left-folded in document order — mathematically
-    * exp(Σ log-ratio), but with only IEEE-exact multiply/divide (log is
-    * not correctly-rounded across engines, a left-fold product is);
-    * (2) each ratio is (integer×integer)/(integer×integer) with products
-    * < 2^53, so both engines compute the identical double. The bucket
-    * tables are a BOUNDED driver collect (≤ 64 rows per side — the IVF
-    * centroid-load class); at 100 TB the two count aggregations are
-    * map-side-partial scans and the scoring pass is a narrow fold over a
-    * 64-double broadcast literal. */
+    * into 64 md5 buckets, fit add-one-smoothed bucket distributions for
+    * the TARGET slice and the RAW corpus ([[dsirRatioTable]]), and weight
+    * each document by its likelihood ratio ([[dsirWeightCol]] — a
+    * left-fold product with only IEEE-exact ops, so both engines compute
+    * the identical double). */
   val dsirWeights = QueryDef("dsir_weights",
     (s, dir) => {
-      val B = 64
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("toks", tokens(col("text")))
-        .withColumn("is_target",
-          size(filter(col("toks"), t => t.isin(enStopwords: _*))) * 25 >=
-            size(col("toks")) * 2 && size(col("toks")) > 0)
-      val bucketed = docs.select(col("is_target"), explode(col("toks")).as("tk"))
-        .withColumn("bk", hashBucket(col("tk"), "graft-dsir", B))
-      val counts = bucketed.groupBy("bk").agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
-      val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
-      counts.foreach { r =>
-        val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
-      }
-      val tr = cr.sum; val tt = ct.sum
-      val ratios = Array.tabulate(B) { b =>
-        ((ct(b) + 1).toDouble * (tr + B).toDouble) /
-          ((cr(b) + 1).toDouble * (tt + B).toDouble)
-      }
-      val ratioLit = array(ratios.map(lit): _*)
-      val wt = aggregate(col("toks"), lit(1.0), (acc, t) =>
-        acc * element_at(ratioLit, (hashBucket(t, "graft-dsir", B) + 1).cast("int")))
+        .withColumn("is_target", dsirIsTarget(col("toks")))
+      val ratios = dsirRatioTable(docs)
+      val wt = dsirWeightCol(col("toks"), ratios)
       docs.select(col("doc_id"),
         when(col("is_target"), 1).otherwise(0).as("is_target"),
         round(wt, 6).as("weight"),
@@ -332,25 +414,8 @@ object SelectionQueries {
         CASE WHEN len(list_filter(toks, t -> list_contains($stopListSql, t))) * 25 >= len(toks) * 2
               AND len(toks) > 0 THEN 1 ELSE 0 END AS is_target
       FROM d),
-      tok AS (SELECT is_target, UNNEST(toks) AS tk FROM t2),
-      bkt AS (SELECT is_target,
-        CAST(('0x' || substring(md5('graft-dsir:' || tk), 1, 8)) AS BIGINT) % 64 AS bk
-      FROM tok),
-      cnts AS (SELECT bk, COUNT(*) AS cr,
-                 SUM(CASE WHEN is_target = 1 THEN 1 ELSE 0 END) AS ct
-               FROM bkt GROUP BY bk),
-      tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnts),
-      grid AS (SELECT i AS bk FROM generate_series(0, 63) g(i)),
-      rat AS (SELECT grid.bk,
-        (CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) * CAST(tots.tr + 64 AS DOUBLE)) /
-        (CAST(COALESCE(c.cr, 0) + 1 AS DOUBLE) * CAST(tots.tt + 64 AS DOUBLE)) AS ratio
-      FROM grid LEFT JOIN cnts c ON grid.bk = c.bk CROSS JOIN tots),
-      rl AS (SELECT list(ratio ORDER BY bk) AS rls FROM rat),
-      w AS (SELECT doc_id, is_target,
-        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-          list_transform(toks, t ->
-            rl.rls[CAST(CAST(('0x' || substring(md5('graft-dsir:' || t), 1, 8)) AS BIGINT) % 64 + 1 AS INT)])),
-          (a, x) -> a * x) AS wt
+      ${dsirRatioCtesSql("t2")},
+      w AS (SELECT doc_id, is_target, $dsirWeightSql AS wt
       FROM t2 CROSS JOIN rl)
       SELECT doc_id, is_target, ROUND(wt, 6) AS weight,
         CASE WHEN wt > 1.0 THEN 1 ELSE 0 END AS hi_weight
@@ -396,113 +461,50 @@ object SelectionQueries {
     * stopword-dense target), temperature source rebalance — evaluated in
     * one pass, with a `reason` column naming the FIRST failing stage
     * (gate order mirrors production: cheap rules, then importance, then
-    * mix rebalance) and `selected` = all three agree. Every stage is the
-    * already-oracle-checked computation, so the composed verdict is one
-    * more hash-green row set rather than a new trust boundary. */
+    * mix rebalance) and `selected` = all three agree. Every stage is THE
+    * SAME builder the standalone query uses ([[GopherMetrics]],
+    * [[dsirRatioTable]]/[[dsirWeightCol]], [[temperatureThresholds]]), so
+    * the composed verdict can never drift from the individually
+    * oracle-checked stages. */
   val pipelineSelect = QueryDef("pipeline_select",
     (s, dir) => {
-      val B = 64
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         .withColumn("toks", tokens(col("text")))
-      // stage 1: gopher gate (integer-exact rules, as quality_gopher)
-      val n = size(col("toks")).cast("long")
-      val sumLen = aggregate(transform(col("toks"), t => length(t).cast("long")),
-        lit(0L), (a, x) => a + x)
-      val nStop = size(filter(col("toks"), t => t.isin(enStopwords: _*))).cast("long")
-      val nAlpha = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
-      val nDistinct = size(array_distinct(col("toks"))).cast("long")
-      val gateOk = n >= 50 && n <= 100000 &&
-        sumLen >= n * 3 && sumLen <= n * 10 &&
-        nStop >= 2 && nAlpha * 5 >= n * 4 &&
-        (n - nDistinct) * 5 <= n * 3
-      // stage 2: dsir importance (same bucket tables as dsir_weights)
-      val withTarget = docs.withColumn("is_target",
-        size(filter(col("toks"), t => t.isin(enStopwords: _*))) * 25 >=
-          size(col("toks")) * 2 && size(col("toks")) > 0)
-      val counts = withTarget.select(col("is_target"), explode(col("toks")).as("tk"))
-        .withColumn("bk", hashBucket(col("tk"), "graft-dsir", B))
-        .groupBy("bk").agg(count(lit(1)).as("cr"),
-          sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
-      val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
-      counts.foreach { r =>
-        val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
-      }
-      val tr = cr.sum; val tt = ct.sum
-      val ratios = Array.tabulate(B) { b =>
-        ((ct(b) + 1).toDouble * (tr + B).toDouble) /
-          ((cr(b) + 1).toDouble * (tt + B).toDouble)
-      }
-      val ratioLit = array(ratios.map(lit): _*)
-      val wt = aggregate(col("toks"), lit(1.0), (acc, t) =>
-        acc * element_at(ratioLit, (hashBucket(t, "graft-dsir", B) + 1).cast("int")))
-      // stage 3: temperature keep (same rates as sample_temperature)
-      val tokCounts = docs.select(col("source"), tokenCount(col("text")).as("nt"))
-        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
-        .withColumn("n_min", min(col("n_tokens")).over(Window.partitionBy()))
-        .withColumn("thresh",
-          floor(sqrt(col("n_min").cast("double") / col("n_tokens").cast("double")) *
-            lit(1000000.0)).cast("long"))
-      withTarget.join(broadcast(tokCounts.select("source", "thresh")), "source")
+        .withColumn("is_target", dsirIsTarget(col("toks")))
+      val m = GopherMetrics(col("toks"))
+      val ratios = dsirRatioTable(docs)
+      val wt = dsirWeightCol(col("toks"), ratios)
+      val thresholds = temperatureThresholds(
+        docs.select(col("source"), tokenCount(col("text")).as("nt")))
+      val tempBucket = hashBucket(col("doc_id"), "graft-temp", 1000000)
+      docs.join(broadcast(thresholds.select("source", "thresh")), "source")
         .select(col("doc_id"),
-          when(gateOk, 1).otherwise(0).as("gate_ok"),
+          when(m.gateOk, 1).otherwise(0).as("gate_ok"),
           when(wt > 1.0, 1).otherwise(0).as("dsir_ok"),
-          when(hashBucket(col("doc_id"), "graft-temp", 1000000) < col("thresh"), 1)
-            .otherwise(0).as("temp_ok"),
-          when(gateOk && wt > 1.0 &&
-            hashBucket(col("doc_id"), "graft-temp", 1000000) < col("thresh"), 1)
+          when(tempBucket < col("thresh"), 1).otherwise(0).as("temp_ok"),
+          when(m.gateOk && wt > 1.0 && tempBucket < col("thresh"), 1)
             .otherwise(0).as("selected"),
-          when(!gateOk, "gate")
+          when(!m.gateOk, "gate")
             .when(wt <= 1.0, "dsir")
-            .when(hashBucket(col("doc_id"), "graft-temp", 1000000) >= col("thresh"), "mix")
+            .when(tempBucket >= col("thresh"), "mix")
             .otherwise("kept").as("reason"))
         .orderBy("doc_id")
     },
     Some(s"""WITH d AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
-      m AS (SELECT doc_id, source, toks,
-        CAST(len(toks) AS BIGINT) AS n,
-        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(toks, t -> CAST(length(t) AS BIGINT))),
-          (a, x) -> a + x) AS BIGINT) AS sumlen,
-        CAST(len(list_filter(toks, t -> list_contains($stopListSql, t))) AS BIGINT) AS nstop,
-        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
-        CAST(len(list_distinct(toks)) AS BIGINT) AS ndist
+      m AS (SELECT doc_id, source, toks, $gopherMetricsSqlBody
       FROM d),
       g AS (SELECT doc_id, source, toks,
-        CASE WHEN n >= 50 AND n <= 100000
-              AND sumlen >= n * 3 AND sumlen <= n * 10
-              AND nstop >= 2 AND nalpha * 5 >= n * 4
-              AND (n - ndist) * 5 <= n * 3 THEN 1 ELSE 0 END AS gate_ok,
+        CASE WHEN $gopherPassCondSql THEN 1 ELSE 0 END AS gate_ok,
         CASE WHEN nstop * 25 >= n * 2 AND n > 0 THEN 1 ELSE 0 END AS is_target
       FROM m),
-      tok AS (SELECT is_target, UNNEST(toks) AS tk FROM g),
-      bkt AS (SELECT is_target,
-        CAST(('0x' || substring(md5('graft-dsir:' || tk), 1, 8)) AS BIGINT) % 64 AS bk
-      FROM tok),
-      cnts AS (SELECT bk, COUNT(*) AS cr,
-                 SUM(CASE WHEN is_target = 1 THEN 1 ELSE 0 END) AS ct
-               FROM bkt GROUP BY bk),
-      tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnts),
-      grid AS (SELECT i AS bk FROM generate_series(0, 63) gg(i)),
-      rat AS (SELECT grid.bk,
-        (CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) * CAST(tots.tr + 64 AS DOUBLE)) /
-        (CAST(COALESCE(c.cr, 0) + 1 AS DOUBLE) * CAST(tots.tt + 64 AS DOUBLE)) AS ratio
-      FROM grid LEFT JOIN cnts c ON grid.bk = c.bk CROSS JOIN tots),
-      rl AS (SELECT list(ratio ORDER BY bk) AS rls FROM rat),
-      w AS (SELECT doc_id, source, gate_ok,
-        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-          list_transform(toks, t ->
-            rl.rls[CAST(CAST(('0x' || substring(md5('graft-dsir:' || t), 1, 8)) AS BIGINT) % 64 + 1 AS INT)])),
-          (a, x) -> a * x) AS wt
+      ${dsirRatioCtesSql("g")},
+      w AS (SELECT doc_id, source, gate_ok, $dsirWeightSql AS wt
       FROM g CROSS JOIN rl),
-      tc AS (SELECT source, SUM(CAST(len($toksSql) AS BIGINT)) AS n_tokens
-             FROM documents GROUP BY source),
-      tc2 AS (SELECT source,
-                CAST(floor(sqrt(CAST(MIN(n_tokens) OVER () AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS thresh
-              FROM tc),
-      fin AS (SELECT w.doc_id, w.gate_ok, w.wt, tc2.thresh,
-        CAST(('0x' || substring(md5('graft-temp:' || CAST(w.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS tbkt
-      FROM w JOIN tc2 ON w.source = tc2.source)
+      $temperatureCtesSql,
+      fin AS (SELECT w.doc_id, w.gate_ok, w.wt, st4.thresh,
+        ${tempBucketSql("w.doc_id")} AS tbkt
+      FROM w JOIN st4 ON w.source = st4.source)
       SELECT doc_id, gate_ok,
         CASE WHEN wt > 1.0 THEN 1 ELSE 0 END AS dsir_ok,
         CASE WHEN tbkt < thresh THEN 1 ELSE 0 END AS temp_ok,

@@ -23,13 +23,31 @@ class SelectionSpec extends AnyFunSuite {
     assert(sumSizes == n)
     // more than one cluster is actually populated (non-vacuous codebook)
     assert(out.select("cluster").distinct().count() > 1)
-    // the reported sim is the max over all centroids: no other centroid
-    // may beat it (recompute all 8 sims and compare against the rounded max)
-    val again = SelectionQueries.clusterAssign.spark(spark, sf)
-      .select(col("vec_id"), col("sim"))
-    val joined = out.select(col("vec_id"), col("sim").as("s1"))
-      .join(again.select(col("vec_id"), col("sim").as("s2")), "vec_id")
-    assert(joined.filter(col("s1") =!= col("s2")).count() == 0)
+    // INDEPENDENT argmax reference: recompute every cosine driver-side in
+    // plain Scala (float-cast centroids, left-fold double math) and check
+    // label + similarity per vector — a wrong struct field or a broken
+    // tie-break cannot agree with this
+    val cents = SelectionQueries.centroids.map(_.map(_.toFloat))
+    def cosine(v: Array[Float], c: Array[Float]): Double = {
+      var na = 0.0; var nb = 0.0; var d = 0.0
+      for (i <- v.indices) { na += v(i).toDouble * v(i).toDouble }
+      for (i <- c.indices) { nb += c(i).toDouble * c(i).toDouble }
+      for (i <- 0 until math.min(v.length, c.length)) { d += v(i).toDouble * c(i).toDouble }
+      if (na > 0.0 && nb > 0.0) d / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val vecs = queries.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = out.select("vec_id", "cluster", "sim").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, cl, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val sims = cents.map(c => cosine(vecs(id), c))
+      val best = sims.max
+      val wantCluster = sims.indexWhere(_ == best)
+      assert(cl == wantCluster, s"vec $id: cluster $cl, reference $wantCluster")
+      assert(math.abs(sim - best) < 1e-6, s"vec $id: sim $sim vs reference $best")
+    }
     out.unpersist()
   }
 
@@ -55,14 +73,21 @@ class SelectionSpec extends AnyFunSuite {
     val out = SelectionQueries.qualityGopher.spark(spark, sf).cache()
     val rules = Seq("rule_words", "rule_mean_wl", "rule_stopwords",
       "rule_alpha", "rule_repetition")
-    // at least one rule rejects something and at least one doc passes all
     val agg = out.agg(
       sum(col("pass")).as("npass"),
       rules.map(r => sum(col(r)).as(r)): _*
     ).head()
     val n = out.count()
+    val sums = rules.zipWithIndex.map { case (r, i) => r -> agg.getLong(i + 1) }.toMap
     assert(agg.getLong(0) > 0, "no document passes all rules")
     assert(agg.getLong(0) < n, "every document passes — gate is vacuous")
+    // every rule accepts SOMETHING (a stuck-at-0 rule would zero the gate)
+    rules.foreach(r => assert(sums(r) > 0, s"$r rejects every document"))
+    // the rules that CAN fire on this corpus really do reject documents
+    // (mean-word-length and alpha are vacuously true here: the synthetic
+    // vocabulary is all-alphabetic with mean length in [3,10])
+    Seq("rule_words", "rule_stopwords", "rule_repetition").foreach(r =>
+      assert(sums(r) < n, s"$r accepts every document — stuck at 1"))
     // conjunction law: pass == AND of the five rules, row by row
     val bad = out.filter(
       (col("pass") === 1) =!=
