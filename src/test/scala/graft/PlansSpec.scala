@@ -193,4 +193,27 @@ class PlansSpec extends AnyFunSuite {
       .groupBy("tag").count().as[(String, Long)].collect().toSet
     assert(salted == direct)
   }
+
+  test("selection-family plans: no nested loops, thresholds broadcast, scoring rides the scan") {
+    // cluster_assign: the argmax is one narrow pass — no join-shaped node
+    // before the size rollup, and never a cartesian/nested loop
+    val ca = plan(SparkEntry.queries("cluster_assign")(spark, sf))
+    assert(!ca.contains("CartesianProduct") && !ca.contains("BroadcastNestedLoop"),
+      s"nested loop in cluster_assign:\n$ca")
+    assert(ca.contains("graft_cosine"), "native cosine missing from cluster_assign")
+    // pipeline_select / sample_temperature: per-source thresholds join the
+    // corpus via broadcast (a 20-row dim must never shuffle the big side)
+    Seq("pipeline_select", "sample_temperature").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q thresholds not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+    // dsir_weights / quality_gopher / html_strip: narrow scoring over the
+    // scan — the only exchange is the final presentation sort
+    Seq("dsir_weights", "quality_gopher", "html_strip").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q grew ${exchanges} exchanges (narrow map + sort expected):\n$p")
+    }
+  }
 }
