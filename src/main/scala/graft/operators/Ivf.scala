@@ -134,6 +134,17 @@ object Ivf {
   private def nearestList(vec: Column, centers: Array[Array[Double]]): Column =
     element_at(probes(vec, centers, 1), 1)
 
+  /** Index from a GIVEN codebook — externally trained centers, or fixed
+    * replayable ones (e.g. [[Similarity.md5Planes]]): every vector is
+    * assigned to its nearest center by the SAME argmin expression `build`
+    * uses, minus the Lloyd loop. With an md5 codebook the whole search
+    * path (assignment, probe ordering, in-list re-rank) becomes
+    * engine-replayable — `ann_ivf_topk_oracle` pins it against DuckDB,
+    * leaving only k-means training as unverifiable driver state. */
+  def fromCenters(vectors: DataFrame, centers: Array[Array[Double]],
+                  vecCol: String = "embedding"): Index =
+    Index(centers, vectors.withColumn("list_id", nearestList(col(vecCol), centers)))
+
   /** Train the coarse quantizer on a bounded sample and assign every
     * vector to its list. `assigned` = input columns + `list_id`.
     * Deterministic via seed. */

@@ -142,6 +142,76 @@ object SimilarityQueries {
     },
     None)
 
+  /** Replayable codebook for [[annIvfTopKOracle]]: 8 md5-derived centers
+    * over the raw double mapping (no float cast — IVF assignment measures
+    * L2 against double centers). */
+  private val ivfOracleLists = 8
+  private val ivfOracleProbe = 2
+  private lazy val ivfOracleCenterInts =
+    Similarity.md5PlaneInts(ivfOracleLists, 1, 64, "graft-ivf-oracle")(0)
+  private lazy val ivfOracleCenters =
+    Similarity.md5Planes(ivfOracleLists, 1, 64, "graft-ivf-oracle")(0)
+
+  private def ivfOracleSql: String = {
+    val centRows = (0 until ivfOracleLists).map(c =>
+      s"SELECT $c AS c, [${ivfOracleCenterInts(c).mkString(",")}] AS hs")
+      .mkString(" UNION ALL ")
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+    s"""WITH ct AS ($centRows),
+      cu AS (SELECT c, [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM ct),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      ad AS (SELECT d.vec_id, cu.c, ${l2Sql("d.embedding", "cu.u")} AS dist
+             FROM d, cu),
+      asg AS (SELECT vec_id, c AS list_id
+              FROM (SELECT vec_id, c,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+                    FROM ad)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+            FROM d WHERE vec_id % 50 = 0),
+      qp AS (SELECT qid, c AS list_id
+             FROM (SELECT q.qid, cu.c,
+                     ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ${l2Sql("q.qe", "cu.u")} ASC, cu.c ASC) AS rn
+                   FROM q, cu)
+             WHERE rn <= $ivfOracleProbe),
+      pairs AS (SELECT q.qid, d.vec_id,
+          CASE WHEN d.nrm > 0 AND q.qnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.nrm * q.qnrm)
+               ELSE 0.0 END AS sim
+        FROM qp
+        JOIN asg ON qp.list_id = asg.list_id
+        JOIN d ON asg.vec_id = d.vec_id
+        JOIN q ON qp.qid = q.qid
+        WHERE d.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM pairs)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+  }
+
+  /** Oracle COMPANION for ann_ivf_topk (the dedup_image_dhash_oracle
+    * pattern): the REAL IVF search machinery — nearest-center assignment,
+    * (distance, id)-ordered probe selection, candidate join restricted to
+    * probed lists, exact-cosine re-rank — runs under a FIXED md5 codebook
+    * ([[graft.operators.Ivf.fromCenters]]) instead of Lloyd-trained
+    * centers, so DuckDB replays assignment, probes, candidates and ranks
+    * bit-for-bit. Lloyd training (data-dependent driver state) remains
+    * the ONLY unverifiable piece of the IVF path; its quality is certified
+    * separately by the `ann_recall` floor. */
+  val annIvfTopKOracle = QueryDef("ann_ivf_topk_oracle",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val index = graft.operators.Ivf.fromCenters(emb, ivfOracleCenters)
+      graft.operators.Ivf.topK(index, annQueries(emb), k = annK,
+          nProbe = ivfOracleProbe)
+        .orderBy("qid", "rank")
+    },
+    Some(ivfOracleSql))
+
   /** Product-quantized approximate top-5 ([[graft.operators.Pq]]): 64-dim
     * floats compress to 4 one-byte codes (64×); search is ADC — per-query
     * lookup tables broadcast, corpus side ships codes only. Codebooks are
@@ -255,5 +325,6 @@ object SimilarityQueries {
       FROM q ORDER BY vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annPqTopK, annIvfPqTopK, annRecall, quantizeEmbeddings)
+    annIvfTopK, annIvfTopKOracle, annPqTopK, annIvfPqTopK, annRecall,
+    quantizeEmbeddings)
 }
