@@ -212,6 +212,87 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql))
 
+  /** Replayable PQ codebooks for [[annPqTopKOracle]]: 4 subspaces × 64
+    * md5-derived centroids × 16 dims (64 centroids keep the oracle-side
+    * argmin affordable; the machinery is parameter-independent of the
+    * production 256). */
+  private val pqOracleCentroids = 64
+  private lazy val pqOracleCb = graft.operators.Pq.Codebooks(4, 16,
+    Similarity.md5Planes(pqOracleCentroids, 4, 16, "graft-pq-oracle"))
+
+  private def pqOracleSql: String = {
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+    s"""WITH cc AS (SELECT ts.s AS s, tj.j AS j,
+          list(CAST(('0x' || substring(md5('graft-pq-oracle:' || CAST(ts.s AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+               ORDER BY ti.i) AS hs
+        FROM generate_series(0, 3) ts(s), generate_series(0, ${pqOracleCentroids - 1}) tj(j),
+             generate_series(0, 15) ti(i)
+        GROUP BY ts.s, tj.j),
+      cu AS (SELECT s, j,
+               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM cc),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      sv AS (SELECT d.vec_id, gs.s AS s,
+               d.embedding[gs.s * 16 + 1 : gs.s * 16 + 16] AS sub
+             FROM d, generate_series(0, 3) gs(s)),
+      enc AS (SELECT vec_id, s, j
+              FROM (SELECT sv.vec_id, sv.s, cu.j,
+                      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+                        ORDER BY ${l2Sql("sv.sub", "cu.u")} ASC, cu.j ASC) AS rn
+                    FROM sv JOIN cu ON sv.s = cu.s)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+            FROM d WHERE vec_id % 50 = 0),
+      qsv AS (SELECT q.qid, gs.s AS s, q.qe[gs.s * 16 + 1 : gs.s * 16 + 16] AS sub
+              FROM q, generate_series(0, 3) gs(s)),
+      lutd AS (SELECT qsv.qid, qsv.s, cu.j, ${l2Sql("qsv.sub", "cu.u")} AS ld
+               FROM qsv JOIN cu ON qsv.s = cu.s),
+      pc AS (SELECT l.qid, e.vec_id, e.s, l.ld
+             FROM enc e JOIN lutd l ON e.s = l.s AND e.j = l.j),
+      ad AS (SELECT qid, vec_id,
+               list_reduce(list(ld ORDER BY s), (x, y) -> x + y) AS adist
+             FROM pc WHERE vec_id <> qid GROUP BY qid, vec_id),
+      sl AS (SELECT qid, vec_id
+             FROM (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rn
+                   FROM ad)
+             WHERE rn <= 60),
+      pairs AS (SELECT sl.qid, sl.vec_id,
+          CASE WHEN d.nrm > 0 AND q.qnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.nrm * q.qnrm)
+               ELSE 0.0 END AS sim
+        FROM sl JOIN d ON sl.vec_id = d.vec_id JOIN q ON sl.qid = q.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM pairs)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+  }
+
+  /** Oracle COMPANION for ann_pq_topk: the REAL PQ machinery —
+    * per-subspace argmin encoding ([[graft.operators.Pq.encode]],
+    * including the native CentroidProbes kernel), the broadcast ADC
+    * lookup-table join, the (distance, id)-ordered shortlist, and the
+    * exact-cosine re-rank — under FIXED md5 codebooks that the oracle
+    * regenerates IN SQL (4 × 64 × 16 centroid components from the md5
+    * recipe, too many to inline as literals). The ADC distance folds in
+    * subspace order on both sides: Spark's partial aggregate consumes
+    * the four exploded code rows of a parent row in order within one
+    * partition, and the oracle replays `list(ld ORDER BY s)` — identical
+    * left folds, so even the float sums hash-match. Lloyd codebook
+    * training remains the only unverifiable piece of the PQ path
+    * (quality certified by the ann_recall floor). */
+  val annPqTopKOracle = QueryDef("ann_pq_topk_oracle",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val codes = graft.operators.Pq.encode(emb, pqOracleCb)
+      graft.operators.Pq.adcRerankTopK(codes, emb, annQueries(emb), pqOracleCb,
+          k = annK, shortlist = 60)
+        .orderBy("qid", "rank")
+    },
+    Some(pqOracleSql))
+
   /** Product-quantized approximate top-5 ([[graft.operators.Pq]]): 64-dim
     * floats compress to 4 one-byte codes (64×); search is ADC — per-query
     * lookup tables broadcast, corpus side ships codes only. Codebooks are
@@ -324,7 +405,98 @@ object SimilarityQueries {
                     (a, b) -> a + b) / CAST(len(v) AS DOUBLE) AS mean_abs_err
       FROM q ORDER BY vec_id"""))
 
+  private def ivfPqOracleSql: String = {
+    val centRows = (0 until ivfOracleLists).map(c =>
+      s"SELECT $c AS c, [${ivfOracleCenterInts(c).mkString(",")}] AS hs")
+      .mkString(" UNION ALL ")
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+    s"""WITH ict AS ($centRows),
+      icu AS (SELECT c, [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+              FROM ict),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      asg AS (SELECT vec_id, c AS list_id
+              FROM (SELECT d.vec_id, icu.c,
+                      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                        ORDER BY ${l2Sql("d.embedding", "icu.u")} ASC, icu.c ASC) AS rn
+                    FROM d, icu)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+            FROM d WHERE vec_id % 50 = 0),
+      qp AS (SELECT qid, c AS list_id
+             FROM (SELECT q.qid, icu.c,
+                     ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ${l2Sql("q.qe", "icu.u")} ASC, icu.c ASC) AS rn
+                   FROM q, icu)
+             WHERE rn <= $ivfOracleProbe),
+      cc AS (SELECT ts.s AS s, tj.j AS j,
+          list(CAST(('0x' || substring(md5('graft-pq-oracle:' || CAST(ts.s AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+               ORDER BY ti.i) AS hs
+        FROM generate_series(0, 3) ts(s), generate_series(0, ${pqOracleCentroids - 1}) tj(j),
+             generate_series(0, 15) ti(i)
+        GROUP BY ts.s, tj.j),
+      pcu AS (SELECT s, j,
+                [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+              FROM cc),
+      sv AS (SELECT d.vec_id, gs.s AS s,
+               d.embedding[gs.s * 16 + 1 : gs.s * 16 + 16] AS sub
+             FROM d, generate_series(0, 3) gs(s)),
+      enc AS (SELECT vec_id, s, j
+              FROM (SELECT sv.vec_id, sv.s, pcu.j,
+                      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+                        ORDER BY ${l2Sql("sv.sub", "pcu.u")} ASC, pcu.j ASC) AS rn
+                    FROM sv JOIN pcu ON sv.s = pcu.s)
+              WHERE rn = 1),
+      qsv AS (SELECT q.qid, gs.s AS s, q.qe[gs.s * 16 + 1 : gs.s * 16 + 16] AS sub
+              FROM q, generate_series(0, 3) gs(s)),
+      lutd AS (SELECT qsv.qid, qsv.s, pcu.j, ${l2Sql("qsv.sub", "pcu.u")} AS ld
+               FROM qsv JOIN pcu ON qsv.s = pcu.s),
+      cand AS (SELECT qp.qid, asg.vec_id
+               FROM qp JOIN asg ON qp.list_id = asg.list_id
+               WHERE asg.vec_id <> qp.qid),
+      pc AS (SELECT c.qid, c.vec_id, e.s, l.ld
+             FROM cand c
+             JOIN enc e ON c.vec_id = e.vec_id
+             JOIN lutd l ON l.qid = c.qid AND l.s = e.s AND l.j = e.j),
+      ad AS (SELECT qid, vec_id,
+               list_reduce(list(ld ORDER BY s), (x, y) -> x + y) AS adist
+             FROM pc GROUP BY qid, vec_id),
+      sl AS (SELECT qid, vec_id
+             FROM (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rn
+                   FROM ad)
+             WHERE rn <= 60),
+      pairs AS (SELECT sl.qid, sl.vec_id,
+          CASE WHEN d.nrm > 0 AND q.qnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.nrm * q.qnrm)
+               ELSE 0.0 END AS sim
+        FROM sl JOIN d ON sl.vec_id = d.vec_id JOIN q ON sl.qid = q.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM pairs)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+  }
+
+  /** Oracle COMPANION for ann_ivfpq_topk — the full billion-vector index
+    * COMPOSITION under fixed md5 codebooks: coarse-quantizer list
+    * assignment and probe pruning (the ann_ivf_topk_oracle machinery),
+    * in-list ADC from one global PQ codebook (the ann_pq_topk_oracle
+    * machinery), exact-cosine re-rank. DuckDB replays every stage —
+    * with this row all three ANN index shapes (IVF, PQ, IVF-PQ) have
+    * their search machinery hash-checked, and ONLY Lloyd training
+    * remains rows-only evidence (ann_recall certifies its quality). */
+  val annIvfPqTopKOracle = QueryDef("ann_ivfpq_topk_oracle",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val index = graft.operators.Ivf.fromCenters(emb, ivfOracleCenters)
+      graft.operators.Pq.ivfPqTopK(index, pqOracleCb, annQueries(emb), k = annK,
+          nProbe = ivfOracleProbe, shortlist = 60)
+        .orderBy("qid", "rank")
+    },
+    Some(ivfPqOracleSql))
+
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annIvfTopKOracle, annPqTopK, annIvfPqTopK, annRecall,
-    quantizeEmbeddings)
+    annIvfTopK, annIvfTopKOracle, annPqTopK, annPqTopKOracle, annIvfPqTopK,
+    annIvfPqTopKOracle, annRecall, quantizeEmbeddings)
 }
