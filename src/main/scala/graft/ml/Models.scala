@@ -147,6 +147,85 @@ object Models {
     }
   }
 
+  /** High 60 bits of md5(key) as a non-negative long — the SQL-replayable
+    * recipe ([[graft.operators.Dedup.md5Hash60]]'s scalar twin):
+    * `CAST(('0x' || substring(md5(key), 1, 15)) AS BIGINT)`. */
+  def md5Long(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ---- md5-REPLAYABLE fakes (pipeline oracle companions) --------------
+  //
+  // The constrained-fake contract that makes E3's end-to-end output
+  // SQL-replayable (the dedup_greedy_oracle constraint set, realized as
+  // model fakes): identities are keyed by (video, slot) with DISJOINT
+  // per-identity boxes (the greedy fold's IoU branch never fires),
+  // phase-1 embeddings are exact one-hot axis pairs (cosine ∈ {0, 1} →
+  // the fold has a closed form: per identity keep max quality, ties to
+  // earliest seq; identity_idx = first-appearance order), and phase-2
+  // embeddings are the (4, 3) rational rotation of the same axis pair
+  // (cosine = 4/5 = 0.8 EXACTLY against the ref — inside the
+  // [0.6, 0.85] band with no libm anywhere). All randomness is
+  // md5-derived, so an external engine regenerates every decision.
+
+  final class Md5PersonDetector extends PersonDetector {
+    def detect(videoId: Long, frameIdx: Long): Seq[Box] = {
+      val n = (md5Long(s"pd:$videoId:$frameIdx") % 3).toInt
+      (0 until n).map { slot =>
+        val id = (md5Long(s"id:$videoId:$slot") % 4).toInt
+        Box(id * 200, 0, id * 200 + 120, 200)
+      }
+    }
+  }
+
+  final class Md5FaceDetector extends FaceDetector {
+    def detect(videoId: Long, frameIdx: Long, slot: Int): Seq[Face] = {
+      val nf = (md5Long(s"fd:$videoId:$frameIdx:$slot") % 3).toInt
+      (0 until nf).map { j =>
+        val s = (md5Long(s"fs:$videoId:$frameIdx:$slot:$j") % 100) / 100.0
+        Face(s, Box(10 + j, 10, 60 + j, 80))
+      }
+    }
+  }
+
+  final class Md5FaceQualityScorer extends FaceQualityScorer {
+    def score(videoId: Long, frameIdx: Long, slot: Int): Double =
+      (md5Long(s"fq:$videoId:$frameIdx:$slot") % 100) / 100.0
+  }
+
+  /** `refMaxFrame` splits the phases: frames ≤ it embed as the one-hot
+    * ref, later frames as the (4, 3) candidate rotation. */
+  final class Md5FaceEmbedder(refMaxFrame: Long) extends FaceEmbedder {
+    def embed(videoId: Long, frameIdx: Long, slot: Int): Array[Float] = {
+      val id = (md5Long(s"id:$videoId:$slot") % 4).toInt
+      val v = new Array[Float](8)
+      if (frameIdx <= refMaxFrame) v(2 * id) = 1f
+      else { v(2 * id) = 4f; v(2 * id + 1) = 3f }
+      v
+    }
+  }
+
+  /** Md5 twin of [[FakeGroundingMasker]] (same miss rate and dilation
+    * shape, md5-derived so SQL replays it): ~1/16 None, else the box
+    * dilated by (h%8, (h/8)%8) clipped to the image. */
+  final class Md5GroundingMasker extends GroundingMasker {
+    def maskRect(imageId: Long, box: Box, h: Long, w: Long): Option[Box] = {
+      val hsh = md5Long(s"mr:$imageId:${box.x1}:${box.y1}")
+      if (hsh % 16 == 0) None
+      else {
+        val dx = (hsh % 8).toInt
+        val dy = ((hsh / 8) % 8).toInt
+        val x1 = math.max(0, box.x1 - dx)
+        val y1 = math.max(0, box.y1 - dy)
+        val x2 = math.min(w.toInt, box.x2 + dx)
+        val y2 = math.min(h.toInt, box.y2 + dy)
+        if (x2 > x1 && y2 > y1) Some(Box(x1, y1, x2, y2)) else None
+      }
+    }
+  }
+
   /** Caption = first 16 hex of md5(prompt + "|" + joined paths) — cheap,
     * deterministic, and replayable in SQL for the oracle. */
   final class FakeCaptioner extends Captioner {

@@ -44,7 +44,8 @@ class BackgroundCuration(
     outRoot: String = "/out",
     minH: Int = 1000, minW: Int = 1000,
     maxPersons: Int = 3, maxAreaRatio: Double = 0.4,
-    minFaceScore: Double = 0.5)
+    minFaceScore: Double = 0.5,
+    modelKeyPrefix: String = "graft")
   extends Serializable {
   import BackgroundCuration.outputKinds
 
@@ -59,13 +60,14 @@ class BackgroundCuration(
     val spark = df.sparkSession
     import spark.implicits._
     val pf = person
+    val kp = modelKeyPrefix // JVM-global singleton cache — see FrameMining note
     val tagged = if (df.columns.contains("tag")) df else df.withColumn("tag", lit("in"))
     graft.ops.Parallelism.ensure(
       tagged.select(col("image_id").cast("long"), col("image_path").cast("string"),
         col("h").cast("long"), col("w").cast("long"), col("tag").cast("string")))
       .as[(Long, String, Long, Long, String)]
       .mapPartitions { it =>
-        val det = ExecutorSingleton.getOrCreate("graft.person_detector")(pf())
+        val det = ExecutorSingleton.getOrCreate(s"$kp.person_detector")(pf())
         // one detectBatch call per 32 images (GPU batching; default hook
         // delegates per item so fakes are bit-identical)
         it.grouped(32).flatMap { chunk =>
@@ -119,6 +121,7 @@ class BackgroundCuration(
     import spark.implicits._
     val ff = face; val mf = masker; val bf = matting; val rf = relighter
     val minScore = minFaceScore
+    val kp = modelKeyPrefix
     df.select(col("image_id").cast("long"), col("image_path").cast("string"),
         col("h").cast("long"), col("w").cast("long"), col("tag").cast("string"),
         col("box_idx").cast("long"),
@@ -126,10 +129,10 @@ class BackgroundCuration(
         col("box.x2").cast("int"), col("box.y2").cast("int"))
       .as[(Long, String, Long, Long, String, Long, Int, Int, Int, Int)]
       .mapPartitions { it =>
-        val fd = ExecutorSingleton.getOrCreate("graft.face_detector")(ff())
-        val gm = ExecutorSingleton.getOrCreate("graft.grounding_masker")(mf())
-        val bg = ExecutorSingleton.getOrCreate("graft.matting")(bf())
-        val rl = ExecutorSingleton.getOrCreate("graft.relighter")(rf())
+        val fd = ExecutorSingleton.getOrCreate(s"$kp.face_detector")(ff())
+        val gm = ExecutorSingleton.getOrCreate(s"$kp.grounding_masker")(mf())
+        val bg = ExecutorSingleton.getOrCreate(s"$kp.matting")(bf())
+        val rl = ExecutorSingleton.getOrCreate(s"$kp.relighter")(rf())
         // tier-wise batching (one *Batch call per tier per 32-box chunk,
         // re-batched over each gate's survivors — see FrameMining note)
         it.grouped(32).flatMap { chunk =>

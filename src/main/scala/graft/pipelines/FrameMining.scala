@@ -33,7 +33,8 @@ class FrameMining(person: () => Models.PersonDetector,
                   refFaceScore: Double = 0.8, candFaceScore: Double = 0.5,
                   qualityThr: Double = 0.35, matchThr: Double = 0.9,
                   simLo: Double = 0.6, simHi: Double = 0.85,
-                  minRefs: Int = 2, maxRefs: Int = 3) extends Serializable {
+                  minRefs: Int = 2, maxRefs: Int = 3,
+                  modelKeyPrefix: String = "graft") extends Serializable {
 
   /** One fused detection stage (person → face → quality → embed) per
     * frame, all models executor-singletons — mirrors the reference's
@@ -56,13 +57,18 @@ class FrameMining(person: () => Models.PersonDetector,
     import spark.implicits._
     val (pf, ff, qf, ef) = (person, face, quality, embedder)
     val qThr = qualityThr
+    // singleton keys carry the pipeline's model-family prefix: the cache
+    // is JVM-global, so two FrameMining instances with DIFFERENT model
+    // factories (e.g. the production fakes and the md5-replayable oracle
+    // fakes) must not silently share models
+    val kp = modelKeyPrefix
     frames.select(col("video_id").cast("long"), col("frame_idx").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val det = ExecutorSingleton.getOrCreate("graft.person_detector")(pf())
-        val fd = ExecutorSingleton.getOrCreate("graft.face_detector")(ff())
-        val qs = ExecutorSingleton.getOrCreate("graft.face_quality")(qf())
-        val em = ExecutorSingleton.getOrCreate("graft.face_embedder")(ef())
+        val det = ExecutorSingleton.getOrCreate(s"$kp.person_detector")(pf())
+        val fd = ExecutorSingleton.getOrCreate(s"$kp.face_detector")(ff())
+        val qs = ExecutorSingleton.getOrCreate(s"$kp.face_quality")(qf())
+        val em = ExecutorSingleton.getOrCreate(s"$kp.face_embedder")(ef())
         it.grouped(batchSize).flatMap { chunk =>
           // tier 1: person boxes, one batch call; person-count gate (F4)
           val boxesPerFrame = det.detectBatch(chunk.map(f => (f._1, f._2)))

@@ -88,6 +88,95 @@ object PipelineQueries {
     },
     None)
 
+  private def frameMiningOracleSql: String = {
+    // md5-long recipe shared with the Md5* fakes
+    val h = (k: String) => s"CAST(('0x' || substring(md5($k), 1, 15)) AS BIGINT)"
+    val vidS = "CAST(video_id AS VARCHAR)"
+    val fidxS = "CAST(fidx AS VARCHAR)"
+    val slotS = "CAST(slot AS VARCHAR)"
+    s"""WITH m AS (SELECT event_id AS video_id FROM events WHERE event_id % 200 = 0),
+      f1 AS (SELECT video_id, g.i AS fidx FROM m, generate_series(0, 300, 20) g(i)),
+      f2 AS (SELECT video_id, g.i AS fidx FROM m, generate_series(301, 3009, 50) g(i)),
+      fa AS (SELECT video_id, fidx, 1 AS ph FROM f1
+             UNION ALL SELECT video_id, fidx, 2 FROM f2),
+      np AS (SELECT video_id, fidx, ph,
+               ${h(s"'pd:' || $vidS || ':' || $fidxS")} % 3 AS n_persons
+             FROM fa),
+      sl AS (SELECT np.video_id, np.fidx, np.ph, g.slot
+             FROM np, generate_series(0, 1) g(slot)
+             WHERE np.n_persons BETWEEN 1 AND 2 AND g.slot < np.n_persons),
+      fcand AS (SELECT video_id, fidx, ph, slot,
+                  ${h(s"'fd:' || $vidS || ':' || $fidxS || ':' || $slotS")} % 3 AS nf
+                FROM sl),
+      fscore AS (SELECT f.video_id, f.fidx, f.ph, f.slot, f.nf, g.j,
+                   (${h(s"'fs:' || $vidS || ':' || $fidxS || ':' || $slotS || ':' || CAST(g.j AS VARCHAR)")} % 100) / 100.0 AS sc
+                 FROM fcand f, generate_series(0, 1) g(j)
+                 WHERE g.j < f.nf),
+      fgate AS (SELECT f.video_id, f.fidx, f.ph, f.slot
+                FROM fcand f LEFT JOIN fscore s
+                  ON f.video_id = s.video_id AND f.fidx = s.fidx AND f.slot = s.slot
+                GROUP BY f.video_id, f.fidx, f.ph, f.slot
+                HAVING SUM(CASE WHEN (f.ph = 1 AND s.sc >= 0.8)
+                                  OR (f.ph = 2 AND s.sc >= 0.5) THEN 1 ELSE 0 END) = 1),
+      qg AS (SELECT video_id, fidx, ph, slot,
+               (${h(s"'fq:' || $vidS || ':' || $fidxS || ':' || $slotS")} % 100) / 100.0 AS q,
+               ${h(s"'id:' || $vidS || ':' || $slotS")} % 4 AS ident
+             FROM fgate
+             WHERE (${h(s"'fq:' || $vidS || ':' || $fidxS || ':' || $slotS")} % 100) / 100.0 > 0.35),
+      rid AS (SELECT video_id, ident FROM qg WHERE ph = 1 GROUP BY video_id, ident),
+      vr AS (SELECT video_id, COUNT(*) AS n_refs FROM rid GROUP BY video_id
+             HAVING COUNT(*) BETWEEN 2 AND 3),
+      refids AS (SELECT rid.video_id, rid.ident FROM rid JOIN vr USING (video_id)),
+      sc2 AS (SELECT qg.video_id, qg.fidx, qg.slot, qg.q, 0.8 AS max_sim
+              FROM qg JOIN refids r ON qg.video_id = r.video_id AND qg.ident = r.ident
+              WHERE qg.ph = 2),
+      fs AS (SELECT video_id, fidx,
+               ROUND(AVG(q), 6) AS avg_q, ROUND(AVG(max_sim), 6) AS avg_sim
+             FROM sc2 GROUP BY video_id, fidx),
+      fs2 AS (SELECT video_id, fidx, avg_q, avg_sim,
+                ROUND((avg_q + avg_sim) / 2, 6) AS combined,
+                fidx // 150 AS bin
+              FROM fs),
+      t1 AS (SELECT video_id, bin, fidx, avg_q, avg_sim, combined
+             FROM (SELECT video_id, bin, fidx, avg_q, avg_sim, combined,
+                     ROW_NUMBER() OVER (PARTITION BY video_id, bin
+                       ORDER BY combined DESC, fidx ASC) AS rn
+                   FROM fs2)
+             WHERE rn = 1)
+      SELECT t1.video_id, t1.bin, t1.fidx AS frame_idx,
+             t1.avg_q, t1.avg_sim, t1.combined, vr.n_refs
+      FROM t1 JOIN vr USING (video_id)
+      ORDER BY t1.video_id, frame_idx"""
+  }
+
+  /** Oracle COMPANION for pipeline_frame_mining (the dedup_greedy_oracle
+    * constraints realized as MODEL FAKES — [[Models.Md5PersonDetector]]
+    * and friends): the REAL two-phase E3 pipeline runs end to end —
+    * frame sampling, the batched four-tier mapPartitions extraction with
+    * executor-singleton models, the greedy identity fold, the ref-count
+    * gate, the broadcast band-pass correlation, frame scoring and the
+    * top-1-per-bin window — and every model decision is md5-derived with
+    * identity-disjoint boxes and rational-cosine embeddings, so the fold
+    * has a closed form and DuckDB replays the ENTIRE observable output
+    * (gates, fold winners, band-pass, averages, window ranks). The
+    * opaque-fake pipeline row (pipeline_frame_mining) stays as the
+    * production configuration; this row is the machinery's hash
+    * evidence. */
+  val pipelineFrameMiningOracle = QueryDef("pipeline_frame_mining_oracle",
+    (s, dir) => {
+      val manifest = Tables.table(s, dir, "events")
+        .select(col("event_id").as("video_id"))
+        .filter(col("video_id") % 200 === 0)
+        .withColumn("total_frames", lit(3010L))
+      new FrameMining(
+        () => new Models.Md5PersonDetector, () => new Models.Md5FaceDetector,
+        () => new Models.Md5FaceQualityScorer,
+        () => new Models.Md5FaceEmbedder(refMaxFrame = 300L),
+        modelKeyPrefix = "graft-md5")
+        .run(manifest)
+    },
+    Some(frameMiningOracleSql))
+
   private def bgPipeline() = new graft.pipelines.BackgroundCuration(
     () => new Models.FakePersonDetector,
     () => new Models.FakeFaceDetector,
@@ -382,6 +471,86 @@ object PipelineQueries {
     },
     Some(dedupCorpusOracleSql))
 
+  private def bgCurationOracleSql: String = {
+    val h = (k: String) => s"CAST(('0x' || substring(md5($k), 1, 15)) AS BIGINT)"
+    val idS = "CAST(image_id AS VARCHAR)"
+    s"""WITH im AS (SELECT p_partkey AS image_id,
+        400 + (p_partkey * 37) % 1200 AS h,
+        600 + (p_partkey * 53) % 1600 AS w
+      FROM part),
+      rg AS (SELECT * FROM im WHERE h >= 1000 AND w >= 1000),
+      np AS (SELECT image_id, h, w,
+               ${h(s"'pd:' || $idS || ':0'")} % 3 AS n
+             FROM rg),
+      ci AS (SELECT * FROM np WHERE n BETWEEN 1 AND 3),
+      bx AS (SELECT ci.image_id, ci.h, ci.w, g.slot,
+               ${h(s"'id:' || $idS || ':' || CAST(g.slot AS VARCHAR)")} % 4 AS ident
+             FROM ci, generate_series(0, 2) g(slot)
+             WHERE g.slot < ci.n),
+      bx2 AS (SELECT image_id, h, w, slot,
+                CAST(ident * 200 AS DOUBLE) AS x1, CAST(0 AS DOUBLE) AS y1,
+                CAST(ident * 200 + 120 AS DOUBLE) AS x2, CAST(200 AS DOUBLE) AS y2,
+                ident * 200 AS ix1
+              FROM bx),
+      ar AS (SELECT image_id, h, w,
+               MAX(GREATEST(0.0, LEAST(x2, CAST(w AS DOUBLE)) - GREATEST(x1, 0.0)) *
+                   GREATEST(0.0, LEAST(y2, CAST(h AS DOUBLE)) - GREATEST(y1, 0.0))) AS max_area
+             FROM bx2 GROUP BY image_id, h, w),
+      ga AS (SELECT image_id, h, w, max_area,
+               max_area / CAST(h * w AS DOUBLE) AS area_ratio
+             FROM ar
+             WHERE max_area / CAST(h * w AS DOUBLE) <= 0.4),
+      nf AS (SELECT b.image_id, b.slot, b.ix1,
+               ${h(s"'fd:' || $idS || ':0:' || CAST(b.slot AS VARCHAR)")} % 3 AS nfaces
+             FROM bx2 b JOIN ga USING (image_id)),
+      fg AS (SELECT n.image_id, n.slot, n.ix1
+             FROM nf n LEFT JOIN (
+               SELECT nf.image_id, nf.slot, g.j,
+                 (${h(s"'fs:' || CAST(nf.image_id AS VARCHAR) || ':0:' || CAST(nf.slot AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)")} % 100) / 100.0 AS sc
+               FROM nf, generate_series(0, 1) g(j) WHERE g.j < nf.nfaces) s
+               ON n.image_id = s.image_id AND n.slot = s.slot
+             GROUP BY n.image_id, n.slot, n.ix1
+             HAVING SUM(CASE WHEN s.sc >= 0.5 THEN 1 ELSE 0 END) = 1),
+      mk AS (SELECT image_id, slot FROM fg
+             WHERE ${h(s"'mr:' || $idS || ':' || CAST(ix1 AS VARCHAR) || ':0'")} % 16 <> 0),
+      ps AS (SELECT image_id, COUNT(*) AS n_persons FROM mk GROUP BY image_id)
+      SELECT ga.image_id, CAST(ga.h AS BIGINT) AS h, CAST(ga.w AS BIGINT) AS w,
+        ga.max_area, ga.area_ratio,
+        CAST(COALESCE(ps.n_persons, 0) AS BIGINT) AS n_persons
+      FROM ga LEFT JOIN ps USING (image_id)
+      ORDER BY ga.image_id"""
+  }
+
+  /** Oracle COMPANION for pipeline_bg_curation: the REAL E4 pipeline —
+    * resolution gate, detect barrier, count/area gates, per-box model
+    * stage (face gate + grounding mask), persons re-assembly — under the
+    * md5-replayable fakes, so DuckDB replays every gate decision, the
+    * clipped-area arithmetic, and the per-image surviving-person counts.
+    * Matte/relight statuses don't surface in this projection; their
+    * machinery stays spec-covered. The opaque-fake row
+    * (pipeline_bg_curation) remains the production configuration. */
+  val pipelineBgCurationOracle = QueryDef("pipeline_bg_curation_oracle",
+    (s, dir) => {
+      val images = table(s, dir, "part").select(
+        col("p_partkey").as("image_id"),
+        format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
+        (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
+        (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
+      new graft.pipelines.BackgroundCuration(
+        () => new Models.Md5PersonDetector,
+        () => new Models.Md5FaceDetector,
+        () => new Models.Md5GroundingMasker,
+        () => new Models.FakeMatting,
+        () => new Models.FakeRelighter,
+        new graft.sources.Sinks.LocalFsStore("/tmp/graft_bg_oracle_out"),
+        modelKeyPrefix = "graft-md5")
+        .run(images)
+        .select("image_id", "h", "w", "max_area", "area_ratio", "n_persons")
+        .orderBy("image_id")
+    },
+    Some(bgCurationOracleSql))
+
   val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
-    pipelineBgCuration, bgSavePaths, pipelineCuration, pipelineDedupCorpus)
+    pipelineFrameMiningOracle, pipelineBgCuration, bgSavePaths, pipelineCuration,
+    pipelineDedupCorpus, pipelineBgCurationOracle)
 }
