@@ -243,8 +243,9 @@ class BackgroundCuration(
     // read stage: dims or drop (ref :146-152) — opaque, so it runs after
     // the distinct (one read per unique image) and before every gate that
     // needs h/w.
+    val kp = modelKeyPrefix
     val withDims = images.as[(String, String)].mapPartitions { it =>
-      val rd = ExecutorSingleton.getOrCreate("graft.image_reader")(rf())
+      val rd = ExecutorSingleton.getOrCreate(s"$kp.image_reader")(rf())
       it.flatMap { case (path, tag) =>
         rd.dims(path).map { case (h, w) => (path, tag, h.toLong, w.toLong) }
       }

@@ -88,9 +88,12 @@ object PipelineQueries {
     },
     None)
 
+  /** [[Models.md5Long]]'s SQL twin — shared by both pipeline-oracle SQL
+    * builders (one definition, so the recipe can never desynchronize). */
+  private val h = (k: String) =>
+    s"CAST(('0x' || substring(md5($k), 1, 15)) AS BIGINT)"
+
   private def frameMiningOracleSql: String = {
-    // md5-long recipe shared with the Md5* fakes
-    val h = (k: String) => s"CAST(('0x' || substring(md5($k), 1, 15)) AS BIGINT)"
     val vidS = "CAST(video_id AS VARCHAR)"
     val fidxS = "CAST(fidx AS VARCHAR)"
     val slotS = "CAST(slot AS VARCHAR)"
@@ -472,7 +475,6 @@ object PipelineQueries {
     Some(dedupCorpusOracleSql))
 
   private def bgCurationOracleSql: String = {
-    val h = (k: String) => s"CAST(('0x' || substring(md5($k), 1, 15)) AS BIGINT)"
     val idS = "CAST(image_id AS VARCHAR)"
     s"""WITH im AS (SELECT p_partkey AS image_id,
         400 + (p_partkey * 37) % 1200 AS h,

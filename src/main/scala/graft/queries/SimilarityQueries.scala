@@ -149,16 +149,26 @@ object SimilarityQueries {
   private val ivfOracleProbe = 2
   private lazy val ivfOracleCenterInts =
     Similarity.md5PlaneInts(ivfOracleLists, 1, 64, "graft-ivf-oracle")(0)
-  private lazy val ivfOracleCenters =
-    Similarity.md5Planes(ivfOracleLists, 1, 64, "graft-ivf-oracle")(0)
+  // derived from the SAME materialized ints the oracle inlines — the two
+  // representations are the same data by construction, and the 8×64 md5
+  // pass runs once
+  private lazy val ivfOracleCenters: Array[Array[Double]] =
+    ivfOracleCenterInts.map(_.map(h => h.toDouble / (1L << 60).toDouble * 2.0 - 1.0))
 
-  private def ivfOracleSql: String = {
-    val centRows = (0 until ivfOracleLists).map(c =>
+  /** Squared-L2 left fold in SQL — shared by every ANN oracle (one
+    * definition, so the fold can never desynchronize between them). */
+  private val l2Sql = (a: String, b: String) =>
+    s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
+
+  /** The inline IVF-oracle centroid rows (c, hs) — shared by the IVF and
+    * IVF-PQ oracle SQL. */
+  private def ivfCentroidRowsSql: String =
+    (0 until ivfOracleLists).map(c =>
       s"SELECT $c AS c, [${ivfOracleCenterInts(c).mkString(",")}] AS hs")
       .mkString(" UNION ALL ")
-    val l2Sql = (a: String, b: String) =>
-      s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
-    s"""WITH ct AS ($centRows),
+
+  private def ivfOracleSql: String = {
+    s"""WITH ct AS ($ivfCentroidRowsSql),
       cu AS (SELECT c, [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
              FROM ct),
       d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -220,18 +230,22 @@ object SimilarityQueries {
   private lazy val pqOracleCb = graft.operators.Pq.Codebooks(4, 16,
     Similarity.md5Planes(pqOracleCentroids, 4, 16, "graft-pq-oracle"))
 
-  private def pqOracleSql: String = {
-    val l2Sql = (a: String, b: String) =>
-      s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
-    s"""WITH cc AS (SELECT ts.s AS s, tj.j AS j,
+  /** The PQ-oracle codebook regeneration CTEs (`cc` raw md5 ints →
+    * `uCte` scaled component lists) — shared by the PQ and IVF-PQ oracle
+    * SQL so the 4×64×16 recipe exists once. */
+  private def pqCodebookCtesSql(uCte: String): String =
+    s"""cc AS (SELECT ts.s AS s, tj.j AS j,
           list(CAST(('0x' || substring(md5('graft-pq-oracle:' || CAST(ts.s AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
                ORDER BY ti.i) AS hs
         FROM generate_series(0, 3) ts(s), generate_series(0, ${pqOracleCentroids - 1}) tj(j),
              generate_series(0, 15) ti(i)
         GROUP BY ts.s, tj.j),
-      cu AS (SELECT s, j,
+      $uCte AS (SELECT s, j,
                [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
-             FROM cc),
+             FROM cc)"""
+
+  private def pqOracleSql: String = {
+    s"""WITH ${pqCodebookCtesSql("cu")},
       d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
       sv AS (SELECT d.vec_id, gs.s AS s,
                d.embedding[gs.s * 16 + 1 : gs.s * 16 + 16] AS sub
@@ -406,12 +420,7 @@ object SimilarityQueries {
       FROM q ORDER BY vec_id"""))
 
   private def ivfPqOracleSql: String = {
-    val centRows = (0 until ivfOracleLists).map(c =>
-      s"SELECT $c AS c, [${ivfOracleCenterInts(c).mkString(",")}] AS hs")
-      .mkString(" UNION ALL ")
-    val l2Sql = (a: String, b: String) =>
-      s"list_reduce([(CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, len($a))], (x, y) -> x + y)"
-    s"""WITH ict AS ($centRows),
+    s"""WITH ict AS ($ivfCentroidRowsSql),
       icu AS (SELECT c, [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
               FROM ict),
       d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -429,15 +438,7 @@ object SimilarityQueries {
                        ORDER BY ${l2Sql("q.qe", "icu.u")} ASC, icu.c ASC) AS rn
                    FROM q, icu)
              WHERE rn <= $ivfOracleProbe),
-      cc AS (SELECT ts.s AS s, tj.j AS j,
-          list(CAST(('0x' || substring(md5('graft-pq-oracle:' || CAST(ts.s AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
-               ORDER BY ti.i) AS hs
-        FROM generate_series(0, 3) ts(s), generate_series(0, ${pqOracleCentroids - 1}) tj(j),
-             generate_series(0, 15) ti(i)
-        GROUP BY ts.s, tj.j),
-      pcu AS (SELECT s, j,
-                [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
-              FROM cc),
+      ${pqCodebookCtesSql("pcu")},
       sv AS (SELECT d.vec_id, gs.s AS s,
                d.embedding[gs.s * 16 + 1 : gs.s * 16 + 16] AS sub
              FROM d, generate_series(0, 3) gs(s)),
