@@ -357,6 +357,80 @@ object DatasetQueries {
                   ELSE 7 - (rank % 8) END AS BIGINT) AS shard
       FROM r ORDER BY doc_id"""))
 
+  // ── corpus_drift ────────────────────────────────────────────────────────
+
+  /** Snapshot drift detection — the crawl-regression monitor: a
+    * two-sample χ² over 64 md5-hashed token buckets between snapshot A
+    * (even doc_ids) and snapshot B (odd doc_ids with every stopword
+    * dropped — a deterministic synthetic "new crawl lost the boilerplate"
+    * shift, so BOTH verdict values occur at every scale). Per bucket,
+    * contrib_b = (K·nA_b − nB_b/K)² / (nA_b + nB_b) with K = √(TB/TA) —
+    * the classical two-sample statistic, but every step is an IEEE-exact
+    * sqrt/divide/multiply on integer-valued counts, so the oracle replays
+    * each contribution bit-for-bit (no Σ-of-doubles total is emitted —
+    * per-bucket values are order-free; `drifted` = contrib > 3.84, the
+    * χ²₁ 95% critical value, is the visible verdict). At 100 TB: two
+    * map-side-partial count aggs, a 64-row grid join, one 1-row totals
+    * broadcast — the scan dominates, the statistic is free. */
+  val corpusDrift = QueryDef("corpus_drift",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tokA = docs.filter(col("doc_id") % 2 === 0)
+        .select(explode(tokens(col("text"))).as("tk"))
+      val tokB = docs.filter(col("doc_id") % 2 === 1)
+        .select(explode(filter(tokens(col("text")),
+          t => !t.isin(enStopwords: _*))).as("tk"))
+      def bucketCounts(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.withColumn("bk", hashBucket(col("tk"), "graft-drift", 64))
+          .groupBy("bk").agg(count(lit(1)).as(out))
+      val grid = s.range(64).select(col("id").as("bk"))
+      val joined = grid
+        .join(bucketCounts(tokA, "n_a"), Seq("bk"), "left")
+        .join(bucketCounts(tokB, "n_b"), Seq("bk"), "left")
+        .select(col("bk"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val tot = joined.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      val k = sqrt(col("tb").cast("double") / col("ta").cast("double"))
+      val contrib = {
+        val d = k * col("n_a").cast("double") - col("n_b").cast("double") / k
+        d * d / (col("n_a") + col("n_b")).cast("double")
+      }
+      joined.crossJoin(broadcast(tot))
+        .filter(col("n_a") + col("n_b") > 0)
+        .select(col("bk").as("bucket"), col("n_a"), col("n_b"),
+          round(contrib, 6).as("contrib"),
+          when(contrib > 3.84, 1).otherwise(0).as("drifted"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      ta2 AS (SELECT UNNEST(toks) AS tk FROM d WHERE doc_id % 2 = 0),
+      tb2 AS (SELECT UNNEST(list_filter(toks, t -> NOT list_contains($stopListSql, t))) AS tk
+              FROM d WHERE doc_id % 2 = 1),
+      ca AS (SELECT CAST(('0x' || substring(md5('graft-drift:' || tk), 1, 8)) AS BIGINT) % 64 AS bk,
+               COUNT(*) AS n_a FROM ta2 GROUP BY bk),
+      cb AS (SELECT CAST(('0x' || substring(md5('graft-drift:' || tk), 1, 8)) AS BIGINT) % 64 AS bk,
+               COUNT(*) AS n_b FROM tb2 GROUP BY bk),
+      grid AS (SELECT i AS bk FROM generate_series(0, 63) g(i)),
+      j AS (SELECT grid.bk,
+              CAST(COALESCE(ca.n_a, 0) AS BIGINT) AS n_a,
+              CAST(COALESCE(cb.n_b, 0) AS BIGINT) AS n_b
+            FROM grid LEFT JOIN ca ON grid.bk = ca.bk
+                      LEFT JOIN cb ON grid.bk = cb.bk),
+      tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+      x AS (SELECT j.bk, j.n_a, j.n_b,
+              sqrt(CAST(tot.tb AS DOUBLE) / CAST(tot.ta AS DOUBLE)) AS k
+            FROM j CROSS JOIN tot
+            WHERE j.n_a + j.n_b > 0)
+      SELECT bk AS bucket, n_a, n_b,
+        ROUND((k * CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE) / k) *
+              (k * CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE) / k) /
+              CAST(n_a + n_b AS DOUBLE), 6) AS contrib,
+        CASE WHEN (k * CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE) / k) *
+                  (k * CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE) / k) /
+                  CAST(n_a + n_b AS DOUBLE) > 3.84 THEN 1 ELSE 0 END AS drifted
+      FROM x ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] =
-    Seq(dedupSemantic, dedupRepresentative, corpusOverlap, shardAssign)
+    Seq(dedupSemantic, dedupRepresentative, corpusOverlap, shardAssign,
+      corpusDrift)
 }

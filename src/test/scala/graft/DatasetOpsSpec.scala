@@ -140,4 +140,26 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
     assert(out.filter(_._1 < 1000000L).forall(_._3 == 1))
   }
+
+  test("corpus_drift law: stopword buckets drift, most of the grid is stable") {
+    import graft.functions.TextFunctions
+    val out = graft.queries.DatasetQueries.corpusDrift
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("bucket", "drifted").as[(Long, Int)].collect().toMap
+    val drifted = out.count(_._2 == 1)
+    assert(drifted > 0, "no bucket drifted — the planted shift is invisible")
+    assert(drifted < out.size, "every bucket drifted — the statistic is saturated")
+    // the synthesized shift drops exactly the stopwords from snapshot B;
+    // the HIGH-FREQUENCY ones ('the', 'a' — hundreds of occurrences at
+    // every scale) must clear the χ²₁ critical value. Rare stopwords
+    // legitimately may not: a 3-count bucket cannot reach 3.84, which is
+    // the statistic working, not a defect.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    Seq("the", "a").foreach { w =>
+      val b = spark.range(1).select(
+        TextFunctions.hashBucket(lit(w), "graft-drift", 64)).head().getLong(0)
+      assert(out.getOrElse(b, 0) == 1, s"bucket of '$w' ($b) not flagged as drifted")
+    }
+  }
 }
