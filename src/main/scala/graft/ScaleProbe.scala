@@ -36,6 +36,12 @@ object ScaleProbe {
   private def replicate(df: DataFrame, mult: Int, idCol: String,
                         saltText: Boolean): DataFrame = {
     if (mult <= 1) return df
+    // the rotation salt has 26 distinct values: replica 26 would rotate
+    // back to the identity and share every shingle with replica 0,
+    // silently inflating pair counts — the probe would then measure an
+    // adversarial corpus, not scale
+    require(!saltText || mult <= 26,
+      s"text-salted replication supports at most 26 replicas, got $mult")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val reps = df.withColumn("_rep", explode(lit((0 until mult).toArray)))
     val shifted = reps.withColumn(idCol, col(idCol) + col("_rep").cast("long") * 100000000L)
@@ -154,17 +160,24 @@ object ScaleProbe {
       },
       "semantic_dedup" -> { m =>
         // replicas are direction-salted (per-replica elementwise factors,
-        // amplitude 0.15 → cross-replica cosine ≲ 0.95) so only each
+        // amplitude 0.07 → cross-replica cosine ≲ 0.95) so only each
         // replica's PLANTED twins pass the 0.99 gate and the verified
         // pair count stays linear — a naive copy would make every vector
-        // an m-way exact dup and square the pair space
+        // an m-way exact dup and square the pair space. The salt period
+        // must EXCEED the replica count: with `% p`, replicas r and r+p
+        // get identical per-component factors (same direction, cosine
+        // exactly 1.0) and every cross-replica vector pair passes the
+        // gate — the 20× probe measured exactly that artifact at the old
+        // period 11 (ratio 24 from nine aligned replica pairs), not an
+        // operator defect
+        require(m <= 23, s"semantic_dedup direction salt has period 23, got $m replicas")
         val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
         val rep = (col("vec_id") / 100000000L).cast("int")
         val base = emb0.withColumn("embedding",
           transform(col("embedding"), (x, i) =>
             (x.cast("double") * (lit(1.0) +
-              (((i * (rep + 1)) % 11) - 5).cast("double") * 0.15)).cast("float")))
+              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
           .localCheckpoint(false)
         val planted = base.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + lit(1000000L)).as("vec_id"),
