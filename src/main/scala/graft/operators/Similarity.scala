@@ -109,6 +109,29 @@ object Similarity {
     md5PlaneInts(nPlanes, nTables, dim, salt).map(_.map(_.map(h =>
       h.toDouble / (1L << 60).toDouble * 2.0 - 1.0)))
 
+  /** Hyperplane count sized for a target mean bucket occupancy — the
+    * 100 TB depth lever the 20× scale probe quantifies: with a FIXED
+    * plane count, occupancy grows with the corpus and bucket-join
+    * candidate work approaches n²/2^planes; each extra plane halves
+    * occupancy, so planes must grow with log₂(n). Sizing uses the
+    * plan-statistics row estimate (stats, never a count pass — the
+    * [[graft.operators.Pq.adcRerankTopK]] shortlist pattern; the
+    * estimate only steers, an overestimate merely deepens the index).
+    * Driver-side sizing only — no libm value ever reaches the data
+    * plane, so oracle replays are unaffected when the chosen depth is
+    * inlined into a generated oracle. */
+  def autoPlanes(df: DataFrame, targetOccupancy: Long = 64L,
+                 minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    require(targetOccupancy > 0 && minPlanes >= 1 && maxPlanes >= minPlanes)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val defaultRow = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
+    val est = stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / defaultRow).toLong).max(1L)
+    val p = math.ceil(math.log(est.toDouble / targetOccupancy.toDouble) /
+      math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, p))
+  }
+
   /** LSH bucket id: sign bit per hyperplane packed into a long. */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -141,6 +141,20 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 < 1000000L).forall(_._3 == 1))
   }
 
+  test("autoPlanes: depth grows with log2 of the row estimate, clamped to the floor") {
+    val spark = TestSpark.spark
+    // small corpora sit at the floor; spark.range carries exact rowCount stats
+    assert(Similarity.autoPlanes(spark.range(1000).toDF()) == 8)
+    // 64M rows at target occupancy 64 → ceil(log2(1M)) = 20 planes
+    assert(Similarity.autoPlanes(spark.range(64L * 1024 * 1024).toDF()) == 20)
+    // doubling the corpus adds exactly one plane (the halving lever)
+    val p1 = Similarity.autoPlanes(spark.range(1L << 26).toDF())
+    val p2 = Similarity.autoPlanes(spark.range(1L << 27).toDF())
+    assert(p2 == p1 + 1)
+    // the cap holds for absurd row counts
+    assert(Similarity.autoPlanes(spark.range(Long.MaxValue / 4).toDF()) == 24)
+  }
+
   test("corpus_drift law: stopword buckets drift, most of the grid is stable") {
     import graft.functions.TextFunctions
     val out = graft.queries.DatasetQueries.corpusDrift
