@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
 object BloomPrune {
 
   /** The nHashes bit positions of a key (non-negative; h1 < 2^60 and
-    * j·h2 < j·2^56 keep the sum overflow-free for j ≤ 48). */
+    * j·h2 < j·2^56 keep the sum overflow-free for j ≤ 48 — ENFORCED:
+    * past 48 the sum could wrap negative and `% mBits` would emit
+    * negative positions, which element_at reads count-from-end —
+    * silent false negatives in a filter documented false-negative-free). */
   def bitPositions(key: Column, nHashes: Int, mBits: Int): Seq[Column] = {
+    require(nHashes >= 1 && nHashes <= 48,
+      s"nHashes must be in [1, 48] (overflow-free double-hash range), got $nHashes")
     val ks = key.cast("string")
     val h1 = Dedup.md5Hash60(ks)
     val h2 = Dedup.md5Hash56(ks)
@@ -47,12 +52,19 @@ object BloomPrune {
   }
 
   /** Membership test against the literal bit array: all nHashes bits set.
-    * Pure codegen'd bit math riding the scan — no join, no shuffle. */
-  def mightContain(key: Column, bits: Array[Long], nHashes: Int, mBits: Int): Column =
+    * Pure codegen'd bit math riding the scan — no join, no shuffle. The
+    * bit-word literal is hoisted ONCE and referenced from every probe —
+    * the serialized plan ships one mBits/64-long array, not nHashes
+    * copies. Practical mBits ceiling: the array is a plan literal, so
+    * keep it broadcast-sized (≤ a few MB, i.e. mBits ≲ 10⁸); larger
+    * filters should switch to a real broadcast-join runtime filter. */
+  def mightContain(key: Column, bits: Array[Long], nHashes: Int, mBits: Int): Column = {
+    val bitsLit = typedlit(bits.toSeq)
     bitPositions(key, nHashes, mBits).map { p =>
-      val word = element_at(typedlit(bits.toSeq), shiftright(p, 6).cast("int") + 1)
+      val word = element_at(bitsLit, shiftright(p, 6).cast("int") + 1)
       call_function("shiftright", word, (p % 64)).bitwiseAND(lit(1L)) === 1L
     }.reduce(_ && _)
+  }
 
   /** Prune `big` to rows whose key might be in `smallKeys`, then take the
     * exact semi-join against the (deduplicated) small side — identical

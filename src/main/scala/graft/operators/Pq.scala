@@ -85,29 +85,43 @@ object Pq {
       nearestSub(slice(col(vecCol), s * cb.subDim + 1, cb.subDim), cb.centers(s))
     }: _*))
 
-  /** Per-query ADC lookup table as a broadcastable frame: (qid, sub,
-    * code_val, dist) — exact query-to-subcentroid squared distances, the
-    * nSub×nCentroids table ADC search replaces float math with. */
+  /** Squared L2 between two array COLUMNS (query subvector × centroid) —
+    * the same left fold as the literal-center [[distSq]], so the two
+    * forms are bit-identical. */
+  private def distSqCols(vec: Column, center: Column): Column =
+    aggregate(
+      zip_with(vec, center, (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Per-query ADC lookup table as a frame: (qid, sub, code_val, dist) —
+    * exact query-to-subcentroid squared distances, the nSub×nCentroids
+    * table ADC search replaces float math with. Built RELATIONALLY: the
+    * query side posexplodes into its nSub subvectors and equi-joins the
+    * broadcast codebook frame (nSub×nCentroids rows — bounded by the
+    * MODEL size, never the query count), with the distance computed as a
+    * column. No query vector is ever materialized on the driver, so a
+    * batch-ANN job with millions of queries streams through; only the
+    * codebook (driver state by construction) ships as a literal frame.
+    * The column fold is the same left-to-right double fold as the
+    * previous driver-local loop — bit-identical dist values. */
   private def adcLut(queries: DataFrame, cb: Codebooks,
                      qidCol: String, qvecCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(qidCol), col(qvecCol)).as[(Long, Seq[Float])].collect()
-    val lut = for {
-      (qid, qv) <- qs.toSeq
+    val codebook = (for {
       s <- 0 until cb.nSub
-      (ctr, j) <- cb.centers(s).zipWithIndex.toSeq
-    } yield {
-      var d = 0.0
-      var i = 0
-      while (i < cb.subDim) {
-        val t = qv(s * cb.subDim + i).toDouble - ctr(i)
-        d += t * t
-        i += 1
-      }
-      (qid, s, j, d)
-    }
-    lut.toDF(qidCol, "sub", "code_val", "dist")
+      (ctr, j) <- cb.centers(s).zipWithIndex
+    } yield (s, j, ctr.toSeq)).toDF("sub", "code_val", "center")
+    queries
+      .select(col(qidCol), posexplode(array((0 until cb.nSub).map { s =>
+        slice(col(qvecCol), s * cb.subDim + 1, cb.subDim)
+      }: _*)).as(Seq("sub", "qsub")))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col(qidCol), col("sub"), col("code_val"),
+        distSqCols(col("qsub"), col("center")).as("dist"))
   }
 
   /** Summed ADC distance per (query, candidate) → bounded-heap top-k.
@@ -132,10 +146,13 @@ object Pq {
       .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
       .transform(Similarity.rankTopK(_, k, qidCol, idCol))
 
-  /** ADC approximate top-k: the bounded query set collects once, its
-    * nSub×nCentroids distance tables broadcast as a tiny lookup frame,
-    * and the corpus side is explode → equi-join → partial-agg sum →
-    * bounded-heap rank. Ties break (distance asc, id asc). */
+  /** ADC approximate top-k: the per-query distance tables are computed
+    * relationally and broadcast as a lookup frame (queries×nSub×nCentroids
+    * rows through Spark's memory-managed broadcast — never a driver-side
+    * collect of query vectors), and the corpus side is explode →
+    * equi-join → partial-agg sum → bounded-heap rank. Ties break
+    * (distance asc, id asc). For query batches past broadcast size, drop
+    * the broadcast hint and the same plan shuffles on (sub, code_val). */
   def adcTopK(codes: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
               idCol: String = "vec_id", codeCol: String = "code",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
