@@ -185,11 +185,10 @@ object ScaleProbe {
               (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
                 .cast("float")).as("embedding"))
         val corpus = base.unionByName(planted)
-        val pairs = graft.operators.Similarity.lshNearDupPairs(corpus, 0.99,
-          graft.operators.Similarity.md5Planes(8, 4, 64, "graft-semdedup"))
-        noop(Components.connectedComponents(
-          corpus.select(col("vec_id").as("id")),
-          pairs.select(col("id_a").as("src"), col("id_b").as("dst"))))
+        // the SHARED stage builder (count → auto depth → planes → pairs →
+        // components) — the probe measures the shipped query's plan,
+        // including the corpus-sized depth that is the saturation lever
+        noop(graft.queries.DatasetQueries.semanticComponents(corpus))
       },
       "corpus_overlap" -> { m =>
         // 20 sources, 10× the distinct shingles per source: times the
@@ -233,6 +232,27 @@ object ScaleProbe {
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         noop(Components.connectedComponents(
           surv.select(col("doc_id").as("id")), edges))
+      },
+      "incremental_dedup" -> { m =>
+        // the dedup_incremental shape via the SHARED stage builder: a
+        // batch (every 5th doc) against the corpus band index — salted
+        // replicas keep batch fraction and bucket occupancy constant
+        // (replica id offset is divisible by 5)
+        noop(graft.queries.TextQueries.incrementalVerdicts(
+          graft.ops.Parallelism.ensure(docs(m))))
+      },
+      "star_hub" -> { m =>
+        // one massive hub (degree n/2 — the near-dup graph of a
+        // template-heavy crawl) plus length-100 chains: large-star is
+        // designed to contract exactly this neighborhood; the probe
+        // watches for a skewed-reducer blowup as the hub degree scales
+        val n = 20000L * m
+        val nodes = spark.range(n).select(col("id"))
+        val spokes = spark.range(1L, n / 2).select(col("id").as("src"), lit(0L).as("dst"))
+        val chains = spark.range(n / 2, n).filter(col("id") % 100 =!= 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        noop(Components.connectedComponents(nodes, spokes.unionByName(chains),
+          algorithm = Components.StarContraction))
       },
       "dsir_selection" -> { m =>
         // the dsir_weights shape via the SAME stage builders the shipped

@@ -132,6 +132,24 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, p))
   }
 
+  /** [[autoPlanes]] from a KNOWN exact count — the oracle-replayable
+    * depth rule the REGISTERED queries default to: planes = the smallest
+    * p in [minPlanes, maxPlanes] with targetOccupancy·2^p ≥ n. Pure
+    * integer doubling, no libm — an external engine reproduces the
+    * chosen depth from the same COUNT(*) with no last-ulp ambiguity
+    * (ceil(log2(x)) in floats can differ across engines exactly at the
+    * power-of-two boundaries this rule lands on). Costs one count pass
+    * at query build; pipelines that cannot afford it use the
+    * plan-statistics [[autoPlanes]] with the same clamps. */
+  def autoPlanesExact(n: Long, targetOccupancy: Long = 64L,
+                      minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    require(n >= 0 && targetOccupancy > 0 && minPlanes >= 1 &&
+      maxPlanes >= minPlanes && maxPlanes <= 40)
+    var p = minPlanes
+    while (p < maxPlanes && (targetOccupancy << p) < n) p += 1
+    p
+  }
+
   /** LSH bucket id: sign bit per hyperplane packed into a long. */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

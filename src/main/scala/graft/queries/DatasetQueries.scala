@@ -24,29 +24,58 @@ object DatasetQueries {
 
   // ── dedup_semantic ──────────────────────────────────────────────────────
 
-  /** Replayable hyperplanes for the semantic-dedup buckets: 4 tables × 8
-    * planes (256 buckets/table) — deeper than the ANN config because a
-    * SELF-join dedup pays bucket-occupancy², not occupancy×queries. */
+  /** Replayable hyperplane config for the semantic-dedup buckets: 4
+    * tables × a corpus-sized plane count (base 8 — 256 buckets/table,
+    * deeper than the ANN config because a SELF-join dedup pays
+    * bucket-occupancy², not occupancy×queries). Depth is the DEFAULT
+    * auto rule now ([[Similarity.autoPlanesExact]], one plane per corpus
+    * doubling past 64-occupancy): at a fixed depth the 20× probe
+    * measured candidate work drifting toward n²/2^planes (ratio 19.4);
+    * with the count-derived depth the bucket count grows with the
+    * corpus and the drift cancels. Tables stay 4: the 0.99-cosine gate
+    * means per-plane agreement ≈ 0.955, so even 24-deep conjunctions
+    * keep per-table recall high (0.955²⁴ ≈ 0.33, miss⁴ ≈ 0.2 — and
+    * planted-twin recovery is oracle-pinned at every registered scale). */
   private val semTables = 4
   private val semPlanes = 8
-  private lazy val semPlaneInts = Similarity.md5PlaneInts(semPlanes, semTables, 64, "graft-semdedup")
-  private lazy val semPlaneMatrix = Similarity.md5Planes(semPlanes, semTables, 64, "graft-semdedup")
+  private val semMaxPlanes = 24
+
+  /** Shared semantic-dedup stages — the REGISTERED query and ScaleProbe
+    * both call this, so the probe cannot drift from the shipped plan:
+    * exact count → auto depth → md5 planes → LSH-bucketed candidate
+    * pairs → exact-cosine edges (≥ 0.99) → connected components. */
+  def semanticComponents(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val planes = Similarity.autoPlanesExact(corpus.count(), 64L, semPlanes, semMaxPlanes)
+    val pm = Similarity.md5Planes(planes, semTables, 64, "graft-semdedup")
+    val pairs = Similarity.lshNearDupPairs(corpus, threshold = 0.99, pm)
+    Components.connectedComponents(
+      corpus.select(col("vec_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+  }
 
   private def semDedupOracleSql: String = {
-    val planeRows = (for (t <- 0 until semTables; j <- 0 until semPlanes) yield
-      s"SELECT $t AS t, $j AS j, [${semPlaneInts(t)(j).mkString(",")}] AS hs")
-      .mkString(" UNION ALL ")
     s"""WITH RECURSIVE
-      pl AS ($planeRows),
-      pu AS (SELECT t, j,
-               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
-             FROM pl),
       pt AS (SELECT vec_id + 1000000 AS vec_id,
                [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) AS FLOAT)
                 for i in generate_series(1, len(embedding))] AS embedding
              FROM embeddings WHERE vec_id % 5 = 0),
       corpus AS (SELECT vec_id, embedding FROM embeddings
                  UNION ALL SELECT vec_id, embedding FROM pt),
+      nn AS (SELECT COUNT(*) AS n FROM corpus),
+      depth AS (SELECT LEAST($semMaxPlanes, GREATEST($semPlanes,
+          (SELECT MIN(p) FROM generate_series(0, 40) g(p)
+           WHERE (CAST(64 AS BIGINT) << p) >= (SELECT n FROM nn)))) AS planes),
+      pl AS (SELECT tt.t AS t, tj.j AS j,
+               list(CAST(('0x' || substring(md5('graft-semdedup:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    ORDER BY ti.i) AS hs
+             FROM generate_series(0, ${semTables - 1}) tt(t),
+                  generate_series(0, ${semMaxPlanes - 1}) tj(j),
+                  generate_series(0, 63) ti(i), depth
+             WHERE tj.j < depth.planes
+             GROUP BY tt.t, tj.j),
+      pu AS (SELECT t, j,
+               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM pl),
       d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM corpus),
       dots AS (SELECT d.vec_id, pu.t, pu.j, ${dotSql("d.embedding", "pu.u")} AS dp
                FROM d, pu),
@@ -85,6 +114,7 @@ object DatasetQueries {
     * synthesized-evidence pattern dedup_lines uses), so every scale has a
     * non-trivial planted cluster set: each twin MUST land in its
     * original's component and lose (keep = 0). Fully oracle-replayable —
+    * count-derived auto depth (integer doubling rule, replayed in SQL),
     * md5-derived planes, IEEE left-fold cosine, recursive-CTE closure. */
   val dedupSemantic = QueryDef("dedup_semantic",
     (s, dir) => {
@@ -95,10 +125,7 @@ object DatasetQueries {
             (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
               .cast("float")).as("embedding"))
       val corpus = base.unionByName(planted)
-      val pairs = Similarity.lshNearDupPairs(corpus, threshold = 0.99, semPlaneMatrix)
-      val comps = Components.connectedComponents(
-        corpus.select(col("vec_id").as("id")),
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val comps = semanticComponents(corpus)
       val sizes = comps.groupBy("comp").agg(count(lit(1)).as("n_members"))
       comps.join(sizes, "comp")
         .select(col("id").as("vec_id"), col("comp"), col("n_members"),

@@ -75,21 +75,58 @@ object SimilarityQueries {
     emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** The md5-derived replayable hyperplanes shared by `ann_lsh_topk`,
-    * `ann_recall`, and the generated oracle SQL. */
-  private lazy val lshPlaneInts = Similarity.md5PlaneInts(lshPlanes, lshTables, 64)
-  private lazy val lshPlaneMatrix = Similarity.md5Planes(lshPlanes, lshTables, 64)
+  /** Auto-sized LSH depth — the default for the REGISTERED queries (the
+    * 20× probe's fixed-depth saturation lever, now always on): planes
+    * grow one per corpus doubling past the base occupancy
+    * ([[Similarity.autoPlanesExact]] — exact-integer rule from a COUNT,
+    * so the oracle replays the choice), and tables grow
+    * `lshTablesPerExtraPlane` per extra plane to hold the recall floor
+    * (per-plane agreement probability is fixed by the similarity, so
+    * deeper AND-conjunctions need more OR-tables — the standard (k, L)
+    * LSH tradeoff; `ann_recall` certifies the floor at whatever depth
+    * the corpus selects). 12 tables per extra plane is recall-measured
+    * on the overlapping-cluster test embeddings: at sf0.1 (depth 5)
+    * 24 tables gave 0.89 — under the floor — 36 gave 0.97. Candidate
+    * work ~ L·n²/2^planes, so with L linear in log n and 2^planes
+    * linear in n, total work stays ~n·log n as the corpus grows —
+    * against n² at any fixed depth. */
+  private val lshMaxPlanes = 24
+  private val lshTablesPerExtraPlane = 12
+  private def lshDepth(n: Long): (Int, Int) = {
+    val planes = Similarity.autoPlanesExact(n, 64L, lshPlanes, lshMaxPlanes)
+    (planes, lshTables + lshTablesPerExtraPlane * (planes - lshPlanes))
+  }
 
-  /** DuckDB replay of the full LSH ANN: regenerate the planes from their
-    * exact 60-bit integers (u = h/2^60·2−1 — IEEE-identical in any
-    * engine), left-fold the sign dots, pack buckets, candidate-join on
-    * (table, bucket), then exact cosine + rank over the candidate set —
-    * the same math [[Similarity.lshTopKPlanes]] executes. */
+  /** The md5-derived replayable hyperplanes shared by `ann_lsh_topk` and
+    * `ann_recall`, at the corpus-sized depth (one bounded count pass). */
+  private def lshAutoMatrix(emb: org.apache.spark.sql.DataFrame): Array[Array[Array[Double]]] = {
+    val (planes, tables) = lshDepth(emb.count())
+    Similarity.md5Planes(planes, tables, 64)
+  }
+
+  /** DuckDB replay of the full LSH ANN: re-derive the corpus-sized depth
+    * from the same COUNT(*) (integer doubling — no floats), regenerate
+    * the planes from their exact 60-bit md5 integers (u = h/2^60·2−1 —
+    * IEEE-identical in any engine), left-fold the sign dots, pack
+    * buckets, candidate-join on (table, bucket), then exact cosine +
+    * rank over the candidate set — the same math
+    * [[Similarity.lshTopKPlanes]] executes at the same auto depth. */
   private def lshOracleSql: String = {
-    val planeRows = (for (t <- 0 until lshTables; j <- 0 until lshPlanes) yield
-      s"SELECT $t AS t, $j AS j, [${lshPlaneInts(t)(j).mkString(",")}] AS hs")
-      .mkString(" UNION ALL ")
-    s"""WITH pl AS ($planeRows),
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      depth AS (SELECT LEAST($lshMaxPlanes, GREATEST($lshPlanes,
+          (SELECT MIN(p) FROM generate_series(0, 40) g(p)
+           WHERE (CAST(64 AS BIGINT) << p) >= (SELECT n FROM nn)))) AS planes),
+      dt AS (SELECT planes,
+               $lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes) AS tables
+             FROM depth),
+      pl AS (SELECT tt.t AS t, tj.j AS j,
+               list(CAST(('0x' || substring(md5('graft-lsh:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    ORDER BY ti.i) AS hs
+             FROM generate_series(0, 263) tt(t),
+                  generate_series(0, ${lshMaxPlanes - 1}) tj(j),
+                  generate_series(0, 63) ti(i), dt
+             WHERE tt.t < dt.tables AND tj.j < dt.planes
+             GROUP BY tt.t, tj.j),
       pu AS (SELECT t, j,
                [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
              FROM pl),
@@ -118,14 +155,15 @@ object SimilarityQueries {
       FROM r WHERE rank <= $annK ORDER BY qid, rank"""
   }
 
-  /** LSH-bucketed approximate top-5 — md5-derived replayable hyperplanes,
-    * so the ENTIRE approximate pipeline (plane generation → sign buckets →
-    * candidate join → exact re-rank) is hash-checked by the oracle; the
-    * `ann_recall` floor certifies its quality separately. */
+  /** LSH-bucketed approximate top-5 — md5-derived replayable hyperplanes
+    * at the corpus-sized auto depth ([[lshDepth]]), so the ENTIRE
+    * approximate pipeline (depth choice → plane generation → sign
+    * buckets → candidate join → exact re-rank) is hash-checked by the
+    * oracle; the `ann_recall` floor certifies its quality separately. */
   val annLshTopK = QueryDef("ann_lsh_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      Similarity.lshTopKPlanes(emb, annQueries(emb), k = annK, lshPlaneMatrix)
+      Similarity.lshTopKPlanes(emb, annQueries(emb), k = annK, lshAutoMatrix(emb))
         .orderBy("qid", "rank")
     },
     Some(lshOracleSql))
@@ -217,6 +255,31 @@ object SimilarityQueries {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val index = graft.operators.Ivf.fromCenters(emb, ivfOracleCenters)
       graft.operators.Ivf.topK(index, annQueries(emb), k = annK,
+          nProbe = ivfOracleProbe)
+        .orderBy("qid", "rank")
+    },
+    Some(ivfOracleSql))
+
+  /** Persisted-index ANN — the build-once/probe-many shape a production
+    * search service runs ([[graft.operators.Ivf.save]]/[[graft.operators.Ivf.load]]):
+    * the index is SAVED (centroids + the assigned corpus written
+    * partitioned by list_id), re-LOADED in the same session, and probed.
+    * The probe equi-join triggers dynamic partition pruning on list_id
+    * (PlansSpec pins `dynamicpruningexpression` in the scan's
+    * PartitionFilters), so a search session reads only the probed list
+    * directories from disk — at 100 TB the whole point of persisting.
+    * Under the md5 codebook the loaded search is bit-identical to the
+    * in-memory [[annIvfTopKOracle]], so the same SQL hash-checks the
+    * entire save → load → probe path. */
+  val annIvfPersisted = QueryDef("ann_ivf_persisted",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_persisted_${java.nio.file.Paths.get(dir).getFileName}").toString
+      graft.operators.Ivf.save(graft.operators.Ivf.fromCenters(emb, ivfOracleCenters), path)
+      val loaded = graft.operators.Ivf.load(s, path)
+      graft.operators.Ivf.topK(loaded, annQueries(emb), k = annK,
           nProbe = ivfOracleProbe)
         .orderBy("qid", "rank")
     },
@@ -368,7 +431,7 @@ object SimilarityQueries {
             round(col("hits").cast("double") / col("total").cast("double"), 4)
               .as("recall"))
       }
-      val lsh = Similarity.lshTopKPlanes(emb, queries, k, lshPlaneMatrix)
+      val lsh = Similarity.lshTopKPlanes(emb, queries, k, lshAutoMatrix(emb))
       // one index build + one codebook train feed all quantized methods
       val index = graft.operators.Ivf.build(emb, nLists = ivfLists)
       val pqCb = graft.operators.Pq.train(emb, dim = 64)
@@ -498,6 +561,6 @@ object SimilarityQueries {
     Some(ivfPqOracleSql))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annIvfTopKOracle, annPqTopK, annPqTopKOracle, annIvfPqTopK,
-    annIvfPqTopKOracle, annRecall, quantizeEmbeddings)
+    annIvfTopK, annIvfTopKOracle, annIvfPersisted, annPqTopK, annPqTopKOracle,
+    annIvfPqTopK, annIvfPqTopKOracle, annRecall, quantizeEmbeddings)
 }

@@ -331,8 +331,18 @@ object TextQueries {
     * addVectors analog for text), and each ingest scans only the batch
     * plus the buckets it touches. */
   val dedupIncrementalQ = QueryDef("dedup_incremental",
-    (s, dir) => {
-      val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+    (s, dir) => incrementalVerdicts(
+        graft.ops.Parallelism.ensure(table(s, dir, "documents")))
+      .orderBy("doc_id"),
+    Some(incrementalOracleSql))
+
+  /** Shared incremental-dedup stages ([[dedupIncrementalQ]] AND
+    * ScaleProbe's `incremental_dedup` family call this — the probe
+    * measures the shipped plan, not a copy): batch = every 5th doc,
+    * existing = the rest; exact content-key join, then batch-bands ×
+    * corpus-bands with est pre-screen and true-Jaccard verify. */
+  def incrementalVerdicts(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val docs = docsIn
         .select(col("doc_id"), col("text"))
         .localCheckpoint() // existing/batch splits + shingle frames
       val existing = docs.filter(col("doc_id") % 5 =!= 0)
@@ -380,9 +390,7 @@ object TextQueries {
             .when(col("near_id").isNotNull, lit("near_dup"))
             .otherwise(lit("new")).as("verdict"),
           coalesce(col("ex_id"), col("near_id")).as("match_id"))
-        .orderBy("doc_id")
-    },
-    Some(incrementalOracleSql))
+  }
 
   /** DuckDB replay of [[dedupIncrementalQ]]: content-key match, then
     * batch-bands × corpus-bands with the same est pre-screen and

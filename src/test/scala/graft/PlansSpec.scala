@@ -194,6 +194,17 @@ class PlansSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("persisted IVF probe dynamically prunes list_id partition directories") {
+    // the build-once/probe-many deployment shape: save → load → probe must
+    // read only probed list directories, i.e. the loaded scan's
+    // PartitionFilters carries a dynamicpruningexpression on list_id fed
+    // by the broadcast probe side — NOT a full-index scan
+    val p = plan(SparkEntry.queries("ann_ivf_persisted")(spark, sf))
+    assert(p.toLowerCase.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the persisted-index scan:\n$p")
+    assert(p.contains("PartitionFilters"), s"scan is not partition-filtered:\n$p")
+  }
+
   test("selection-family plans: no nested loops, thresholds broadcast, scoring rides the scan") {
     // cluster_assign: the argmax is one narrow pass — no join-shaped node
     // before the size rollup, and never a cartesian/nested loop
