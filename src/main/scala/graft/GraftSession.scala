@@ -22,6 +22,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive event timestamps read as UTC instants (oracle parity)
+      .config("spark.sql.session.timeZone", "UTC")
 
   /** Local session (tests, single-node runs): `local[cores]` with one
     * shuffle partition per core. */

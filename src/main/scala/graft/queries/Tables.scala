@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads with
-    // this legacy flag (as a nanosecond-epoch LongType column). Set lazily so
-    // the flag holds in whatever session the harness hands us.
+    // events.parquet has carried TIMESTAMP(NANOS) (readable only as a
+    // nanosecond-epoch LongType under this legacy flag) and TIMESTAMP(MICROS)
+    // (read natively as TIMESTAMP_NTZ) across testdata generations. Set the
+    // flag lazily so it holds in whatever session the harness hands us, then
+    // normalize below so every consumer sees one canonical shape.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The ns-epoch view of a naive timestamp is its UTC reading (DuckDB's
+    // epoch_ns does the same), so the NTZ→instant cast must run under UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Native expressions (graft_cosine) into the harness-provided session.
     graft.plans.GraftFunctions.register(spark)
     // NOTE on input parallelism: the driver testdata is one file with ONE
@@ -26,7 +31,23 @@ object Tables {
     // with the keyed exchange of window/agg queries. The floor is applied
     // surgically instead, at CPU-heavy pipeline stage entrances
     // (graft.ops.Parallelism.ensure), where fan-out/model work dominates.
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Canonicalize an event-time `ts` column to a NANOSECOND-EPOCH LONG —
+    * the shape every downstream query and oracle assumes — regardless of
+    * the physical parquet type (ns-long under nanosAsLong, µs
+    * TIMESTAMP_NTZ, or instant TIMESTAMP). Integer µs→ns scaling only;
+    * no floating point can perturb an event time. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case _ => df // already a long (or absent)
+    }
   }
 
   /** `events.ts` (nanosecond-epoch long under nanosAsLong) as epoch seconds. */

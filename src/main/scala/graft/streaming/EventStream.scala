@@ -20,12 +20,24 @@ object EventStream {
     * active user. */
   case class Open(start: Long, last: Long, n: Long)
 
-  /** events with a proper event-time column. `ts` arrives as a
-    * nanosecond-epoch long (nanosAsLong parquet flag); truncate to µs with
-    * integer division — double division has ~256 ns ulp at 1.7e18 and can
-    * flip a window assignment at exact boundaries. */
-  def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  /** events with a proper event-time column, whatever physical shape `ts`
+    * arrived in (the testdata has carried both nanosecond-epoch longs and
+    * µs timestamps across generations). For the long form, truncate to µs
+    * with integer division — double division has ~256 ns ulp at 1.7e18 and
+    * can flip a window assignment at exact boundaries; for the naive-
+    * timestamp form, the instant cast runs under the session timezone
+    * (UTC everywhere in this engine — GraftSession/Tables pin it). */
+  def withEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("event_time", col("ts").cast(TimestampType))
+      case Some(TimestampType) =>
+        df.withColumn("event_time", col("ts"))
+      case _ =>
+        df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    }
+  }
 
   /** Tumbling-window per-type aggregation; identical semantics in batch
     * and streaming. Money-sums accumulate in exact decimal (order-independent)
@@ -39,10 +51,13 @@ object EventStream {
       .select(col("window.start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Streaming source over a parquet directory of events files. */
+  /** Streaming source over a parquet directory of events files. File
+    * streams need an explicit schema; infer it from the files present so
+    * the source tracks whichever physical `ts` type the data carries
+    * (ns-long vs µs-timestamp — [[withEventTime]] handles either). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
