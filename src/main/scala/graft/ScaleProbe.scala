@@ -62,6 +62,12 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The shipped queries always run with the native kernels registered
+    // (Tables.table / GraftSession do it); the probe must measure that
+    // same configuration — the interpreted HOF-cosine fallback is ~40×
+    // slower per pair and once dominated a probe run, mis-attributing a
+    // CPU artifact to candidate-generation scaling.
+    graft.plans.GraftFunctions.register(spark)
     import spark.implicits._
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -290,13 +296,24 @@ object ScaleProbe {
       require(unknown.isEmpty,
         s"unknown families: ${unknown.mkString(",")} (have: ${families.map(_._1).mkString(",")})")
     }
-    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s")
+    // Wall-clock on a shared host absorbs noisy-neighbor contention (one
+    // family was measured 6× apart across identical runs); JVM process
+    // CPU time is steadier, so print BOTH ratios and trust cpu when they
+    // disagree.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuTime(f: => Unit): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+      f
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+    }
+    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s ${"cpu_1x"}%8s ${"cpu_" + mult + "x"}%9s ${"cpuRatio"}%8s")
     families.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, run) =>
       run(1) // warm codegen/JIT on the small size before timing
-      val t1 = time(run(1))
-      val tM = time(run(mult))
-      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f")
+      val (t1, c1) = cpuTime(run(1))
+      val (tM, cM) = cpuTime(run(mult))
+      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f $c1%8.1f $cM%9.1f ${cM / c1}%8.2f")
     }
     spark.stop()
   }
