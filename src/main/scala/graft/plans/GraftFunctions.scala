@@ -49,6 +49,9 @@ object GraftFunctions {
       TopKAgg(children(0), children(1), children(2))
     })
 
+  /** Registered native function names (diagnostics / A-B tooling). */
+  def names: Seq[String] = builders.map(_._1)
+
   /** Idempotent per-session registration (the registry itself is the
     * book-keeping — no identity-hash session keying, which can collide).
     * Returns true when the native expressions are available in the
