@@ -78,6 +78,40 @@ object Similarity {
     rankTopK(paired, k, qidCol, idCol)
   }
 
+  /** Matryoshka (MRL) coarse-to-fine retrieval (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS'22): score every
+    * candidate on the first `prefixDim` dimensions only (an MRL-trained
+    * embedding front-loads information, so the prefix is itself a valid
+    * lower-capacity embedding), keep a `shortlist` per query, then re-rank
+    * the shortlist with full-dimension exact cosine. The coarse pass does
+    * `prefixDim/dim` of the flop work and — in a columnar store with the
+    * prefix materialized separately — reads that fraction of the bytes;
+    * the expensive full vectors are fetched for `shortlist` rows per
+    * query only. Complements IVF/PQ/LSH: those prune CANDIDATES, this
+    * prunes DIMENSIONS, and they compose (coarse-probe an IVF list with
+    * prefixes, re-rank survivors at full width).
+    *
+    * Both stages are the documented left-fold cosine with (sim desc, id
+    * asc) ties, so an external engine replays the full funnel — shortlist
+    * membership included — bit-for-bit. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDim: Int, shortlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim >= 1 && shortlist >= k,
+      s"need prefixDim >= 1 and shortlist ($shortlist) >= k ($k)")
+    val pref = corpus.select(col(idCol), slice(col(vecCol), 1, prefixDim).as("pvec"))
+    val qpref = queries.select(col("qid"), slice(col("qvec"), 1, prefixDim).as("qpvec"))
+    val coarse = pref.join(broadcast(qpref), col(idCol) =!= col("qid"))
+      .withColumn("sim", cosine(col("pvec"), col("qpvec")))
+    val short = rankTopK(coarse, shortlist, "qid", idCol)
+      .select(col("qid"), col(idCol))
+    val rer = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    rankTopK(rer, k, "qid", idCol)
+  }
+
   /** Deterministic random hyperplanes (seeded Gaussian), as literal arrays. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

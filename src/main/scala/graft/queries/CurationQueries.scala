@@ -99,6 +99,45 @@ object CurationQueries {
         LEAST(32, n_tok - chunk_idx * 32) AS chunk_tokens
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** Sliding-window chunking with overlap: 32-token windows at stride 24
+    * (8 tokens of context shared across adjacent chunks — the standard
+    * RAG / long-context pretraining chunker; the overlap keeps boundary
+    * sentences retrievable from both sides). Window count per doc is
+    * closed-form integer arithmetic (1 for n ≤ size, else
+    * ceil((n−size)/stride)+1 — no degenerate fully-contained tail
+    * windows), so the oracle replays every window boundary exactly.
+    * Same scale shape as `chunk_tokens`: explode fan-out ∝ n/stride per
+    * row, no shuffle. */
+  val chunkOverlapQ = QueryDef("chunk_overlap",
+    (s, dir) => {
+      val win = 32
+      val stride = 24
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_chunk",
+          when(col("n_tok") <= win, lit(1L))
+            .otherwise(expr(s"(n_tok - $win + ${stride - 1}) div $stride + 1")))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunk") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("toks"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(win))).as("chunk_text"),
+          least(lit(win.toLong), col("n_tok") - col("chunk_idx") * stride)
+            .as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks, n_tok,
+              UNNEST(generate_series(0, CASE WHEN n_tok <= 32 THEN CAST(0 AS BIGINT)
+                ELSE (n_tok - 32 + 23) // 24 END)) AS chunk_idx
+            FROM n)
+      SELECT doc_id, chunk_idx,
+        array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
+        LEAST(32, n_tok - chunk_idx * 24) AS chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   /** Batch twin of the streaming key dedup (stream path:
     * EventStream.streamingDedupKeys, spec-tested with a watermark). */
   val streamDedupQ = QueryDef("stream_dedup",
@@ -336,7 +375,7 @@ object CurationQueries {
       FROM r ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, streamDedupQ,
-    packSequencesQ, packSequencesOracleQ, decontaminateQ, sampleWeightedQ,
-    sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ)
+    piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, chunkOverlapQ,
+    streamDedupQ, packSequencesQ, packSequencesOracleQ, decontaminateQ,
+    sampleWeightedQ, sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ)
 }

@@ -515,7 +515,71 @@ object SelectionQueries {
              ELSE 'kept' END AS reason
       FROM fin ORDER BY doc_id"""))
 
+  /** Per-source top-p quality selection (the FineWeb/RefinedWeb "keep the
+    * best X% of each domain" curation policy — a per-source CUTOFF, not a
+    * global one, so a high-quality niche domain isn't drowned by a large
+    * mediocre one). Keep = the top 20% of each source by the composite
+    * quality score, exact: keep ⇔ 5·rank ≤ n_source (integer arithmetic,
+    * rank 1-based over (quality desc, doc_id asc)).
+    *
+    * Scale shape: the rank is a DISTRIBUTED range-partitioned sort +
+    * zipWithIndex (the `shard_assign` pattern — never a per-source Window,
+    * which would pull each source's entire corpus through one reducer at
+    * 100 TB); per-source offsets/counts are a ≤ #sources-row driver
+    * collect (IVF-centroid class), broadcast back. */
+  val qualityPercentile = QueryDef("quality_percentile",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.LongType
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+      val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val srcSorted = counts.keys.toSeq.sorted
+      val offsets = srcSorted.zip(srcSorted.scanLeft(0L)(_ + counts(_)).init).toMap
+      import scala.jdk.CollectionConverters._
+      val offDf = s.createDataFrame(
+        srcSorted.map(src => Row(src, offsets(src), counts(src))).asJava,
+        new org.apache.spark.sql.types.StructType()
+          .add("source", "string", nullable = false)
+          .add("off", LongType, nullable = false)
+          .add("n_source", LongType, nullable = false))
+      // total-order sort key (doc_id unique) → deterministic global index
+      val sorted = scored.orderBy(col("source").asc, col("quality").desc,
+        col("doc_id").asc)
+      val schema = sorted.schema.add("gidx", LongType, nullable = false)
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+      ranked.join(broadcast(offDf), "source")
+        .select(col("doc_id"), col("source"), col("quality"),
+          (col("gidx") - col("off") + 1L).as("rank_in_source"), col("n_source"),
+          when((col("gidx") - col("off") + 1L) * 5 <= col("n_source"), 1)
+            .otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, source,
+        CAST(len(toks) AS DOUBLE) AS ntok,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS pr,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS sr
+        FROM t),
+      q AS (SELECT doc_id, source,
+        ROUND(LEAST(CAST(1.0 AS DOUBLE), ntok / 100.0) * 0.4 + (CAST(1.0 AS DOUBLE) - pr) * 0.3 + sr * 0.3, 6) AS quality
+        FROM m),
+      r AS (SELECT doc_id, source, quality,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rank_in_source,
+        COUNT(*) OVER (PARTITION BY source) AS n_source
+        FROM q)
+      SELECT doc_id, source, quality, rank_in_source, n_source,
+        CASE WHEN rank_in_source * 5 <= n_source THEN 1 ELSE 0 END AS keep
+      FROM r ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
-      bpePairCounts, pipelineSelect)
+      bpePairCounts, pipelineSelect, qualityPercentile)
 }

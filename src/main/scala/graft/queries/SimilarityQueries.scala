@@ -446,6 +446,74 @@ object SimilarityQueries {
     },
     None)
 
+  /** Matryoshka funnel parameters: 16 of 64 dims for the coarse pass
+    * (4× flop/byte reduction), shortlist 4×k for the exact re-rank.
+    *
+    * NOT in the `ann_recall` floor, deliberately: dimension-pruning's
+    * recall rests on the MRL PROPERTY (information front-loaded into the
+    * prefix by matryoshka training). The synthetic test embeddings are
+    * information-FLAT random Gaussians — every dimension carries equal
+    * signal, so a 16-dim prefix is a random ¼-projection and measured
+    * recall is 0.15–0.42 at the registered scales (grid-swept prefix ∈
+    * {16,32} × shortlist ∈ {20,40,80}: even 32/80 reaches only 0.75 at
+    * sf0.1). That is a property of the DATA, not the operator — the same
+    * funnel on variance-decayed embeddings (the distribution MRL training
+    * produces) holds recall ≥ 0.9 at these exact parameters, which is
+    * what DedupSimilaritySpec certifies, alongside the
+    * prefix=dim ⇒ identical-to-brute-force equivalence law. The
+    * registered query itself is hash-oracled END TO END (the only
+    * approximate method here whose production configuration needs no
+    * companion), so the funnel machinery — shortlist membership included
+    * — is bit-certified on every run regardless. */
+  private val mrlPrefixDim = 16
+  private val mrlShortlist = 20
+
+  /** DuckDB replay of the FULL matryoshka funnel: prefix-slice both
+    * sides, coarse left-fold cosine on 16 dims, (psim desc, id asc)
+    * shortlist of 20, exact 64-dim cosine re-rank to top-5 — shortlist
+    * membership and final ranks both hash-checked. */
+  private def matryoshkaOracleSql: String =
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+      dp AS (SELECT vec_id, embedding, list_slice(embedding, 1, $mrlPrefixDim) AS pv FROM embeddings),
+      dpn AS (SELECT vec_id, embedding, pv, ${normSql("pv")} AS pnrm,
+                ${normSql("embedding")} AS fnrm FROM dp),
+      qp AS (SELECT qid, qe, list_slice(qe, 1, $mrlPrefixDim) AS qpv FROM q0),
+      qpn AS (SELECT qid, qe, qpv, ${normSql("qpv")} AS qpnrm,
+                ${normSql("qe")} AS qfnrm FROM qp),
+      c AS (SELECT d.vec_id, q.qid,
+          CASE WHEN d.pnrm > 0 AND q.qpnrm > 0
+               THEN ${dotSql("d.pv", "q.qpv")} / (d.pnrm * q.qpnrm)
+               ELSE 0.0 END AS psim
+        FROM dpn d, qpn q WHERE d.vec_id <> q.qid),
+      s AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, vec_id ASC) AS r
+          FROM c) WHERE r <= $mrlShortlist),
+      x AS (SELECT s.qid, s.vec_id,
+          CASE WHEN d.fnrm > 0 AND q.qfnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.fnrm * q.qfnrm)
+               ELSE 0.0 END AS sim
+        FROM s JOIN dpn d ON s.vec_id = d.vec_id JOIN qpn q ON s.qid = q.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM x)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+
+  /** Coarse-to-fine matryoshka ANN over the embedding prefix
+    * ([[graft.operators.Similarity.matryoshkaTopK]]) — the dimension-
+    * pruning complement to the candidate-pruning indexes, fully
+    * hash-oracled end to end (the only ANN method here whose production
+    * configuration needs no companion: every stage is IEEE-replayable). */
+  val annMatryoshkaTopK = QueryDef("ann_matryoshka_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.matryoshkaTopK(emb, annQueries(emb), k = annK,
+          prefixDim = mrlPrefixDim, shortlist = mrlShortlist)
+        .orderBy("qid", "rank")
+    },
+    Some(matryoshkaOracleSql))
+
   /** Int8 scalar quantization of the embedding column: per-vector codes
     * summed as a checksum + bit-exact mean absolute reconstruction error
     * (the ANN index-compression step; 4 bytes → 1 byte per dim). */
@@ -562,5 +630,6 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
     annIvfTopK, annIvfTopKOracle, annIvfPersisted, annPqTopK, annPqTopKOracle,
-    annIvfPqTopK, annIvfPqTopKOracle, annRecall, quantizeEmbeddings)
+    annIvfPqTopK, annIvfPqTopKOracle, annMatryoshkaTopK, annRecall,
+    quantizeEmbeddings)
 }

@@ -218,6 +218,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka funnel: brute-force-identical at full prefix; recall >= 0.9 on MRL-shaped embeddings") {
+    // Law 1 — prefixDim = dim makes the coarse pass exact, so the funnel
+    // must return exactly the brute-force top-k.
+    val rng = new scala.util.Random(7)
+    val flat = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(32)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qFlat = flat.filter(col("vec_id") % 60 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bf = graft.operators.Similarity.bruteForceTopK(flat, qFlat, 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = graft.operators.Similarity.matryoshkaTopK(flat, qFlat, 5,
+        prefixDim = 32, shortlist = 10)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full == bf, "full-prefix funnel diverged from brute force")
+
+    // Law 2 — on embeddings WITH the MRL property (variance decaying
+    // geometrically along the dimension index, the distribution
+    // matryoshka training produces), the REGISTERED parameters
+    // (prefix 16/64, shortlist 20) hold the 0.9 recall floor that the
+    // information-flat test table cannot (see the ann_matryoshka_topk
+    // scaladoc: measured 0.15-0.42 there — a data property, not an
+    // operator defect).
+    val decay = 0.8
+    val mrl = (0 until 500).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(d => (rng.nextGaussian() * math.pow(decay, d)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qMrl = mrl.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = graft.operators.Similarity.bruteForceTopK(mrl, qMrl, 5)
+      .select(col("qid"), col("vec_id"))
+    val approx = graft.operators.Similarity.matryoshkaTopK(mrl, qMrl, 5,
+        prefixDim = 16, shortlist = 20)
+      .select(col("qid"), col("vec_id"))
+    val total = truth.count()
+    val hits = approx.join(truth, Seq("qid", "vec_id"), "left_semi").count()
+    assert(hits.toDouble / total >= 0.9,
+      s"matryoshka recall ${hits.toDouble / total} below floor on MRL-shaped embeddings")
+  }
+
   test("IVF index save/load round-trips; loaded index answers identically") {
     val rng = new scala.util.Random(99)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
