@@ -47,6 +47,38 @@ object ExtensionQueries {
        AND epoch_ns(b.ts) // 1000 BETWEEN epoch_ns(a.ts) // 1000 - 86400000000 AND epoch_ns(a.ts) // 1000
       ORDER BY click_id, view_id"""))
 
+  /** Windowed top-k ("trending"): the 3 most frequent event types per
+    * 5-minute tumbling window — the canonical streaming-analytics rank
+    * (trending topics / hot keys / top error codes per interval). Built on
+    * the SAME `tumblingTypeCounts` transform as `stream_window_agg`, so
+    * the streaming path is the already-spec'd watermarked agg and the rank
+    * is a per-window row_number (partition = one window, thousands of
+    * them — never a global sort; StreamingSinksSpec proves the
+    * stream-fed rank equals this batch twin). Ties break (count desc,
+    * event_type asc) — total order, oracle-replayable. */
+  val streamTopK = QueryDef("stream_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = EventStream.tumblingTypeCounts(table(s, dir, "events"), 300)
+      val w = Window.partitionBy("window_start_epoch")
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("window_start_epoch"), col("rank"), col("event_type"),
+          col("n_events"))
+        .orderBy("window_start_epoch", "rank")
+    },
+    Some("""WITH c AS (
+        SELECT (epoch_ns(ts) // 1000 // 1000000 // 300) * 300 AS window_start_epoch,
+          event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT window_start_epoch, event_type, n_events,
+        ROW_NUMBER() OVER (PARTITION BY window_start_epoch
+          ORDER BY n_events DESC, event_type ASC) AS rank
+        FROM c)
+      SELECT window_start_epoch, CAST(rank AS BIGINT) AS rank, event_type, n_events
+      FROM r WHERE rank <= 3 ORDER BY window_start_epoch, rank"""))
+
   /** Inactivity-gap sessionization (10-minute gap). */
   val sessionizeQ = QueryDef("sessionize",
     (s, dir) => EventStream.sessionize(table(s, dir, "events"), 600)
@@ -328,7 +360,7 @@ object ExtensionQueries {
     Some(imageDhashOracleSql))
 
   val defs: Seq[QueryDef] = Seq(
-    streamWindowAgg, sessionizeQ, streamIntervalJoin, multimodalMeta,
+    streamWindowAgg, streamTopK, sessionizeQ, streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
     asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash,
     dedupImageDhashOracle)

@@ -60,6 +60,35 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("streaming windowed top-k (trending) equals the batch stream_topk twin") {
+    val dir = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("stream_topk")(spark, dir)
+      .select("window_start_epoch", "rank", "event_type", "n_events")
+      .as[(Long, Long, String, Long)].collect().toSet
+
+    val streamDir = Files.createTempDirectory("graft_topk_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStream.readEventStream(spark, streamDir.toString)
+    val q = EventStream.streamingTumblingTypeCounts(stream, 300, "1 hour")
+      .writeStream
+      .format("memory").queryName("topk_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // rank the final streaming state exactly as the batch twin does
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_epoch")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    val got = spark.table("topk_counts")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("window_start_epoch", "rank", "event_type", "n_events")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   /** Split sf0.001 events into three TIME-ORDERED files → three
     * microbatches, so watermarks advance between batches. */
   private def timeOrderedStreamDir(): String = {
