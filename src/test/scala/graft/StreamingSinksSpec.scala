@@ -60,6 +60,27 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("Tables.normalizeTs canonicalizes every physical ts shape to the same ns-epoch long") {
+    // The driver testdata has shipped ts as TIMESTAMP(NANOS)-read-as-long
+    // AND as TIMESTAMP(MICROS)/NTZ across generations; every downstream
+    // query assumes ns-epoch longs. Three shapes, one instant each.
+    import org.apache.spark.sql.types._
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val asLong = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, micros * 1000L)),
+      new StructType().add("event_id", LongType).add("ts", LongType))
+    val asNtz = spark.sql(
+      s"SELECT 1L AS event_id, make_timestamp_ntz(2023, 11, 14, 22, 13, 20.123456) AS ts")
+    val asTs = spark.sql(
+      s"SELECT 1L AS event_id, timestamp_micros(${micros}L) AS ts")
+    for ((df, kind) <- Seq((asLong, "long"), (asNtz, "ntz"), (asTs, "instant"))) {
+      val out = graft.queries.Tables.normalizeTs(df)
+      assert(out.schema("ts").dataType == LongType, s"$kind: not a long")
+      val v = out.select("ts").as[Long].head()
+      assert(v == micros * 1000L, s"$kind: $v != ${micros * 1000L}")
+    }
+  }
+
   test("streaming windowed top-k (trending) equals the batch stream_topk twin") {
     val dir = "/root/testdata/sf0.001"
     val want = SparkEntry.queries("stream_topk")(spark, dir)
