@@ -222,6 +222,23 @@ object Ivf {
     Index(index.centers, index.assigned.unionByName(assigned))
   }
 
+  /** Persisted incremental maintenance — the on-disk form of
+    * [[addVectors]], the daily-ingest write path: assign the new batch
+    * with the SAVED quantizer (one narrow scan of the batch) and APPEND
+    * the rows into the existing `list_id`-partitioned layout. Existing
+    * files are untouched; only the partitions the batch lands in gain a
+    * file, and a later search session still directory-prunes to its
+    * probed lists. No rebuild, no retrain — and because assignment is
+    * center-deterministic, the appended index answers queries exactly as
+    * a full rebuild over base ∪ batch would, which is what
+    * `ann_ivf_incremental`'s oracle certifies hash-exactly. */
+  def appendSave(path: String, newVectors: DataFrame,
+                 vecCol: String = "embedding"): Unit = {
+    val centers = load(newVectors.sparkSession, path).centers
+    newVectors.withColumn("list_id", nearestList(col(vecCol), centers))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
   /** Load a persisted index. The assigned frame reads lazily — a probe
     * query's `list_id` equi-join prunes unprobed list directories. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {

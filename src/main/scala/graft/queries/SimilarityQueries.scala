@@ -285,6 +285,34 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql))
 
+  /** Incremental-ingest ANN — the index-MAINTENANCE shape a production
+    * service runs daily: save an index over the base corpus (every
+    * vec_id % 5 ≠ 0), [[graft.operators.Ivf.appendSave]] the "new
+    * arrivals" batch (the assignment scan + a partitioned append — no
+    * rebuild, existing files untouched), re-load, probe. Because
+    * assignment under a fixed codebook is deterministic, the appended
+    * index must answer EXACTLY as a full rebuild over the whole corpus —
+    * so the oracle is the same full-corpus SQL as `ann_ivf_topk_oracle`,
+    * and a hash match certifies the entire save → append → load → probe
+    * maintenance path end to end. */
+  val annIvfIncremental = QueryDef("ann_ivf_incremental",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_incr_${java.nio.file.Paths.get(dir).getFileName}").toString
+      // save = mode(overwrite), so a rerun rebuilds the base layout
+      // before appending — the append can never double-ingest
+      graft.operators.Ivf.save(graft.operators.Ivf.fromCenters(base, ivfOracleCenters), path)
+      graft.operators.Ivf.appendSave(path, batch)
+      graft.operators.Ivf.topK(graft.operators.Ivf.load(s, path), annQueries(emb),
+          k = annK, nProbe = ivfOracleProbe)
+        .orderBy("qid", "rank")
+    },
+    Some(ivfOracleSql))
+
   /** Replayable PQ codebooks for [[annPqTopKOracle]]: 4 subspaces × 64
     * md5-derived centroids × 16 dims (64 centroids keep the oracle-side
     * argmin affordable; the machinery is parameter-independent of the
@@ -629,7 +657,7 @@ object SimilarityQueries {
     Some(ivfPqOracleSql))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annIvfTopKOracle, annIvfPersisted, annPqTopK, annPqTopKOracle,
-    annIvfPqTopK, annIvfPqTopKOracle, annMatryoshkaTopK, annRecall,
-    quantizeEmbeddings)
+    annIvfTopK, annIvfTopKOracle, annIvfPersisted, annIvfIncremental,
+    annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
+    annMatryoshkaTopK, annRecall, quantizeEmbeddings)
 }
