@@ -27,8 +27,8 @@ object Ivf {
 
   /** Deterministic k-means++ seeding + Lloyd iterations over an in-memory
     * sample (all math in double; ties break to the lowest index). */
-  private[operators] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
-                               maxIter: Int): Array[Array[Double]] = {
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                           maxIter: Int): Array[Array[Double]] = {
     require(points.nonEmpty, "cannot train a quantizer on an empty sample")
     val dim = points(0).length
     val rng = new scala.util.Random(seed)
@@ -60,6 +60,36 @@ object Ivf {
       centers(c) = points(j).clone()
       c += 1
     }
+    lloydIterations(points, centers, maxIter)
+  }
+
+  /** The Lloyd UPDATE machinery, factored out of [[lloyd]] so it can run
+    * from GIVEN initial centers: alternate nearest-center assignment
+    * (squared L2, ties to the lowest index) and per-cluster means, up to
+    * `maxIter` rounds or until no assignment changes; an empty cluster
+    * keeps its previous center. Every op is deterministic given
+    * (points, init) — assignment argmin is exact when coordinates are
+    * exact, and the update step SUMS THE POINTS, so with integer-valued
+    * coordinates every per-cluster sum is an exact integer regardless of
+    * accumulation order and every center a single IEEE division. That is
+    * the property `kmeans_train_oracle` exploits to replay this exact
+    * code path in external SQL — leaving the k-means++ SEEDING (above,
+    * Random-driven) as the only unreplayed piece of quantizer training. */
+  private[graft] def lloydIterations(points: Array[Array[Double]],
+                                     init: Array[Array[Double]],
+                                     maxIter: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a quantizer on an empty sample")
+    val dim = points(0).length
+    val k = init.length
+    val n = points.length
+    val centers = init.map(_.clone())
+
+    def d2(ci: Int, p: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val c = centers(ci)
+      while (i < dim) { val d = p(i) - c(i); s += d * d; i += 1 }
+      s
+    }
 
     val assign = new Array[Int](n)
     var iter = 0
@@ -71,7 +101,7 @@ object Ivf {
         var best = 0; var bestD = Double.MaxValue
         var ci = 0
         while (ci < k) {
-          val d = d2(centers, ci, points(i))
+          val d = d2(ci, points(i))
           if (d < bestD) { bestD = d; best = ci }
           ci += 1
         }

@@ -579,7 +579,137 @@ object SelectionQueries {
         CASE WHEN rank_in_source * 5 <= n_source THEN 1 ELSE 0 END AS keep
       FROM r ORDER BY doc_id"""))
 
+  // ── mix_epochs ──────────────────────────────────────────────────────────
+
+  /** Token-budget mixture planning (the LLaMA/Pile "how many epochs of
+    * each source" table): given per-source token inventories, an overall
+    * training budget (half the corpus here) and a uniform target mixture,
+    * compute each source's epoch count — capped at 4 epochs (the
+    * empirical repetition ceiling, Muennighoff et al. 2023: value decays
+    * fast past ~4 repeats) — and the realized token count under the cap.
+    * Everything after the per-source token agg is arithmetic on a
+    * ≤ #sources-row frame: integer floor-division for budget/targets, one
+    * IEEE division for the epoch ratio, one IEEE multiply + floor for
+    * realized tokens — fully replayable. Scale shape: one map-side-partial
+    * agg over the corpus; the plan itself is driver-sized. */
+  val mixEpochs = QueryDef("mix_epochs",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("nt"))
+      val bySrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      // global window over ~#sources rows (documented-safe aggregate size)
+      val w = Window.partitionBy()
+      val planned = bySrc
+        .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .withColumn("target_tokens", expr("(total_tokens div 2) div n_sources"))
+        .withColumn("epochs_raw",
+          col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("epochs", least(lit(4.0), col("epochs_raw")))
+      planned.select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"),
+          round(col("epochs"), 6).as("epochs"),
+          floor(col("epochs") * col("n_tokens").cast("double")).cast("long")
+            .as("realized_tokens"),
+          when(col("epochs_raw") > 4.0, 1).otherwise(0).as("capped"))
+        .orderBy("source")
+    },
+    Some(s"""WITH td AS (SELECT doc_id, source,
+        CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+      st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+             FROM td GROUP BY source),
+      g AS (SELECT source, n_docs, n_tokens,
+              SUM(n_tokens) OVER () AS total_tokens,
+              COUNT(*) OVER () AS n_sources FROM st),
+      pl AS (SELECT source, n_docs, n_tokens,
+               (total_tokens // 2) // n_sources AS target_tokens,
+               CAST((total_tokens // 2) // n_sources AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs_raw
+             FROM g),
+      e AS (SELECT source, n_docs, n_tokens, target_tokens, epochs_raw,
+              LEAST(CAST(4.0 AS DOUBLE), epochs_raw) AS epochs FROM pl)
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(target_tokens AS BIGINT) AS target_tokens,
+        ROUND(epochs, 6) AS epochs,
+        CAST(FLOOR(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS realized_tokens,
+        CASE WHEN epochs_raw > 4.0 THEN 1 ELSE 0 END AS capped
+      FROM e ORDER BY source"""))
+
+  // ── bm25_topk ───────────────────────────────────────────────────────────
+
+  /** Fixed query terms spanning the idf range of the synthetic vocabulary:
+    * 'dup' is rare (planted duplicate marker), 'data'/'the' are
+    * near-ubiquitous — so the ranking is dominated by the rare term, as
+    * BM25 intends. */
+  private val bm25Terms = Seq("dup", "data", "the")
+  private val bm25K1 = "1.2"
+  private val bm25B75 = "0.75"
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones; k1 = 1.2, b = 0.75)
+    * — the lexical-retrieval workhorse a curation pipeline runs to pull
+    * benchmark-similar documents (decontamination candidates) or
+    * query-relevant training slices from the corpus. Per term:
+    * idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)); the idf is the
+    * LINEAR (N−df+0.5)/(df+0.5) variant — the log is monotone, so
+    * per-term ranking is order-identical, and unlike `ln` the linear form
+    * is IEEE-replayable across engines (the tfidf_top_terms precedent).
+    * Corpus stats (N, Σdl, per-term df) are ONE map-side-partial agg
+    * broadcast back as a single row; scoring is a narrow map; top-20 is a
+    * TakeOrdered under a total order (score desc, doc_id asc). The score
+    * expression tree is written identically on both sides (left-assoc
+    * sums, explicit parenthesization), so even the float scores
+    * hash-match. */
+  val bm25TopK = QueryDef("bm25_topk",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val statAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("total_len")) ++
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i") }
+      val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+      val j = docs.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("total_len").cast("double") / col("n").cast("double"))
+      def tf(i: Int): Column =
+        size(filter(col("toks"), x => x === bm25Terms(i))).cast("double")
+      def idf(i: Int): Column =
+        ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5))
+      def term(i: Int): Column =
+        (idf(i) * (tf(i) * lit(2.2))) /
+          (tf(i) + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      val scored = j.withColumn("score", (term(0) + term(1)) + term(2))
+      scored.select(Seq(col("doc_id")) ++
+          bm25Terms.zipWithIndex.map { case (t, i) => tf(i).cast("long").as(s"tf_$t") } ++
+          Seq(round(col("score"), 6).as("score")): _*)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some {
+      val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(", ")
+      def tfSql(t: String) = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      def termSql(i: Int): String = {
+        val t = bm25Terms(i)
+        s"(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * (${tfSql(t)} * 2.2)) / " +
+          s"(${tfSql(t)} + $bm25K1 * (0.25 + $bm25B75 * (CAST(dl AS DOUBLE) / avgdl)))"
+      }
+      val tfOut = bm25Terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        st AS (SELECT COUNT(*) AS n, SUM(dl) AS total_len, $dfCols FROM dd),
+        sc AS (SELECT doc_id, toks,
+                 ((${termSql(0)} + ${termSql(1)}) + ${termSql(2)}) AS score
+               FROM (SELECT dd.*, st.*,
+                       CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+                     FROM dd CROSS JOIN st))
+        SELECT doc_id, $tfOut, ROUND(score, 6) AS score
+        FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
-      bpePairCounts, pipelineSelect, qualityPercentile)
+      bpePairCounts, pipelineSelect, qualityPercentile, mixEpochs, bm25TopK)
 }

@@ -656,8 +656,134 @@ object SimilarityQueries {
     },
     Some(ivfPqOracleSql))
 
+  // ── kmeans_train_oracle ─────────────────────────────────────────────────
+
+  /** k=4 centers × dim=4, two full Lloyd rounds over a 256-point sample —
+    * small enough to unroll per-iteration CTEs in the oracle, large
+    * enough that every cluster is populated at every scale. */
+  private val kmK = 4
+  private val kmDim = 4
+  private val kmN = 256
+  private val kmIters = 2
+
+  /** First-8-hex md5 → long % 16 — the [[graft.functions.TextFunctions.hashBucket]]
+    * recipe, driver-side, for the replayable initial centers. */
+  private def kmMd5Mod16(sIn: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % 16
+  }
+
+  /** Replayable initial centers: component (j,t) = md5("graft-km-init:j:t")
+    * first-8-hex % 16 — the oracle regenerates them IN SQL. */
+  private lazy val kmInitCenters: Array[Array[Double]] =
+    Array.tabulate(kmK, kmDim)((j, t) => kmMd5Mod16(s"graft-km-init:$j:$t").toDouble)
+
+  /** One md5-%16 point coordinate in SQL (same bytes as the Spark side). */
+  private def kmCoordSql(t: Int): String =
+    s"CAST(CAST(('0x' || substring(md5('graft-km:' || CAST(vec_id AS VARCHAR) || ':$t'), 1, 8)) AS BIGINT) % 16 AS DOUBLE)"
+
+  /** The fold-order-exact squared-L2 between point columns x0..x3 and a
+    * center row `c` — left-assoc `+` matches the JVM loop's
+    * `s += d*d` accumulation (s starts 0.0; 0.0 + d0 == d0). */
+  private def kmDistSql(c: String): String =
+    (0 until kmDim).map(t => s"(p.x$t - $c.c$t) * (p.x$t - $c.c$t)").mkString(" + ")
+
+  /** One Lloyd round in SQL: assignment CTE (argmin of [[kmDistSql]], ties
+    * to the lowest center id) + update CTE (exact integer coordinate sums
+    * → one IEEE division each; an empty cluster COALESCEs to its previous
+    * center — the `counts(ci) > 0` branch). */
+  private def kmRoundSql(prev: String, a: String, u: String, next: String): String = {
+    val sums = (0 until kmDim).map(t => s"SUM(p.x$t) AS s$t").mkString(", ")
+    val means = (0 until kmDim)
+      .map(t => s"COALESCE($u.s$t / CAST($u.n AS DOUBLE), $prev.c$t) AS c$t")
+      .mkString(", ")
+    s"""$a AS (SELECT vec_id, j FROM (
+          SELECT p.vec_id, $prev.j,
+            ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              ORDER BY ${kmDistSql(prev)} ASC, $prev.j ASC) AS rn
+          FROM p, $prev) WHERE rn = 1),
+      $u AS (SELECT j, $sums, COUNT(*) AS n
+             FROM p JOIN $a USING (vec_id) GROUP BY j),
+      $next AS (SELECT $prev.j, $means
+                FROM $prev LEFT JOIN $u ON $prev.j = $u.j)"""
+  }
+
+  private def kmeansOracleSql: String = {
+    val ptCols = (0 until kmDim).map(t => s"${kmCoordSql(t)} AS x$t").mkString(", ")
+    val initCols = (0 until kmDim).map(t =>
+      s"CAST(CAST(('0x' || substring(md5('graft-km-init:' || CAST(j AS VARCHAR) || ':$t'), 1, 8)) AS BIGINT) % 16 AS DOUBLE) AS c$t")
+      .mkString(", ")
+    val outCenters = (0 until kmDim).map(t => s"ROUND(it2.c$t, 6) AS c$t").mkString(", ")
+    s"""WITH ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmN),
+      p AS (SELECT vec_id, $ptCols FROM ids),
+      it0 AS (SELECT j, $initCols FROM generate_series(0, ${kmK - 1}) g(j)),
+      ${kmRoundSql("it0", "a1", "u1", "it1")},
+      ${kmRoundSql("it1", "a2", "u2", "it2")},
+      afin AS (SELECT vec_id, j FROM (
+          SELECT p.vec_id, it2.j,
+            ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              ORDER BY ${kmDistSql("it2")} ASC, it2.j ASC) AS rn
+          FROM p, it2) WHERE rn = 1),
+      nm AS (SELECT j, COUNT(*) AS n_members FROM afin GROUP BY j)
+      SELECT afin.vec_id, CAST(afin.j AS BIGINT) AS list_id, $outCenters,
+        CAST(nm.n_members AS BIGINT) AS n_members
+      FROM afin JOIN it2 ON afin.j = it2.j JOIN nm ON afin.j = nm.j
+      ORDER BY afin.vec_id"""
+  }
+
+  /** The Lloyd TRAINING machinery under the hash oracle — the piece every
+    * earlier ANN companion left as "unverifiable driver state". The REAL
+    * [[graft.operators.Ivf.lloydIterations]] (the exact update loop
+    * `Ivf.build` runs after k-means++ seeding: argmin assignment with
+    * ties to the lowest index, per-cluster means, empty-cluster
+    * carryover) runs on a bounded deterministic engine-side sample —
+    * md5-derived INTEGER coordinates, so every per-cluster coordinate sum
+    * is exact regardless of accumulation order and every center is a
+    * single IEEE division — from md5-derived initial centers the oracle
+    * regenerates in SQL. DuckDB replays both Lloyd rounds CTE by CTE
+    * (assignment distances fold in coordinate order on both sides) and
+    * the final [[graft.operators.Ivf.fromCenters]] assignment, pinning
+    * every trained center coordinate, every point's final cluster and
+    * every cluster size. After this row, ONLY the k-means++ seeding draw
+    * (scala.util.Random — inherently engine-private) remains outside the
+    * oracle, and its quality is already certified by the `ann_recall`
+    * floor. (Replay precondition, vacuously true on md5-spread data: the
+    * first round must assign at least one point away from center 0,
+    * else the JVM's `moved` short-circuit would skip round 2.) */
+  val kmeansTrainOracle = QueryDef("kmeans_train_oracle",
+    (s, dir) => {
+      import graft.functions.TextFunctions.hashBucket
+      val pts = table(s, dir, "embeddings").select(col("vec_id"))
+        .orderBy("vec_id").limit(kmN)
+        .select(col("vec_id") +: (0 until kmDim).map(t =>
+          hashBucket(concat(col("vec_id").cast("string"), lit(":" + t)),
+            "graft-km", 16).cast("double").as(s"x$t")): _*)
+      // bounded deterministic driver sample — the Ivf.build collect shape
+      val sample: Array[Array[Double]] = pts.orderBy("vec_id").collect()
+        .map(r => Array.tabulate(kmDim)(t => r.getDouble(1 + t)))
+      val centers = graft.operators.Ivf.lloydIterations(sample, kmInitCenters, kmIters)
+      // engine-side final assignment through the real argmin (float cast
+      // is exact: coordinates are integers in [0, 16))
+      val withVec = pts.withColumn("p",
+        array((0 until kmDim).map(t => col(s"x$t")): _*).cast("array<float>"))
+      val assigned = graft.operators.Ivf.fromCenters(withVec, centers, vecCol = "p").assigned
+      import s.implicits._
+      val centersDf = broadcast(
+        centers.zipWithIndex.map { case (c, j) => (j, c(0), c(1), c(2), c(3)) }
+          .toSeq.toDF("list_id", "kc0", "kc1", "kc2", "kc3"))
+      val sizes = assigned.groupBy("list_id").agg(count(lit(1)).as("n_members"))
+      val outCols = Seq(col("vec_id"), col("list_id").cast("long").as("list_id")) ++
+        (0 until kmDim).map(t => round(col(s"kc$t"), 6).as(s"c$t")) ++
+        Seq(col("n_members"))
+      assigned.join(centersDf, "list_id").join(broadcast(sizes), "list_id")
+        .select(outCols: _*)
+        .orderBy("vec_id")
+    },
+    Some(kmeansOracleSql))
+
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
     annIvfTopK, annIvfTopKOracle, annIvfPersisted, annIvfIncremental,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
-    annMatryoshkaTopK, annRecall, quantizeEmbeddings)
+    annMatryoshkaTopK, annRecall, quantizeEmbeddings, kmeansTrainOracle)
 }

@@ -258,6 +258,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"matryoshka recall ${hits.toDouble / total} below floor on MRL-shaped embeddings")
   }
 
+  test("lloydIterations matches an independent reference (ties, empty clusters, early exit)") {
+    // Independent re-implementation of the CONTRACT: argmin assignment
+    // with ties to the lowest center index, per-cluster means, empty
+    // clusters keep their previous center, stop when an iteration's
+    // assignment equals the previous one (initially all-zero) or maxIter.
+    def reference(points: Array[Array[Double]], init: Array[Array[Double]],
+                  maxIter: Int): Array[Array[Double]] = {
+      val centers = init.map(_.clone())
+      var prev = Array.fill(points.length)(0)
+      var it = 0
+      var changed = true
+      while (it < maxIter && changed) {
+        val assign = points.map { p =>
+          val ds = centers.map(c =>
+            c.indices.map(t => (p(t) - c(t)) * (p(t) - c(t))).sum)
+          ds.indexOf(ds.min) // first occurrence = lowest index on ties
+        }
+        changed = !(assign sameElements prev)
+        for (ci <- centers.indices) {
+          val members = points.zip(assign).collect { case (p, a) if a == ci => p }
+          if (members.nonEmpty)
+            centers(ci) = Array.tabulate(centers(ci).length)(t =>
+              members.map(_(t)).sum / members.length)
+        }
+        prev = assign
+        it += 1
+      }
+      centers
+    }
+    val rng = new scala.util.Random(7)
+    // integer-valued coordinates: every per-cluster sum is exact, so the
+    // two implementations' doubles must agree EXACTLY
+    def intPoints(n: Int, dim: Int) =
+      Array.fill(n)(Array.fill(dim)(rng.nextInt(10).toDouble))
+    for (trial <- 1 to 5) {
+      val pts = intPoints(40 + trial * 7, 3)
+      val init = intPoints(5, 3)
+      val got = graft.operators.Ivf.lloydIterations(pts, init, maxIter = 4)
+      val want = reference(pts, init, maxIter = 4)
+      assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq, s"trial $trial")
+    }
+    // empty cluster keeps its initial center (a far-away outlier center)
+    val pts = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val init = Array(Array(0.0, 0.0), Array(1000.0, 1000.0))
+    val out = graft.operators.Ivf.lloydIterations(pts, init, maxIter = 3)
+    assert(out(1).toSeq == Seq(1000.0, 1000.0))
+    // k = 1 converges to the global mean and early-exits
+    val one = graft.operators.Ivf.lloydIterations(pts, Array(Array(9.0, 9.0)), maxIter = 8)
+    assert(one(0).toSeq == Seq((0.0 + 1.0 + 0.0) / 3, (0.0 + 0.0 + 1.0) / 3))
+    // full lloyd (seeding + iterations) stays deterministic for a seed
+    val detPts = pts ++ intPoints(30, 2)
+    val a = graft.operators.Ivf.lloyd(detPts, 3, seed = 5L, maxIter = 6)
+    val b = graft.operators.Ivf.lloyd(detPts, 3, seed = 5L, maxIter = 6)
+    assert(a.length == 3 && a.forall(_.length == 2))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("IVF index save/load round-trips; loaded index answers identically") {
     val rng = new scala.util.Random(99)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))

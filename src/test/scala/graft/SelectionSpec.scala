@@ -153,4 +153,62 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.filter(col("weight") <= 0.0).count() == 0)
     out.unpersist()
   }
+
+  test("mix_epochs: uniform targets, 4-epoch cap, realized-token consistency") {
+    val out = SelectionQueries.mixEpochs.spark(spark, sf).collect()
+    assert(out.nonEmpty)
+    // uniform mixture: every source gets the same token target
+    assert(out.map(_.getAs[Long]("target_tokens")).distinct.length == 1)
+    out.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val tgt = r.getAs[Long]("target_tokens")
+      val ep = r.getAs[Double]("epochs")
+      val realized = r.getAs[Long]("realized_tokens")
+      val capped = r.getAs[Int]("capped")
+      assert(ep > 0.0 && ep <= 4.0, s"epochs out of range: $ep")
+      if (capped == 1) {
+        // at the repetition ceiling: exactly 4 epochs of the source
+        assert(ep == 4.0 && realized == 4L * nt, s"capped row mismatch: $r")
+      } else {
+        // uncapped: realized lands on the target (float round-trip ±1)
+        assert(math.abs(realized - tgt) <= 1, s"uncapped row off target: $r")
+      }
+    }
+  }
+
+  test("bm25_topk matches an independent driver-side scorer exactly") {
+    val terms = Seq("dup", "data", "the")
+    val docs = queries.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val n = docs.length.toLong
+    val totalLen = docs.map(_._2.length.toLong).sum
+    val avgdl = totalLen.toDouble / n.toDouble
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.length.toLong
+      val parts = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5)
+        (idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+      }
+      (parts(0) + parts(1)) + parts(2)
+    }
+    val want = docs.map { case (id, toks) => (id, score(toks)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = SelectionQueries.bm25TopK.spark(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"ranking mismatch: got ${got.map(_._1).toSeq} want ${want.map(_._1).toSeq}")
+    got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) < 1e-6, s"score drift: $gs vs $ws")
+    }
+    // the rare high-idf term dominates: every doc containing it outranks
+    // the best doc without it (idf('dup') is ~30x the common terms')
+    val dupIds = docs.filter(_._2.contains("dup")).map(_._1).toSet
+    if (dupIds.nonEmpty && dupIds.size <= 20)
+      assert(dupIds.subsetOf(got.map(_._1).toSet),
+        "every doc containing the rare term should make the top-20")
+  }
 }
