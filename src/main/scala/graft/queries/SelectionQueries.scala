@@ -453,6 +453,102 @@ object SelectionQueries {
       SELECT pair, CAST(n AS BIGINT) AS n FROM agg
       ORDER BY n DESC, pair ASC LIMIT 30"""))
 
+  // ── bpe_encode ──────────────────────────────────────────────────────────
+
+  /** Merge-table depth: enough rounds that merged symbols THEMSELVES merge
+    * again on this corpus (multi-char symbols appear by round 8), small
+    * enough that the oracle's nested-replace tree stays readable. */
+  private val bpeNumMerges = 8
+
+  /** TOKENIZER APPLICATION — the encode half of BPE (Sennrich et al.
+    * 2016), completing the training half (`bpe_pair_counts`): learn the
+    * top-`bpeNumMerges` merge table from frequency-weighted adjacent-pair
+    * counts (a bounded ≤ 8-row driver collect off one partial agg — the
+    * IVF-centroid-load class), then encode every document by spacing each
+    * word into characters and applying the merges IN RANK ORDER (merge k
+    * rewrites all its occurrences before merge k+1 runs, so later merges
+    * see earlier merges' output symbols — the standard ranked-merge apply
+    * loop). Each merge is ONE global regex rewrite with leftmost-first
+    * non-overlapping semantics — a deliberate, documented VARIANT of
+    * canonical per-symbol BPE: the pattern "a b" also fires across a
+    * multi-character symbol boundary (growing "lu e" → "lue"), and
+    * match consumption skips alternate pairs inside long same-letter
+    * runs, where canonical BPE re-scans. Chosen because RE2 (the
+    * replaying engine's regex) has no lookaround to anchor whole-symbol
+    * matches — and BOTH engines implement the identical leftmost-first
+    * contract, so every rewrite replays bit-for-bit. Encoding is a
+    * narrow codegen'd map (a regexp_replace chain inside one
+    * `transform`), so at 100 TB it rides the scan like every other text
+    * kernel. The oracle re-derives the SAME merge table in SQL (total
+    * order: count desc, pair asc) and replays the chain — merge choice,
+    * every encoded symbol boundary, and the per-doc symbol counts are
+    * all hash-checked. */
+  val bpeEncode = QueryDef("bpe_encode",
+    (s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val merges: Array[String] = words
+        .select(col("wc"), explode(charNgrams(col("w"), 2, distinct = false)).as("pair"))
+        // regex-safe merge alphabet (the corpus is [a-z0-9]; punctuation
+        // pairs would need quoting in BOTH engines' patterns)
+        .filter(col("pair").rlike("^[a-z0-9]{2}$"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(bpeNumMerges)
+        .collect().map(_.getString(0))
+      require(merges.length == bpeNumMerges,
+        s"corpus yields only ${merges.length} merge pairs (< $bpeNumMerges)")
+      def encodeWord(w: Column): Column = {
+        val spaced = trim(regexp_replace(w, "(.)", "$1 "))
+        merges.foldLeft(spaced) { (acc, p) =>
+          regexp_replace(acc, s"${p(0)} ${p(1)}", p.toString)
+        }
+      }
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("encs", transform(col("toks"), t => encodeWord(t)))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(col("encs"), lit(0L),
+            (acc, e) => acc + size(split(e, " ")).cast("long")).as("n_symbols"),
+          when(size(col("encs")) > 0, element_at(col("encs"), 1)).as("enc_first"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // the merge-application chain, innermost-first: merge rank 1 runs
+      // first (matching the Scala foldLeft order). Merges ride along as
+      // p1..p8 COLUMNS off a one-row cross join — DuckDB lambdas reject
+      // subqueries but capture enclosing columns fine.
+      val applied = (1 to bpeNumMerges).foldLeft("trim(regexp_replace(t, '(.)', '\\1 ', 'g'))") {
+        (acc, i) =>
+          s"""regexp_replace($acc,
+            substring(p$i, 1, 1) || ' ' || substring(p$i, 2, 1), p$i, 'g')"""
+      }
+      val msCols = (1 to bpeNumMerges)
+        .map(i => s"max(CASE WHEN rn = $i THEN pair END) AS p$i").mkString(", ")
+      s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+        wc AS (SELECT w, COUNT(*) AS wcnt FROM tok GROUP BY w),
+        pr AS (SELECT wcnt,
+                 UNNEST([substring(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+               FROM wc WHERE length(w) >= 2),
+        agg AS (SELECT pair, SUM(wcnt) AS n FROM pr
+                WHERE regexp_matches(pair, '^[a-z0-9]{2}$$') GROUP BY pair),
+        mt AS (SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rn
+               FROM agg QUALIFY rn <= $bpeNumMerges),
+        ms AS (SELECT $msCols FROM mt),
+        d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        enc AS (SELECT doc_id, toks,
+                  list_transform(toks, t -> $applied) AS encs
+                FROM d CROSS JOIN ms)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(encs, e -> CAST(len(string_split(e, ' ')) AS BIGINT))),
+            (a, b) -> a + b) AS BIGINT) AS n_symbols,
+          CASE WHEN len(encs) > 0 THEN encs[1] END AS enc_first
+        FROM enc ORDER BY doc_id"""
+    })
+
   // ── pipeline_select ─────────────────────────────────────────────────────
 
   /** The composed selection funnel (the pipeline_dedup_corpus analog for
@@ -711,5 +807,6 @@ object SelectionQueries {
 
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
-      bpePairCounts, pipelineSelect, qualityPercentile, mixEpochs, bm25TopK)
+      bpePairCounts, bpeEncode, pipelineSelect, qualityPercentile, mixEpochs,
+      bm25TopK)
 }

@@ -176,6 +176,40 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_encode matches an independent plain-Java replaceAll encoder") {
+    val docs = queries.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    // independent merge-table derivation: weighted adjacent char pairs
+    val wc = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = wc.toSeq.flatMap { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).map(_ -> c)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter { case (p, _) => p.matches("^[a-z0-9]{2}$") }
+    val merges = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(8).map(_._1)
+    def encode(w: String): String =
+      merges.foldLeft(w.replaceAll("(.)", "$1 ").trim) { (acc, p) =>
+        acc.replaceAll(s"${p(0)} ${p(1)}", p)
+      }
+    val want = docs.map { case (id, toks) =>
+      val encs = toks.map(encode)
+      (id, toks.length.toLong, encs.map(_.split(" ").length.toLong).sum,
+        encs.headOption.orNull)
+    }.sortBy(_._1).toSeq
+    val got = SelectionQueries.bpeEncode.spark(spark, sf)
+      .select("doc_id", "n_words", "n_symbols", "enc_first").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == want)
+    // non-vacuous: some document actually gained a multi-char symbol
+    assert(got.exists { case (_, nw, ns, _) => ns < nw * 10 && ns > 0 } &&
+      got.exists(_._4 != null))
+    assert(got.exists { case (id, _, _, _) =>
+      val toks = docs.toMap.apply(id)
+      toks.nonEmpty && encode(toks.head).split(" ").exists(_.length > 1)
+    }, "no merge ever fired — merge table is vacuous")
+  }
+
   test("bm25_topk matches an independent driver-side scorer exactly") {
     val terms = Seq("dup", "data", "the")
     val docs = queries.Tables.table(spark, sf, "documents")
