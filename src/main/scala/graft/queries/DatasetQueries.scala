@@ -136,7 +136,13 @@ object DatasetQueries {
 
   // ── dedup_representative ────────────────────────────────────────────────
 
-  private def representativeOracleSql: String = {
+  /** DuckDB CTE chain ending in `wk(doc_id, text, toks, keep_id)` and
+    * `comp(id, comp)` — the near-dup clustering replay shared verbatim by
+    * the `dedup_representative` and `dedup_soft_weights` oracles (exact
+    * bag-of-words groups → minhash/LSH over survivors → est-prescreened
+    * exact-Jaccard edges → recursive component closure). Callers prepend
+    * `WITH RECURSIVE`. */
+  private val nearDupClusterCtes: String = {
     val k = 32; val bands = 8; val rpb = 4
     val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
     val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
@@ -144,8 +150,7 @@ object DatasetQueries {
       val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH RECURSIVE
-      kd AS (SELECT doc_id, text, $toksSql AS toks,
+    s"""kd AS (SELECT doc_id, text, $toksSql AS toks,
           md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_hash
         FROM documents),
       g AS (SELECT content_hash, MIN(doc_id) AS keep_id FROM kd GROUP BY content_hash),
@@ -178,7 +183,12 @@ object DatasetQueries {
       r AS (SELECT doc_id AS id, doc_id AS reach FROM d
             UNION
             SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
-      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)"""
+  }
+
+  private def representativeOracleSql: String = {
+    s"""WITH RECURSIVE
+      $nearDupClusterCtes,
       q AS (SELECT doc_id, keep_id,
         ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / 100.0) * 0.4 +
               (CAST(1.0 AS DOUBLE) -
@@ -220,37 +230,51 @@ object DatasetQueries {
     * exact group's members tie on quality (identical text) and its
     * keep_id is the group's min doc_id, so the tie-break elects the
     * survivor either way. */
+  /** Shared near-dup clustering chain (the Scala side of
+    * [[nearDupClusterCtes]]): exact bag-of-words dedup → md5-minhash/LSH
+    * over the exact survivors → est-prescreened exact-Jaccard edges →
+    * connected components. Returns (withKeep, comps): every doc with its
+    * exact-group `keep_id`, and every survivor with its near-dup `comp`.
+    * Used by `dedup_representative` (keep-best selection) and
+    * `dedup_soft_weights` (down-weighting) — one calibration, two
+    * policies. */
+  private def nearDupClusters(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val keyed = docs.withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
+    val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
+    val withKeep = keyed.join(groups, "content_hash").localCheckpoint()
+    val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+    val sh = survivors
+      .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+      .localCheckpoint() // read by signatures + both verification joins
+    // Checkpoint the signatures: the band self-join otherwise carries the
+    // 32-permutation signature tree on BOTH sides and Catalyst analysis
+    // of the doubled tree dominates construction (measured +6 s plan).
+    val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+      .select("doc_id", "sig").localCheckpoint()
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+        bands = 8, rowsPerBand = 4, replayable = true)
+      .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
+      .filter(col("est") >= 0.35)
+    val edges = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("tj", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("tj") >= 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = Components.connectedComponents(
+      survivors.select(col("doc_id").as("id")), edges)
+    (withKeep, comps)
+  }
+
   val dedupRepresentative = QueryDef("dedup_representative",
     (s, dir) => {
-      val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
-        .select(col("doc_id"), col("text"))
-      val keyed = docs.withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
-      val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
-      val withKeep = keyed.join(groups, "content_hash").localCheckpoint()
-      val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
-        .select(col("doc_id"), col("text"))
-      val sh = survivors
-        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint() // read by signatures + both verification joins
-      // Checkpoint the signatures: the band self-join otherwise carries the
-      // 32-permutation signature tree on BOTH sides and Catalyst analysis
-      // of the doubled tree dominates construction (measured +6 s plan).
-      val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-        .select("doc_id", "sig").localCheckpoint()
-      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
-          bands = 8, rowsPerBand = 4, replayable = true)
-        .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
-        .filter(col("est") >= 0.35)
-      val edges = pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("tj", col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-        .filter(col("tj") >= 0.5)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val comps = Components.connectedComponents(
-        survivors.select(col("doc_id").as("id")), edges)
+      val (withKeep, comps) = nearDupClusters(s, dir)
       val members = withKeep
         .select(col("doc_id"), col("keep_id"), qualityScore(col("text")).as("quality"))
         .join(comps, col("keep_id") === comps("id"))
@@ -265,6 +289,50 @@ object DatasetQueries {
         .orderBy("doc_id")
     },
     Some(representativeOracleSql))
+
+  // ── dedup_soft_weights ──────────────────────────────────────────────────
+
+  /** Duplicate-aware RE-WEIGHTING — the SoftDeDup policy (He et al.,
+    * ACL'24; the D4 observation that moderate duplication carries signal):
+    * instead of dropping near-duplicates, give every member of a duplicate
+    * cluster weight 1/|cluster| so each cluster contributes one document's
+    * worth of gradient mass, and report the effective (weighted) token
+    * count the sampled corpus realizes. Uses the SAME clustering chain as
+    * `dedup_representative` ([[nearDupClusters]]) — the policy layer is
+    * the only difference, which is exactly how a production pipeline
+    * A/Bs drop-vs-down-weight.
+    *
+    * Scale shape: the clustering chain is the certified-linear LSH path;
+    * the weighting adds one count shuffle over comp (map-side partials)
+    * and a narrow join back. Weight = one IEEE divide, effective tokens
+    * = one IEEE multiply — both replayed exactly. */
+  val dedupSoftWeights = QueryDef("dedup_soft_weights",
+    (s, dir) => {
+      val (withKeep, comps) = nearDupClusters(s, dir)
+      val members = withKeep
+        .select(col("doc_id"), col("keep_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .join(comps, col("keep_id") === comps("id"))
+        .select(col("doc_id"), col("comp"), col("n_tok"))
+      val sizes = members.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      members.join(sizes, "comp")
+        .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+        .select(col("doc_id"), col("comp"), col("cluster_size"),
+          round(col("weight"), 9).as("weight"), col("n_tok"),
+          round(col("weight") * col("n_tok").cast("double"), 6).as("eff_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      $nearDupClusterCtes,
+      mem AS (SELECT wk.doc_id, c.comp, CAST(len(wk.toks) AS BIGINT) AS n_tok
+              FROM wk JOIN comp c ON wk.keep_id = c.id),
+      sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM mem GROUP BY comp)
+      SELECT m.doc_id, m.comp, s.cluster_size,
+        ROUND(1.0 / CAST(s.cluster_size AS DOUBLE), 9) AS weight,
+        m.n_tok,
+        ROUND((1.0 / CAST(s.cluster_size AS DOUBLE)) * CAST(m.n_tok AS DOUBLE), 6) AS eff_tokens
+      FROM mem m JOIN sz s USING (comp)
+      ORDER BY m.doc_id"""))
 
   // ── corpus_overlap ──────────────────────────────────────────────────────
 
@@ -458,6 +526,6 @@ object DatasetQueries {
       FROM x ORDER BY bucket"""))
 
   val defs: Seq[QueryDef] =
-    Seq(dedupSemantic, dedupRepresentative, corpusOverlap, shardAssign,
-      corpusDrift)
+    Seq(dedupSemantic, dedupRepresentative, dedupSoftWeights, corpusOverlap,
+      shardAssign, corpusDrift)
 }

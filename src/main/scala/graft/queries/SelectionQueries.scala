@@ -755,58 +755,152 @@ object SelectionQueries {
     * expression tree is written identically on both sides (left-assoc
     * sums, explicit parenthesization), so even the float scores
     * hash-match. */
+  /** Per-term tf as a codegen'd array filter (evaluated once per output
+    * column; the scored frame is a narrow map over the broadcast stats). */
+  private def bm25Tf(i: Int): Column =
+    size(filter(col("toks"), x => x === bm25Terms(i))).cast("double")
+
+  /** The BM25-scored corpus frame (doc_id, toks, score) — shared by the
+    * standalone `bm25_topk` ranking and the `rrf_fusion` lexical arm, so
+    * both run the identical scoring plan: ONE map-side-partial stats agg
+    * broadcast back as a single row, then a narrow scoring map. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val statAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("total_len")) ++
+      bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i") }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val j = docs.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n").cast("double"))
+    def idf(i: Int): Column =
+      ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+    def term(i: Int): Column =
+      (idf(i) * (bm25Tf(i) * lit(2.2))) /
+        (bm25Tf(i) + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    j.withColumn("score", (term(0) + term(1)) + term(2))
+  }
+
+  /** DuckDB CTE chain ending in `sc(doc_id, toks, score)` — the oracle
+    * replay of [[bm25Scored]], shared by both oracles verbatim. */
+  private val bm25ScoredCtes: String = {
+    val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    def tfSql(t: String) = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+    def termSql(i: Int): String = {
+      val t = bm25Terms(i)
+      s"(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * (${tfSql(t)} * 2.2)) / " +
+        s"(${tfSql(t)} + $bm25K1 * (0.25 + $bm25B75 * (CAST(dl AS DOUBLE) / avgdl)))"
+    }
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      st AS (SELECT COUNT(*) AS n, SUM(dl) AS total_len, $dfCols FROM dd),
+      sc AS (SELECT doc_id, toks,
+               ((${termSql(0)} + ${termSql(1)}) + ${termSql(2)}) AS score
+             FROM (SELECT dd.*, st.*,
+                     CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+                   FROM dd CROSS JOIN st))"""
+  }
+
   val bm25TopK = QueryDef("bm25_topk",
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("long"))
-      val statAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("total_len")) ++
-        bm25Terms.zipWithIndex.map { case (t, i) =>
-          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i") }
-      val stats = docs.agg(statAggs.head, statAggs.tail: _*)
-      val j = docs.crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("total_len").cast("double") / col("n").cast("double"))
-      def tf(i: Int): Column =
-        size(filter(col("toks"), x => x === bm25Terms(i))).cast("double")
-      def idf(i: Int): Column =
-        ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
-          (col(s"df$i").cast("double") + lit(0.5))
-      def term(i: Int): Column =
-        (idf(i) * (tf(i) * lit(2.2))) /
-          (tf(i) + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-      val scored = j.withColumn("score", (term(0) + term(1)) + term(2))
-      scored.select(Seq(col("doc_id")) ++
-          bm25Terms.zipWithIndex.map { case (t, i) => tf(i).cast("long").as(s"tf_$t") } ++
+    (s, dir) =>
+      bm25Scored(s, dir).select(Seq(col("doc_id")) ++
+          bm25Terms.zipWithIndex.map { case (t, i) => bm25Tf(i).cast("long").as(s"tf_$t") } ++
           Seq(round(col("score"), 6).as("score")): _*)
         .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(20)
-    },
+        .limit(20),
     Some {
-      val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
-      }.mkString(", ")
-      def tfSql(t: String) = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
-      def termSql(i: Int): String = {
-        val t = bm25Terms(i)
-        s"(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * (${tfSql(t)} * 2.2)) / " +
-          s"(${tfSql(t)} + $bm25K1 * (0.25 + $bm25B75 * (CAST(dl AS DOUBLE) / avgdl)))"
-      }
       val tfOut = bm25Terms.map(t =>
         s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
-        st AS (SELECT COUNT(*) AS n, SUM(dl) AS total_len, $dfCols FROM dd),
-        sc AS (SELECT doc_id, toks,
-                 ((${termSql(0)} + ${termSql(1)}) + ${termSql(2)}) AS score
-               FROM (SELECT dd.*, st.*,
-                       CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
-                     FROM dd CROSS JOIN st))
+      s"""WITH $bm25ScoredCtes
         SELECT doc_id, $tfOut, ROUND(score, 6) AS score
         FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20"""
     })
 
+  // ── rrf_fusion ──────────────────────────────────────────────────────────
+
+  private val rrfC = 60       // the standard RRF smoothing constant
+  private val rrfDepth = 50   // per-arm shortlist depth
+  private val rrfOut = 20
+
+  /** Hybrid retrieval via reciprocal rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR'09): fuse the BM25 lexical arm with a dense
+    * embedding-cosine arm by summing 1/(60 + rank) over the arms that
+    * retrieved each document, top-`rrfOut` fused. This is the standard
+    * sparse+dense hybrid a retrieval-augmented pipeline runs — ranks, not
+    * scores, are fused, so the arms need no score calibration.
+    *
+    * The dense query is the corpus embedding of vec_id 0 (embeddings and
+    * documents share the 0..n−1 id space); the lexical query is the fixed
+    * `bm25Terms`. Each arm is a corpus scan + bounded-heap top-`rrfDepth`
+    * (the TakeOrdered/graft_topk shape — never a global Window over the
+    * corpus); ranks become reciprocal contributions in one narrow map on
+    * two ≤`rrfDepth`-row frames, fused with a full-outer join. A document
+    * missed by an arm contributes 0 from that arm (rank reported as 0).
+    * Replay: ranks are integers under total orders both engines share
+    * (score desc, id asc — the cosine_topk precedent), and the fused
+    * score is two IEEE divides + one add written identically on both
+    * sides. */
+  val rrfFusion = QueryDef("rrf_fusion",
+    (s, dir) => {
+      // Lexical arm: TakeOrdered shortlist, then ranks on the ≤50-row
+      // result (single-partition Window on a bounded frame — documented
+      // safe, same class as the per-source aggregate windows).
+      val lex = bm25Scored(s, dir)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(rrfDepth)
+        .withColumn("rank_lex", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rank_lex"))
+      // Dense arm: brute-force cosine against the vec_id-0 query through
+      // the shared bounded-heap ranker (excludes the query row itself).
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sem = Similarity.bruteForceTopK(emb, q, k = rrfDepth)
+        .select(col("vec_id").as("doc_id"), col("rank").as("rank_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("rank_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("rank_sem").cast("double")), lit(0.0)))
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+          coalesce(col("rank_sem"), lit(0L)).as("rank_sem"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(rrfOut)
+    },
+    Some(s"""WITH $bm25ScoredCtes,
+      lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_lex
+               FROM sc),
+      lex AS (SELECT doc_id, rank_lex FROM lexr WHERE rank_lex <= $rrfDepth),
+      e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      qv AS (SELECT embedding AS qe, nrm AS qnrm FROM e WHERE vec_id = 0),
+      pairs AS (SELECT e.vec_id,
+          CASE WHEN e.nrm > 0 AND qv.qnrm > 0
+               THEN ${dotSql("e.embedding", "qv.qe")} / (e.nrm * qv.qnrm)
+               ELSE 0.0 END AS sim
+        FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+      semr AS (SELECT vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank_sem
+               FROM pairs),
+      sem AS (SELECT doc_id, rank_sem FROM semr WHERE rank_sem <= $rrfDepth),
+      u AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+      f AS (SELECT doc_id, rank_lex, rank_sem,
+              COALESCE(1.0 / (CAST($rrfC AS DOUBLE) + CAST(rank_lex AS DOUBLE)), 0.0) +
+                COALESCE(1.0 / (CAST($rrfC AS DOUBLE) + CAST(rank_sem AS DOUBLE)), 0.0) AS rrf
+            FROM u)
+      SELECT doc_id, COALESCE(rank_lex, 0) AS rank_lex, COALESCE(rank_sem, 0) AS rank_sem,
+        ROUND(rrf, 9) AS rrf
+      FROM f ORDER BY rrf DESC, doc_id ASC LIMIT $rrfOut"""))
+
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, pipelineSelect, qualityPercentile, mixEpochs,
-      bm25TopK)
+      bm25TopK, rrfFusion)
 }

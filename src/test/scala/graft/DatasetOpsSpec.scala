@@ -128,6 +128,33 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_soft_weights law: cluster mass 1, exact 1/m weights, same partition as representative") {
+    val out = graft.queries.DatasetQueries.dedupSoftWeights
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("doc_id", "comp", "cluster_size", "weight", "n_tok", "eff_tokens")
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.forall(_._3 == ms.length),
+        s"cluster $comp reports size ${ms.head._3} but has ${ms.length} members")
+      // the defining SoftDeDup invariant: each cluster contributes one
+      // document's worth of mass (weight column is rounded to 9 dp)
+      assert(math.abs(ms.map(_._4).sum - 1.0) < 1e-6,
+        s"cluster $comp mass ${ms.map(_._4).sum} != 1")
+      ms.foreach(m => assert(math.abs(m._4 - 1.0 / m._3.toDouble) < 1e-8))
+    }
+    val singles = out.filter(_._3 == 1)
+    assert(singles.nonEmpty && singles.forall(m => m._4 == 1.0 && m._6 == m._5.toDouble),
+      "singleton docs must keep full weight and full token mass")
+    assert(out.exists(_._3 > 1), "no multi-member cluster — planted dups not clustered")
+    // policy-layer-only difference: identical cluster partition to
+    // dedup_representative (both build on nearDupClusters)
+    val repComp = graft.queries.DatasetQueries.dedupRepresentative
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    assert(out.forall(m => repComp(m._1) == m._2), "cluster partitions diverge")
+  }
+
   test("dedup_semantic law on testdata: every planted twin loses to its original") {
     val out = graft.queries.DatasetQueries.dedupSemantic
       .spark(TestSpark.spark, "/root/testdata/sf0.001")

@@ -245,4 +245,59 @@ class SelectionSpec extends AnyFunSuite {
       assert(dupIds.subsetOf(got.map(_._1).toSet),
         "every doc containing the rare term should make the top-20")
   }
+
+  test("rrf_fusion matches an independently recomputed two-arm fusion") {
+    val terms = Seq("dup", "data", "the")
+    val docs = queries.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    // lexical arm: the same independent BM25 scorer as the bm25_topk law
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def bm25(toks: Seq[String]): Double = {
+      val parts = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5)
+        (idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * (toks.length.toDouble / avgdl)))
+      }
+      (parts(0) + parts(1)) + parts(2)
+    }
+    val rankLex = docs.map { case (id, toks) => (id, bm25(toks)) }
+      .sortBy { case (id, s) => (-s, id) }.take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // dense arm: cosine against the vec_id-0 embedding, self excluded
+    val vecs = queries.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qv = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble }
+      for (i <- a.indices) { na += a(i).toDouble * a(i).toDouble }
+      for (i <- b.indices) { nb += b(i).toDouble * b(i).toDouble }
+      if (na > 0 && nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val rankSem = vecs.filter(_._1 != 0L).map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // fusion: 1/(60+rank) summed over the arms that retrieved the doc
+    val want = (rankLex.keySet ++ rankSem.keySet).toSeq.map { id =>
+      val r = rankLex.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rankSem.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, rankLex.getOrElse(id, 0L), rankSem.getOrElse(id, 0L), r)
+    }.sortBy { case (id, _, _, r) => (-r, id) }.take(20)
+    val got = SelectionQueries.rrfFusion.spark(spark, sf)
+      .select("doc_id", "rank_lex", "rank_sem", "rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"fused ranking mismatch: got ${got.map(_._1).toSeq} want ${want.map(_._1).toSeq}")
+    got.zip(want).foreach { case ((_, gl, gs, gr), (_, wl, ws, wr)) =>
+      assert(gl == wl && gs == ws, s"arm ranks drift: ($gl,$gs) vs ($wl,$ws)")
+      assert(math.abs(gr - wr) < 1e-9, s"rrf drift: $gr vs $wr")
+    }
+    // both arms genuinely contribute to the fused top-20
+    assert(got.exists(g => g._2 > 0 && g._3 == 0) || got.exists(g => g._2 > 0 && g._3 > 0))
+    assert(got.exists(_._3 > 0), "dense arm never fires in the fused list")
+  }
 }
