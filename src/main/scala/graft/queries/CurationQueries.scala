@@ -138,6 +138,100 @@ object CurationQueries {
         LEAST(32, n_tok - chunk_idx * 24) AS chunk_tokens
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  // ── span_corruption_mask ────────────────────────────────────────────────
+
+  private val spanSalt = "graft-span"
+  private val spanMod = 5 // 1-in-5 token mask rate
+
+  /** T5/UL2-style span-corruption planning (Raffel et al., JMLR'20 §3.1.4):
+    * mask ~20% of each document's tokens, replace every maximal masked RUN
+    * with one `<extra_id_k>` sentinel in the encoder input, and emit the
+    * decoder target as sentinel-prefixed masked spans plus the final
+    * sentinel — the denoising-objective data prep a seq2seq pretraining
+    * pipeline runs over the whole corpus. The mask decision per (doc,
+    * position) is the salted md5 bucket ([[hashBucket]] — the
+    * sample_weighted precedent), NOT a random draw: reproducible across
+    * reruns/engines, which is what makes the full input/target strings
+    * hash-oracle-checkable. Spans emerge as maximal covered runs
+    * (geometric lengths, mean 1/(1−0.2) = 1.25 — T5's mean-3 noise uses
+    * the same run semantics).
+    *
+    * Scale shape: a pure narrow map — per-row array HOFs (the positions
+    * sequence is O(n_tok), span-index lookup O(spans) per sentinel), no
+    * shuffle at all except the output sort. At 100 TB this is the ideal
+    * operator: embarrassingly parallel, codegen'd, zero exchange. */
+  val spanCorruptionQ = QueryDef("span_corruption_mask",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def sentinel(k: Column): Column =
+        concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+      def covAt(p: Column): Column = element_at(col("cov"), p)
+      // p=1 guarded by CaseWhen (lazy branches): element_at(cov, 0) would
+      // throw under ANSI; the oracle writes the identical CASE shape.
+      def isStart(p: Column): Column =
+        covAt(p) && when(p === 1, lit(true)).otherwise(!covAt(p - 1))
+      def spanIdx(p: Column): Column =
+        size(filter(col("starts"), st => st <= p)) - 1
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("ps", when(col("n_tok") >= 1,
+          sequence(lit(1), col("n_tok"))).otherwise(array().cast("array<int>")))
+        .withColumn("cov", transform(col("ps"), p =>
+          hashBucket(concat(col("doc_id").cast("string"), lit("_"), p.cast("string")),
+            spanSalt, spanMod) === 0))
+        .withColumn("starts", filter(col("ps"), p => isStart(p)))
+        .withColumn("n_spans", size(col("starts")).cast("long"))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          col("n_spans"),
+          size(filter(col("ps"), p => covAt(p))).cast("long").as("n_masked"),
+          concat_ws(" ", transform(
+            filter(col("ps"), p => !covAt(p) || isStart(p)),
+            p => when(!covAt(p), element_at(col("toks"), p))
+              .otherwise(sentinel(spanIdx(p))))).as("input_text"),
+          when(col("n_spans") > 0,
+            concat_ws(" ", concat(
+              flatten(transform(filter(col("ps"), p => covAt(p)),
+                p => when(isStart(p),
+                    array(sentinel(spanIdx(p)), element_at(col("toks"), p)))
+                  .otherwise(array(element_at(col("toks"), p))))),
+              array(sentinel(col("n_spans"))))))
+            .otherwise(lit("")).as("target_text"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val hp = s"CAST(('0x' || substring(md5('$spanSalt:' || CAST(doc_id AS VARCHAR) || '_' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % $spanMod = 0"
+      val startSql = "cov[CAST(p AS INT)] AND (CASE WHEN p = 1 THEN TRUE ELSE NOT cov[CAST(p - 1 AS INT)] END)"
+      val sentSql = "'<extra_id_' || CAST(len(list_filter(starts, st -> st <= p)) - 1 AS VARCHAR) || '>'"
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+        c AS (SELECT doc_id, toks, n_tok,
+                [$hp for p in generate_series(1, n_tok)] AS cov
+              FROM n),
+        sx AS (SELECT doc_id, toks, n_tok, cov,
+                [p for p in generate_series(1, n_tok) if $startSql] AS starts
+              FROM c),
+        m AS (SELECT doc_id, toks, n_tok, cov, starts,
+                CAST(len(starts) AS BIGINT) AS n_spans
+              FROM sx)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_spans,
+          CAST(len([p for p in generate_series(1, n_tok) if cov[CAST(p AS INT)]]) AS BIGINT) AS n_masked,
+          COALESCE(array_to_string(
+            [CASE WHEN NOT cov[CAST(p AS INT)] THEN toks[CAST(p AS INT)]
+                  ELSE $sentSql END
+             for p in generate_series(1, n_tok)
+             if (NOT cov[CAST(p AS INT)]) OR ($startSql)], ' '), '') AS input_text,
+          CASE WHEN n_spans > 0 THEN
+            COALESCE(array_to_string(
+              flatten([CASE WHEN $startSql
+                            THEN [$sentSql, toks[CAST(p AS INT)]]
+                            ELSE [toks[CAST(p AS INT)]] END
+                       for p in generate_series(1, n_tok) if cov[CAST(p AS INT)]])
+              || ['<extra_id_' || CAST(n_spans AS VARCHAR) || '>'], ' '), '')
+          ELSE '' END AS target_text
+        FROM m ORDER BY doc_id"""
+    })
+
   /** Batch twin of the streaming key dedup (stream path:
     * EventStream.streamingDedupKeys, spec-tested with a watermark). */
   val streamDedupQ = QueryDef("stream_dedup",
@@ -376,6 +470,6 @@ object CurationQueries {
 
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, chunkOverlapQ,
-    streamDedupQ, packSequencesQ, packSequencesOracleQ, decontaminateQ,
+    spanCorruptionQ, streamDedupQ, packSequencesQ, packSequencesOracleQ, decontaminateQ,
     sampleWeightedQ, sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ)
 }

@@ -243,6 +243,83 @@ object MiscQueries {
       SELECT comp, COUNT(*) AS n_members, MAX(id) AS max_id
       FROM comp GROUP BY comp ORDER BY comp"""))
 
+  private val prScale = 1000000000000L // rank mass in integer micro-units
+  private val prIters = 3
+
+  /** Link-graph PageRank (Page et al. 1999) for crawl-quality ranking —
+    * the URL/domain authority signal crawl curation pipelines use to
+    * gate or weight pages (CommonCrawl publishes harmonic-centrality/
+    * PageRank rankings for exactly this). Fixed `prIters` power
+    * iterations with damping 0.85 over a deterministic synthetic link
+    * graph on the document ids (two affine-modular out-links per page
+    * plus a planted hub every page links to — the hub must surface as
+    * rank #1, which the spec pins).
+    *
+    * ALL arithmetic is integer: ranks live in `prScale` micro-units,
+    * contributions are `r div out`, damping is `(85·s) div 100` — so
+    * per-iteration sums are exact in any accumulation order (the
+    * float-PageRank shuffle-order problem cannot exist) and the oracle
+    * replays every rank bit-for-bit. Scale shape per iteration: one
+    * broadcast-joined edge scan + one sum shuffle on dst with map-side
+    * partials; ranks are localCheckpointed per round so the plan stays
+    * O(1) deep (the components_star discipline). On a real crawl the
+    * edge list is the web graph: same joins, salted if a hub's in-degree
+    * skews a reducer (skew_salted_agg is the shipped lever). */
+  val linkPagerank = QueryDef("link_pagerank",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id")).localCheckpoint()
+      val cnt = docs.agg(count(lit(1)).as("n")).localCheckpoint() // 1 row
+      val withN = docs.crossJoin(broadcast(cnt))
+      val e1 = withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
+      val e2 = withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 17 + 3) % col("n")).as("dst"))
+      val hub = docs.select(col("doc_id").as("src"), lit(0L).as("dst"))
+      val edges = e1.union(e2).union(hub)
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      val out = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+      val edgesOut = edges.join(out, "src").localCheckpoint()
+      val base = expr(s"(15 * ($prScale div n)) div 100")
+      var ranks = withN.select(col("doc_id").as("id"),
+        expr(s"$prScale div n").as("r")).localCheckpoint()
+      for (_ <- 1 to prIters) {
+        val sums = edgesOut.join(ranks, col("src") === col("id"))
+          .select(col("dst"), expr("r div outd").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        ranks = withN.join(sums, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id").as("id"),
+            (base + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+          .localCheckpoint()
+      }
+      ranks.join(out.select(col("src").as("id"), col("outd")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("outd"), lit(0L)).as("outd"),
+          col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("id").asc)
+        .limit(20)
+    },
+    Some {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""c$k AS (SELECT e.dst, CAST(SUM($prev.r // o.outd) AS BIGINT) AS sc
+             FROM e JOIN o USING (src) JOIN $prev ON e.src = $prev.id GROUP BY e.dst),
+           r$k AS (SELECT d.doc_id AS id,
+                     CAST(((15 * ($prScale // nn.n)) // 100) + ((85 * COALESCE(c$k.sc, 0)) // 100) AS BIGINT) AS r
+                   FROM d CROSS JOIN nn LEFT JOIN c$k ON c$k.dst = d.doc_id)"""
+      }
+      s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        d AS (SELECT doc_id FROM documents),
+        e0 AS (SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM d CROSS JOIN nn
+               UNION SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM d CROSS JOIN nn
+               UNION SELECT doc_id, 0 FROM d),
+        e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outd FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS id, ($prScale // nn.n) AS r FROM d CROSS JOIN nn),
+        ${(1 to prIters).map(round).mkString(",\n        ")}
+        SELECT r$prIters.id, COALESCE(o.outd, 0) AS outd, r$prIters.r AS rank_scaled
+        FROM r$prIters LEFT JOIN o ON o.src = r$prIters.id
+        ORDER BY rank_scaled DESC, id ASC LIMIT 20"""
+    })
+
   /** Deletion propagation — the right-to-be-forgotten pass a 100 TB store
     * runs on a schedule: a deletion-request list (here: every user whose
     * id ≡ 0 mod 97, ~1% of users) anti-joins the fact table, and the
@@ -275,7 +352,7 @@ object MiscQueries {
       FROM bef LEFT JOIN del USING (event_type)
       ORDER BY bef.event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(slidingAvg, pivotCounts, monthlyRollup,
+  val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate)
 }

@@ -64,4 +64,35 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(StarContraction, Seq(1L, 5L, 9L), Seq.empty) ===
       Map(1L -> 1L, 5L -> 5L, 9L -> 9L))
   }
+
+  test("link_pagerank matches an independent integer power iteration; hub ranks #1") {
+    val sf = "/root/testdata/sf0.001"
+    val n = graft.queries.Tables.table(spark, sf, "documents").count()
+    // independent reference: same graph recipe, same integer arithmetic,
+    // computed with plain Scala maps
+    val scale = 1000000000000L
+    val edges = (0L until n).flatMap { v =>
+      Seq(v -> (v * 31 + 7) % n, v -> (v * 17 + 3) % n, v -> 0L)
+    }.distinct.filter { case (s, d) => s != d }
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = (0L until n).map(v => v -> scale / n).toMap
+    val base = (15L * (scale / n)) / 100L
+    for (_ <- 1 to 3) {
+      val sums = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / out(s) }.sum }
+      r = (0L until n).map(v => v -> (base + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (id, rk) => (-rk, id) }.take(20)
+    val got = graft.queries.MiscQueries.linkPagerank.spark(spark, sf)
+      .select("id", "rank_scaled").as[(Long, Long)].collect().toSeq
+    assert(got == want, s"pagerank mismatch:\n got $got\nwant $want")
+    // the planted hub (every page links to doc 0) must dominate
+    assert(got.head._1 == 0L, s"hub is not rank #1: ${got.head}")
+    assert(got.head._2 > got(1)._2 * 2, "hub rank should dominate by construction")
+    // mass conservation up to floor losses: total ≤ scale, and within
+    // n·(iters+1) units of it (each div loses < 1 unit per node/edge)
+    val total = r.values.sum
+    assert(total <= scale && scale - total < 100L * n * 4,
+      s"rank mass $total drifted too far from $scale")
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the corpus-curation data-prep queries (the DuckDB oracle
+  * carries the value evidence; these pin operator-level guarantees on the
+  * same sf0.001 driver testdata the correctness gate uses). */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("span_corruption_mask round-trips: filling input sentinels from the target reconstructs the doc") {
+    val out = graft.queries.CurationQueries.spanCorruptionQ
+      .spark(spark, sf)
+      .select("doc_id", "n_tok", "n_spans", "n_masked", "input_text", "target_text")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    val orig = graft.queries.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    assert(out.nonEmpty)
+    var sawSpan = false; var sawMultiTokenSpan = false
+    out.foreach { case (id, nTok, nSpans, nMasked, input, target) =>
+      val toks = orig(id)
+      assert(nTok == toks.length, s"doc $id n_tok")
+      // counting law: input = unmasked tokens + one sentinel per span
+      val inToks = input.split(" ").filter(_.nonEmpty).toSeq
+      assert(inToks.length == nTok - nMasked + nSpans, s"doc $id input length")
+      if (nSpans == 0) {
+        assert(nMasked == 0 && target.isEmpty && inToks == toks, s"doc $id unmasked")
+      } else {
+        sawSpan = true
+        // parse target: <extra_id_k> span-tokens ... terminated by <extra_id_nSpans>
+        val sent = (0L to nSpans).map(k => s"<extra_id_$k>")
+        val tToks = target.split(" ").filter(_.nonEmpty).toSeq
+        assert(tToks.last == sent.last, s"doc $id missing final sentinel")
+        val spans = scala.collection.mutable.Map[String, Seq[String]]()
+        var cur: String = null; var acc = List.empty[String]
+        tToks.foreach { t =>
+          if (sent.contains(t)) {
+            if (cur != null) spans(cur) = acc.reverse
+            cur = t; acc = Nil
+          } else acc = t :: acc
+        }
+        assert(spans.keys.toSet == sent.dropRight(1).toSet, s"doc $id sentinel set")
+        if (spans.values.exists(_.length > 1)) sawMultiTokenSpan = true
+        assert(spans.values.map(_.length).sum == nMasked, s"doc $id masked count")
+        // the round trip: substitute each input sentinel with its span
+        val rebuilt = inToks.flatMap(t => if (sent.contains(t)) spans(t) else Seq(t))
+        assert(rebuilt == toks, s"doc $id round trip failed")
+        // sentinels appear in input in increasing order (doc-order spans)
+        val order = inToks.filter(sent.contains)
+        assert(order == order.sortBy(s => s.stripPrefix("<extra_id_").stripSuffix(">").toInt))
+      }
+    }
+    assert(sawSpan, "no doc was ever masked — mask rate is vacuous")
+    assert(sawMultiTokenSpan, "no multi-token run ever formed — run merging untested")
+    // aggregate mask rate near the designed 1/5
+    val rate = out.map(_._4).sum.toDouble / out.map(_._2).sum.toDouble
+    assert(rate > 0.15 && rate < 0.25, s"mask rate $rate far from 0.2")
+  }
+}

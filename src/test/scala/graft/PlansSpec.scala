@@ -226,5 +226,16 @@ class PlansSpec extends AnyFunSuite {
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges <= 2, s"$q grew ${exchanges} exchanges (narrow map + sort expected):\n$p")
     }
+    // span_corruption_mask: the ideal 100 TB operator shape — a pure
+    // narrow map; the ONLY exchange is the presentation sort
+    val scp = plan(SparkEntry.queries("span_corruption_mask")(spark, sf))
+    assert("Exchange".r.findAllIn(scp).size <= 1,
+      s"span_corruption_mask must be shuffle-free except the sort:\n$scp")
+    // rrf_fusion: both arms broadcast their small side (stats row /
+    // query vector); no cartesian anywhere
+    val rrf = plan(SparkEntry.queries("rrf_fusion")(spark, sf))
+    assert(rrf.contains("BroadcastHashJoin") || rrf.contains("BroadcastExchange"),
+      s"rrf_fusion arms should broadcast small sides:\n$rrf")
+    assert(!rrf.contains("CartesianProduct"), s"cartesian in rrf_fusion:\n$rrf")
   }
 }
