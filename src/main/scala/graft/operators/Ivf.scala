@@ -297,4 +297,31 @@ object Ivf {
       .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
     Similarity.rankTopK(paired, k, qidCol, idCol)
   }
+
+  /** METADATA-FILTERED approximate top-k — the filtered-vector-search
+    * shape every retrieval service needs (search only docs matching a
+    * predicate: a source, a language, a date range). The predicate
+    * arrives as an `allowed`-ids frame and semi-joins the assigned corpus
+    * BEFORE the probe join, so disallowed vectors never reach the
+    * distance kernel and — on a list_id-partitioned persisted index —
+    * the filter composes with partition pruning. One shared index serves
+    * every predicate (pre-filtering at query time, not per-predicate
+    * index builds); because assignment is per-vector under a fixed
+    * codebook, the result is EXACTLY what an index built over only the
+    * allowed vectors would return (DedupSimilaritySpec pins the law).
+    * With selective predicates widen `nProbe` — probed-list occupancy
+    * after the filter is what bounds recall. */
+  def topKFiltered(index: Index, queries: DataFrame, allowed: DataFrame,
+                   k: Int, nProbe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val probed = queries
+      .withColumn("list_id", explode(probeLists(col(qvecCol), index.centers, nProbe)))
+    val paired = index.assigned
+      .join(allowed.select(col(idCol)), Seq(idCol), "left_semi")
+      .join(broadcast(probed), Seq("list_id"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", Similarity.cosine(col(vecCol), col(qvecCol)))
+    Similarity.rankTopK(paired, k, qidCol, idCol)
+  }
 }

@@ -205,8 +205,18 @@ object SimilarityQueries {
       s"SELECT $c AS c, [${ivfOracleCenterInts(c).mkString(",")}] AS hs")
       .mkString(" UNION ALL ")
 
-  private def ivfOracleSql: String = {
+  private def ivfOracleSql: String = ivfOracleSqlWith(None)
+
+  /** [[ivfOracleSql]] with an optional candidate-side metadata predicate —
+    * `ann_filtered_topk` passes the label filter; everything else shares
+    * the unfiltered replay verbatim. */
+  private def ivfOracleSqlWith(pred: Option[String]): String = {
+    val fltCte = pred.map(p =>
+      s"flt AS (SELECT vec_id FROM embeddings WHERE $p),").getOrElse("")
+    val fltJoin = pred.map(_ =>
+      "JOIN flt ON flt.vec_id = asg.vec_id").getOrElse("")
     s"""WITH ct AS ($ivfCentroidRowsSql),
+      $fltCte
       cu AS (SELECT c, [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
              FROM ct),
       d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -231,6 +241,7 @@ object SimilarityQueries {
                ELSE 0.0 END AS sim
         FROM qp
         JOIN asg ON qp.list_id = asg.list_id
+        $fltJoin
         JOIN d ON asg.vec_id = d.vec_id
         JOIN q ON qp.qid = q.qid
         WHERE d.vec_id <> q.qid),
@@ -259,6 +270,29 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
     Some(ivfOracleSql))
+
+  /** Metadata-FILTERED ANN — the filtered-vector-search shape a retrieval
+    * service needs (restrict search to a source/language/date slice): the
+    * SAME shared index, with the predicate's allowed-ids semi-joined into
+    * the candidate set before the distance kernel
+    * ([[graft.operators.Ivf.topKFiltered]]). Under the md5 codebook the
+    * whole filtered search replays in SQL (the unfiltered oracle plus one
+    * predicate join); DedupSimilaritySpec pins the structural law that
+    * filtering the shared index equals rebuilding the index over only
+    * the allowed vectors. Filter here: even labels (~half the corpus) —
+    * the nProbe-widening note in the operator doc covers selective
+    * predicates. */
+  val annFilteredTopK = QueryDef("ann_filtered_topk",
+    (s, dir) => {
+      val embAll = table(s, dir, "embeddings")
+      val emb = embAll.select(col("vec_id"), col("embedding"))
+      val allowed = embAll.filter(col("label") % 2 === 0).select(col("vec_id"))
+      val index = graft.operators.Ivf.fromCenters(emb, ivfOracleCenters)
+      graft.operators.Ivf.topKFiltered(index, annQueries(emb), allowed,
+          k = annK, nProbe = ivfOracleProbe)
+        .orderBy("qid", "rank")
+    },
+    Some(ivfOracleSqlWith(Some("label % 2 = 0"))))
 
   /** Persisted-index ANN — the build-once/probe-many shape a production
     * search service runs ([[graft.operators.Ivf.save]]/[[graft.operators.Ivf.load]]):
@@ -783,7 +817,7 @@ object SimilarityQueries {
     Some(kmeansOracleSql))
 
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
-    annIvfTopK, annIvfTopKOracle, annIvfPersisted, annIvfIncremental,
+    annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
     annMatryoshkaTopK, annRecall, quantizeEmbeddings, kmeansTrainOracle)
 }

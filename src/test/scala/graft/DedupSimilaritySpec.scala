@@ -340,6 +340,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("filtered IVF search equals an index rebuilt over only the allowed vectors") {
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fixed = Array.tabulate(4)(c => centers(c).map(_.toDouble))
+    val full = graft.operators.Ivf.fromCenters(vecs, fixed)
+    val allowed = vecs.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val filtered = graft.operators.Ivf.topKFiltered(full, queries, allowed,
+      k = 5, nProbe = 2).as[(Long, Long, Long, Double)].collect().toSet
+    assert(filtered.nonEmpty)
+    // every hit satisfies the predicate
+    assert(filtered.forall(_._3 % 3 == 0), "a disallowed vector leaked into results")
+    // structural law: per-vector assignment under a fixed codebook means
+    // pre-filtering the shared index == building an index over the subset
+    val subIndex = graft.operators.Ivf.fromCenters(
+      vecs.filter(col("vec_id") % 3 === 0), fixed)
+    val rebuilt = graft.operators.Ivf.topK(subIndex, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(filtered == rebuilt, "shared-index filter diverged from subset rebuild")
+  }
+
   test("IVF incremental add: appended vectors are probed like built ones") {
     val rng = new scala.util.Random(41)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
