@@ -128,8 +128,12 @@ object TextQueries {
     * true-Jaccard verification. Generated (k=32 MIN aggregates, 8 band
     * selects, 32-term match sum) so the SQL stays in lock-step with the
     * Spark constants. */
-  private def minhashOracleSql: String = {
-    val k = 32; val bands = 8; val rpb = 4
+  /** Parameterized md5-minhash/LSH candidate-pair replay ending in
+    * `tj(id_a, id_b, est_jaccard, true_jaccard)` — shared by
+    * `dedup_minhash_lsh` (8×4 bands) and `mine_contrastive_pairs`
+    * (16×2 bands), each supplying its own final SELECT. */
+  private def minhashPairSql(k: Int, bands: Int, rpb: Int, select: String): String = {
+    require(bands * rpb == k, s"bands ($bands) x rows/band ($rpb) must equal k ($k)")
     val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
@@ -161,9 +165,13 @@ object TextQueries {
                CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
                CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) AS true_jaccard
              FROM est e JOIN g ga ON ga.doc_id = e.id_a JOIN g gb ON gb.doc_id = e.id_b)
-      SELECT id_a, id_b, est_jaccard, true_jaccard FROM tj
-      WHERE true_jaccard >= 0.3 ORDER BY id_a, id_b"""
+      $select"""
   }
+
+  private def minhashOracleSql: String =
+    minhashPairSql(32, 8, 4,
+      """SELECT id_a, id_b, est_jaccard, true_jaccard FROM tj
+      WHERE true_jaccard >= 0.3 ORDER BY id_a, id_b""")
 
   /** Exact substring (span) deduplication — the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" operator: any 8-token
@@ -274,6 +282,47 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
     Some(minhashOracleSql))
+
+  /** Contrastive training-pair mining for embedding models — the data
+    * prep a retrieval/embedding trainer runs over the corpus (the SimCSE/
+    * E5-style hard-negative recipe): LSH candidates at a PERMISSIVE
+    * banding (16 bands × 2 rows — fires well below the dedup threshold)
+    * are labeled by true shingle Jaccard: `positive` (≥ 0.5, near-dup
+    * pairs the encoder should map together) or `hard_negative` (< 0.2 —
+    * sketch-similar enough to band-collide yet lexically far, exactly the
+    * confusable pairs contrastive losses need; ambiguous middle dropped).
+    * Same linear candidate machinery as dedup ([[Dedup.lshCandidatePairs]]
+    * ship-arrays-late shape), same bounded slice as `dedup_minhash_lsh`;
+    * the whole chain replays via [[minhashPairSql]] at the mining band
+    * geometry. */
+  val mineContrastivePairs = QueryDef("mine_contrastive_pairs",
+    (s, dir) => {
+      val docs = graft.ops.Parallelism.ensure(
+          table(s, dir, "documents").filter(col("doc_id") < 500))
+        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+        .localCheckpoint() // reused by the signatures and both pair joins
+      val sigs = Dedup.withMinhashSignatureMd5(docs, col("sh"), 32)
+        .select("doc_id", "sig")
+        .localCheckpoint()
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+        bands = 16, rowsPerBand = 2, replayable = true)
+      val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      pairs.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("true_jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("true_jaccard") >= 0.5 || col("true_jaccard") < 0.2)
+        .select(col("id_a"), col("id_b"), col("true_jaccard"),
+          when(col("true_jaccard") >= 0.5, lit("positive"))
+            .otherwise(lit("hard_negative")).as("label"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(minhashPairSql(32, 16, 2,
+      """SELECT id_a, id_b, true_jaccard,
+        CASE WHEN true_jaccard >= 0.5 THEN 'positive' ELSE 'hard_negative' END AS label
+      FROM tj WHERE true_jaccard >= 0.5 OR true_jaccard < 0.2
+      ORDER BY id_a, id_b""")))
 
   /** DuckDB replay of the md5-keyed 60-bit SimHash: per-token hash → 60
     * bit votes → sketch → 4×15-bit banded Hamming pairs. Generated to
@@ -739,5 +788,5 @@ object TextQueries {
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,
-    heavyHittersQ, dedupIncrementalQ)
+    heavyHittersQ, dedupIncrementalQ, mineContrastivePairs)
 }

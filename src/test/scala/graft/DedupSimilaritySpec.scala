@@ -144,6 +144,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled.assigned.count() == 400, "assignment must still cover every vector")
   }
 
+  test("mine_contrastive_pairs: labels partition by threshold, both classes non-vacuous") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.mineContrastivePairs.spark(spark, sf)
+      .select("id_a", "id_b", "true_jaccard", "label")
+      .as[(Long, Long, Double, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, tj, label) =>
+      assert(a < b, s"pair ($a,$b) not canonical-ordered")
+      if (label == "positive") assert(tj >= 0.5, s"positive at jaccard $tj")
+      else { assert(label == "hard_negative"); assert(tj < 0.2, s"negative at $tj") }
+    }
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length, "duplicate pairs")
+    assert(out.exists(_._4 == "positive"), "no positives mined")
+    assert(out.exists(_._4 == "hard_negative"), "no hard negatives mined")
+    // every positive is a pair the dedup-banding (stricter 8x4) would
+    // verify at its own threshold — the two band geometries agree on
+    // what high similarity means
+    val dedupPairs = graft.queries.TextQueries.dedupMinhashLsh.spark(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val positives = out.filter(_._4 == "positive").map(p => (p._1, p._2)).toSet
+    assert(positives.subsetOf(dedupPairs),
+      s"positives ${positives -- dedupPairs} unseen by the dedup banding")
+  }
+
   test("canonicalizeUrl applies each normalization rule exactly") {
     import graft.functions.TextFunctions.canonicalizeUrl
     val cases = Seq(
