@@ -275,6 +275,16 @@ object ScaleProbe {
         noop(d.select(col("doc_id"),
           SelectionQueries.dsirWeightCol(col("toks"), ratios).as("weight")))
       },
+      "pagerank" -> { m =>
+        // the link_pagerank shape via the SHARED chain builder: 3 integer
+        // power iterations over a graph whose node/edge count scales with
+        // m (structure constant: out-degree ~2-3 plus the planted hub).
+        // Watches the per-iteration dst-sum shuffle AND the hub reducer
+        // (in-degree ~n) for skew blowup as the graph scales.
+        val n = 500000L * m
+        noop(graft.queries.MiscQueries.pagerankRanked(
+          spark.range(n).select(col("id").as("doc_id"))))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

@@ -265,38 +265,45 @@ object MiscQueries {
     * O(1) deep (the components_star discipline). On a real crawl the
     * edge list is the web graph: same joins, salted if a hub's in-degree
     * skews a reducer (skew_salted_agg is the shipped lever). */
+  /** The shared PageRank chain (registered query + ScaleProbe `pagerank`
+    * family, so the probe measures the shipped shape): synthesize the
+    * deterministic link graph over `ids(doc_id)`, run `prIters` integer
+    * power iterations, return every node's (id, outd, rank_scaled). */
+  def pagerankRanked(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = ids.select(col("doc_id")).localCheckpoint()
+    val cnt = docs.agg(count(lit(1)).as("n")).localCheckpoint() // 1 row
+    val withN = docs.crossJoin(broadcast(cnt))
+    val e1 = withN.select(col("doc_id").as("src"),
+      ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
+    val e2 = withN.select(col("doc_id").as("src"),
+      ((col("doc_id") * 17 + 3) % col("n")).as("dst"))
+    val hub = docs.select(col("doc_id").as("src"), lit(0L).as("dst"))
+    val edges = e1.union(e2).union(hub)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val out = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+    val edgesOut = edges.join(out, "src").localCheckpoint()
+    val base = expr(s"(15 * ($prScale div n)) div 100")
+    var ranks = withN.select(col("doc_id").as("id"),
+      expr(s"$prScale div n").as("r")).localCheckpoint()
+    for (_ <- 1 to prIters) {
+      val sums = edgesOut.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("r div outd").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+      ranks = withN.join(sums, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id").as("id"),
+          (base + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(out.select(col("src").as("id"), col("outd")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outd"), lit(0L)).as("outd"),
+        col("r").as("rank_scaled"))
+  }
+
   val linkPagerank = QueryDef("link_pagerank",
-    (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id")).localCheckpoint()
-      val cnt = docs.agg(count(lit(1)).as("n")).localCheckpoint() // 1 row
-      val withN = docs.crossJoin(broadcast(cnt))
-      val e1 = withN.select(col("doc_id").as("src"),
-        ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
-      val e2 = withN.select(col("doc_id").as("src"),
-        ((col("doc_id") * 17 + 3) % col("n")).as("dst"))
-      val hub = docs.select(col("doc_id").as("src"), lit(0L).as("dst"))
-      val edges = e1.union(e2).union(hub)
-        .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-      val out = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-      val edgesOut = edges.join(out, "src").localCheckpoint()
-      val base = expr(s"(15 * ($prScale div n)) div 100")
-      var ranks = withN.select(col("doc_id").as("id"),
-        expr(s"$prScale div n").as("r")).localCheckpoint()
-      for (_ <- 1 to prIters) {
-        val sums = edgesOut.join(ranks, col("src") === col("id"))
-          .select(col("dst"), expr("r div outd").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("sc"))
-        ranks = withN.join(sums, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id").as("id"),
-            (base + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
-          .localCheckpoint()
-      }
-      ranks.join(out.select(col("src").as("id"), col("outd")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("outd"), lit(0L)).as("outd"),
-          col("r").as("rank_scaled"))
+    (s, dir) =>
+      pagerankRanked(table(s, dir, "documents").select(col("doc_id")))
         .orderBy(col("rank_scaled").desc, col("id").asc)
-        .limit(20)
-    },
+        .limit(20),
     Some {
       def round(k: Int): String = {
         val prev = if (k == 1) "r0" else s"r${k - 1}"
