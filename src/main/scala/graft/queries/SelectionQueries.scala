@@ -731,6 +731,97 @@ object SelectionQueries {
         CASE WHEN epochs_raw > 4.0 THEN 1 ELSE 0 END AS capped
       FROM e ORDER BY source"""))
 
+  // ── mix_doremi ──────────────────────────────────────────────────────────
+
+  private val doremiEta = 0.5
+  private val doremiRounds = 3
+
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS'23): domains
+    * where the proxy underperforms get UP-weighted by multiplicative
+    * weights — w ← w·(1 + η·excess) renormalized, `doremiRounds` rounds.
+    * Deterministic engine-replayable variant: the per-domain excess
+    * signal is a STATIC proxy derived from real corpus statistics (the
+    * quality deficit 1 − mean quality — low-quality domains are where a
+    * quality-blind proxy model's loss exceeds baseline), where true
+    * DoReMi re-measures excess loss each round with a proxy training
+    * run; the update algebra, normalization and budget realization are
+    * the production shape. Linear-space update (1 + η·e) in place of
+    * exp(η·e): same fixed point direction, no libm in the oracle chain.
+    *
+    * Float discipline: per-doc qualities and per-round weights are
+    * summed as DECIMAL(20,18) (exact, order-free — the lm_score
+    * precedent), so the only IEEE ops are per-row multiply/divide chains
+    * written identically on both sides. Everything after the one
+    * map-side-partial corpus agg is arithmetic on a ≤ #sources-row
+    * frame (global windows documented-safe at that size). */
+  val mixDoremi = QueryDef("mix_doremi",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy()
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          tokenCount(col("text")).as("nt"))
+      val bySrc = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(qualityScore(col("text")).cast(DecimalType(20, 18))).as("q_sum"))
+      var cur = bySrc
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("excess",
+          lit(1.0) - col("q_sum").cast("double") / col("n_docs").cast("double"))
+        .withColumn("wgt", lit(1.0) / col("n_sources").cast("double"))
+      for (t <- 1 to doremiRounds) {
+        cur = cur
+          .withColumn("u", col("wgt") * (lit(1.0) + lit(doremiEta) * col("excess")))
+          .withColumn("su",
+            sum(col("u").cast(DecimalType(20, 18))).over(w).cast("double"))
+          .withColumn("wgt", col("u") / col("su"))
+          .withColumn(s"w$t", round(col("wgt"), 9))
+      }
+      cur.select(Seq(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("excess"), 6).as("excess")) ++
+          (1 to doremiRounds).map(t => col(s"w$t")) ++ Seq(
+          floor(col("wgt") * expr("(total_tokens div 2)").cast("double"))
+            .cast("long").as("realized_tokens")): _*)
+        .orderBy("source")
+    },
+    Some {
+      val qSql =
+        s"""LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / 100.0) * 0.4 +
+          (CAST(1.0 AS DOUBLE) -
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END) * 0.3 +
+          CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               ELSE 0.0 END * 0.3"""
+      val rounds = (1 to doremiRounds).map { t =>
+        val prev = if (t == 1) "r0" else s"r${t - 1}"
+        s"""u$t AS (SELECT *, wgt * (1.0 + $doremiEta * excess) AS u FROM $prev),
+           r$t AS (SELECT source, n_docs, n_tokens, excess, n_sources, total_tokens,
+                     ${(1 until t).map(i => s"w$i, ").mkString}
+                     u / CAST(SUM(CAST(u AS DECIMAL(20,18))) OVER () AS DOUBLE) AS wgt,
+                     ROUND(u / CAST(SUM(CAST(u AS DECIMAL(20,18))) OVER () AS DOUBLE), 9) AS w$t
+                   FROM u$t)"""
+      }.mkString(",\n        ")
+      s"""WITH d AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+        st AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS n_tokens,
+                 SUM(CAST(ROUND($qSql, 6) AS DECIMAL(20,18))) AS q_sum
+               FROM d GROUP BY source),
+        r0 AS (SELECT source, n_docs, n_tokens,
+                 1.0 - CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS excess,
+                 COUNT(*) OVER () AS n_sources,
+                 SUM(n_tokens) OVER () AS total_tokens,
+                 1.0 / CAST(COUNT(*) OVER () AS DOUBLE) AS wgt
+               FROM st),
+        $rounds
+        SELECT source, n_docs, n_tokens, ROUND(excess, 6) AS excess,
+          ${(1 to doremiRounds).map(t => s"w$t").mkString(", ")},
+          CAST(FLOOR(wgt * CAST(total_tokens // 2 AS DOUBLE)) AS BIGINT) AS realized_tokens
+        FROM r$doremiRounds ORDER BY source"""
+    })
+
   // ── bm25_topk ───────────────────────────────────────────────────────────
 
   /** Fixed query terms spanning the idf range of the synthetic vocabulary:
@@ -902,5 +993,5 @@ object SelectionQueries {
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, pipelineSelect, qualityPercentile, mixEpochs,
-      bm25TopK, rrfFusion)
+      mixDoremi, bm25TopK, rrfFusion)
 }

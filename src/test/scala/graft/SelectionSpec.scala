@@ -246,6 +246,35 @@ class SelectionSpec extends AnyFunSuite {
         "every doc containing the rare term should make the top-20")
   }
 
+  test("mix_doremi: weights normalize, order by excess, realized tokens within budget") {
+    val out = SelectionQueries.mixDoremi.spark(spark, sf)
+      .select("source", "n_tokens", "excess", "w1", "w2", "w3", "realized_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(out.length > 1)
+    // each round's weights form a distribution
+    Seq[Int](3, 4, 5).foreach { i =>
+      val s = out.map(r => i match { case 3 => r._4; case 4 => r._5; case _ => r._6 }).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"round weights sum $s != 1")
+    }
+    // the multiplicative update preserves the excess ordering: more
+    // excess => weakly more weight, every round (1 + eta*e is monotone)
+    val byExcess = out.sortBy(_._3)
+    byExcess.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._4 <= hi._4 + 1e-12 && lo._6 <= hi._6 + 1e-12,
+          s"weight ordering violates excess ordering: $lo vs $hi")
+      case _ =>
+    }
+    // up-weighting sharpens round over round for the max-excess source
+    val top = byExcess.last
+    assert(top._6 >= top._4 - 1e-12, "max-excess weight should not decay across rounds")
+    // realized tokens stay within the half-corpus budget
+    val budget = out.map(_._2).sum / 2
+    assert(out.map(_._7).sum <= budget && out.forall(_._7 >= 0))
+  }
+
   test("rrf_fusion matches an independently recomputed two-arm fusion") {
     val terms = Seq("dup", "data", "the")
     val docs = queries.Tables.table(spark, sf, "documents")
