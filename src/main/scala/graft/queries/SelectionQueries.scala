@@ -186,10 +186,12 @@ object SelectionQueries {
 
   /** Temperature-threshold CTE chain in SQL — ends with
     * `st4(source, n_docs, n_tokens, rate, thresh)`. */
-  private val temperatureCtesSql =
-    s"""td AS (SELECT doc_id, source,
-        CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
-      st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+  /** The per-source temperature stats chain st..st4, expecting a CTE
+    * `td(doc_id, source, nt)` already defined — [[temperatureCtesSql]]
+    * feeds it the whole corpus; `pipeline_pretrain` feeds it the
+    * post-gate post-dedup survivors. */
+  private val temperatureStatsCtesSql =
+    s"""st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
              FROM td GROUP BY source),
       st2 AS (SELECT source, n_docs, n_tokens,
                 MIN(n_tokens) OVER () AS n_min FROM st),
@@ -198,6 +200,11 @@ object SelectionQueries {
               FROM st2),
       st4 AS (SELECT source, n_docs, n_tokens, rate,
                 CAST(floor(rate * 1000000.0) AS BIGINT) AS thresh FROM st3)"""
+
+  private val temperatureCtesSql =
+    s"""td AS (SELECT doc_id, source,
+        CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+      $temperatureStatsCtesSql"""
 
   private val tempBucketSql = (id: String) =>
     s"CAST(('0x' || substring(md5('graft-temp:' || CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
@@ -731,6 +738,108 @@ object SelectionQueries {
         CASE WHEN epochs_raw > 4.0 THEN 1 ELSE 0 END AS capped
       FROM e ORDER BY source"""))
 
+  // ── pipeline_pretrain ───────────────────────────────────────────────────
+
+  /** The composed END-TO-END pretraining prep funnel — what a user of the
+    * engine actually runs before tokenize-and-train: Gopher quality gate
+    * → exact bag-of-words dedup among gate survivors → temperature mix
+    * sampling with thresholds computed over the CLEANED corpus (the
+    * rebalance must see post-dedup token inventories, or boilerplate-
+    * heavy sources keep inflated rates) → token-balanced snake sharding
+    * of the kept set. Every stage is THE SAME builder its standalone
+    * query uses ([[GopherMetrics]], [[graft.operators.Dedup.bagOfWordsKey]],
+    * [[temperatureThresholds]], [[graft.operators.Sharding.snakeShards]]),
+    * so the composition can't drift from the individually certified
+    * stages. Per doc: each stage verdict, the first-failing-stage
+    * `reason` (the pipeline_select pattern), and the output shard
+    * (−1 for dropped docs).
+    *
+    * Scale shape: gate is a narrow map on the scan; dedup is one hash
+    * agg; thresholds are a ≤ #sources broadcast; sharding is the
+    * distributed-sort + zipWithIndex rank (never a global Window). The
+    * thresholds join is LEFT so a source with zero survivors still
+    * reports its dropped docs instead of vanishing. */
+  val pipelinePretrain = QueryDef("pipeline_pretrain",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("toks", tokens(col("text")))
+      val m = GopherMetrics(col("toks"))
+      val keyed = docs
+        .withColumn("gate_ok", when(m.gateOk, 1).otherwise(0))
+        .withColumn("ch", md5(graft.operators.Dedup.bagOfWordsKey(col("text"))))
+      val keepIds = keyed.filter(col("gate_ok") === 1)
+        .groupBy("ch").agg(min(col("doc_id")).as("keep_id"))
+      val s2 = keyed.join(keepIds, Seq("ch"), "left")
+        .withColumn("dedup_ok",
+          when(col("gate_ok") === 1 && col("doc_id") === col("keep_id"), 1).otherwise(0))
+        .localCheckpoint() // feeds the threshold agg, the shard rank AND the output
+      val thresholds = temperatureThresholds(
+        s2.filter(col("dedup_ok") === 1)
+          .select(col("source"), size(col("toks")).cast("long").as("nt")))
+      val tempBucket = hashBucket(col("doc_id"), "graft-temp", 1000000)
+      val staged = s2
+        .join(broadcast(thresholds.select("source", "thresh")), Seq("source"), "left")
+        .withColumn("temp_ok",
+          when(col("dedup_ok") === 1 && tempBucket < col("thresh"), 1).otherwise(0))
+        .withColumn("kept", col("temp_ok"))
+        .withColumn("reason",
+          when(col("gate_ok") === 0, "gate")
+            .when(col("dedup_ok") === 0, "dup")
+            .when(col("temp_ok") === 0, "mix")
+            .otherwise("kept"))
+        .localCheckpoint() // read by the shard rank and the final join
+      val kept = staged.filter(col("kept") === 1)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      val sharded = graft.operators.Sharding.snakeShards(kept, 8, "n_tokens", "doc_id")
+        .select(col("doc_id"), col("shard"))
+      staged.join(sharded, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gate_ok"), col("dedup_ok"), col("temp_ok"),
+          col("kept"), col("reason"), coalesce(col("shard"), lit(-1L)).as("shard"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, source, text, toks, $gopherMetricsSqlBody
+      FROM d),
+      g AS (SELECT doc_id, source, text, toks,
+        CASE WHEN $gopherPassCondSql THEN 1 ELSE 0 END AS gate_ok
+      FROM m),
+      k AS (SELECT doc_id, source, toks, gate_ok,
+        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS ch
+      FROM g),
+      ki AS (SELECT ch, MIN(doc_id) AS keep_id FROM k WHERE gate_ok = 1 GROUP BY ch),
+      s2 AS (SELECT k.*, ki.keep_id,
+        CASE WHEN k.gate_ok = 1 AND k.doc_id = ki.keep_id THEN 1 ELSE 0 END AS dedup_ok
+      FROM k LEFT JOIN ki USING (ch)),
+      td AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt
+             FROM s2 WHERE dedup_ok = 1),
+      $temperatureStatsCtesSql,
+      f AS (SELECT s2.doc_id, s2.toks, s2.gate_ok, s2.dedup_ok, st4.thresh,
+              ${tempBucketSql("s2.doc_id")} AS tbkt
+            FROM s2 LEFT JOIN st4 ON s2.source = st4.source),
+      v0 AS (SELECT doc_id, gate_ok, dedup_ok,
+               CASE WHEN dedup_ok = 1 AND tbkt < thresh THEN 1 ELSE 0 END AS temp_ok,
+               CAST(len(toks) AS BIGINT) AS nt
+             FROM f),
+      v AS (SELECT doc_id, gate_ok, dedup_ok, temp_ok, temp_ok AS kept,
+              CASE WHEN gate_ok = 0 THEN 'gate'
+                   WHEN dedup_ok = 0 THEN 'dup'
+                   WHEN temp_ok = 0 THEN 'mix'
+                   ELSE 'kept' END AS reason,
+              nt
+            FROM v0),
+      r AS (SELECT doc_id, nt,
+              ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id ASC) - 1 AS rank
+            FROM v WHERE kept = 1),
+      sh AS (SELECT doc_id,
+               CAST(CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                         ELSE 7 - (rank % 8) END AS BIGINT) AS shard
+             FROM r)
+      SELECT v.doc_id, v.gate_ok, v.dedup_ok, v.temp_ok, v.kept, v.reason,
+        COALESCE(sh.shard, CAST(-1 AS BIGINT)) AS shard
+      FROM v LEFT JOIN sh USING (doc_id)
+      ORDER BY v.doc_id"""))
+
   // ── mix_doremi ──────────────────────────────────────────────────────────
 
   private val doremiEta = 0.5
@@ -992,6 +1101,6 @@ object SelectionQueries {
 
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
-      bpePairCounts, bpeEncode, pipelineSelect, qualityPercentile, mixEpochs,
-      mixDoremi, bm25TopK, rrfFusion)
+      bpePairCounts, bpeEncode, pipelineSelect, pipelinePretrain,
+      qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion)
 }

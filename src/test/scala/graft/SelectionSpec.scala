@@ -246,6 +246,30 @@ class SelectionSpec extends AnyFunSuite {
         "every doc containing the rare term should make the top-20")
   }
 
+  test("pipeline_pretrain: funnel monotone, reason = first failing stage, shards only for kept") {
+    val out = SelectionQueries.pipelinePretrain.spark(spark, sf)
+      .select("doc_id", "gate_ok", "dedup_ok", "temp_ok", "kept", "reason", "shard")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, g, d, t, k, reason, shard) =>
+      // verdicts are a funnel: a stage can only pass if every earlier one did
+      assert(d <= g && t <= d && k == t, s"doc $id funnel not monotone: $g $d $t $k")
+      val expected =
+        if (g == 0) "gate" else if (d == 0) "dup" else if (t == 0) "mix" else "kept"
+      assert(reason == expected, s"doc $id reason $reason != $expected")
+      assert((shard >= 0) == (k == 1), s"doc $id shard $shard vs kept $k")
+      if (k == 1) assert(shard < 8)
+    }
+    // every funnel stage actually fires on the testdata
+    Seq("gate", "dup", "mix", "kept").foreach(r =>
+      assert(out.exists(_._6 == r), s"reason '$r' never occurs — stage vacuous"))
+    // the snake deal balances kept-doc counts within 1 across shards
+    val byShard = out.filter(_._5 == 1).groupBy(_._7).map(_._2.size)
+    assert(byShard.max - byShard.min <= 1, s"shard counts unbalanced: $byShard")
+  }
+
   test("mix_doremi: weights normalize, order by excess, realized tokens within budget") {
     val out = SelectionQueries.mixDoremi.spark(spark, sf)
       .select("source", "n_tokens", "excess", "w1", "w2", "w3", "realized_tokens")
