@@ -490,71 +490,108 @@ object SelectionQueries {
     * order: count desc, pair asc) and replays the chain — merge choice,
     * every encoded symbol boundary, and the per-doc symbol counts are
     * all hash-checked. */
+  /** DuckDB replay of the merge learning + per-doc encode, ending in
+    * `cnt(doc_id, lang, n_words, n_symbols, enc_first)` — shared by the
+    * `bpe_encode` and `bpe_fertility` oracles. The merge-application
+    * chain runs innermost-first (merge rank 1 first, matching the Scala
+    * foldLeft); merges ride as p1..pN COLUMNS off a one-row cross join —
+    * DuckDB lambdas reject subqueries but capture enclosing columns. */
+  private val bpeEncCtesSql: String = {
+    val applied = (1 to bpeNumMerges).foldLeft("trim(regexp_replace(t, '(.)', '\\1 ', 'g'))") {
+      (acc, i) =>
+        s"""regexp_replace($acc,
+          substring(p$i, 1, 1) || ' ' || substring(p$i, 2, 1), p$i, 'g')"""
+    }
+    val msCols = (1 to bpeNumMerges)
+      .map(i => s"max(CASE WHEN rn = $i THEN pair END) AS p$i").mkString(", ")
+    s"""tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wc AS (SELECT w, COUNT(*) AS wcnt FROM tok GROUP BY w),
+      pr AS (SELECT wcnt,
+               UNNEST([substring(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+             FROM wc WHERE length(w) >= 2),
+      agg AS (SELECT pair, SUM(wcnt) AS n FROM pr
+              WHERE regexp_matches(pair, '^[a-z0-9]{2}$$') GROUP BY pair),
+      mt AS (SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rn
+             FROM agg QUALIFY rn <= $bpeNumMerges),
+      ms AS (SELECT $msCols FROM mt),
+      d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      enc AS (SELECT doc_id, lang, toks,
+                list_transform(toks, t -> $applied) AS encs
+              FROM d CROSS JOIN ms),
+      cnt AS (SELECT doc_id, lang,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(encs, e -> CAST(len(string_split(e, ' ')) AS BIGINT))),
+                  (a, b) -> a + b) AS BIGINT) AS n_symbols,
+                CASE WHEN len(encs) > 0 THEN encs[1] END AS enc_first
+              FROM enc)"""
+  }
+
+  /** The corpus-learned merge table + per-doc encode counts (doc_id,
+    * lang, n_words, n_symbols, enc_first) — shared by `bpe_encode` and
+    * the `bpe_fertility` per-language rollup. */
+  private def bpeEncodedCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val words = table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val merges: Array[String] = words
+      .select(col("wc"), explode(charNgrams(col("w"), 2, distinct = false)).as("pair"))
+      // regex-safe merge alphabet (the corpus is [a-z0-9]; punctuation
+      // pairs would need quoting in BOTH engines' patterns)
+      .filter(col("pair").rlike("^[a-z0-9]{2}$"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(bpeNumMerges)
+      .collect().map(_.getString(0))
+    require(merges.length == bpeNumMerges,
+      s"corpus yields only ${merges.length} merge pairs (< $bpeNumMerges)")
+    def encodeWord(w: Column): Column = {
+      val spaced = trim(regexp_replace(w, "(.)", "$1 "))
+      merges.foldLeft(spaced) { (acc, p) =>
+        regexp_replace(acc, s"${p(0)} ${p(1)}", p.toString)
+      }
+    }
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("encs", transform(col("toks"), t => encodeWord(t)))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("encs"), lit(0L),
+          (acc, e) => acc + size(split(e, " ")).cast("long")).as("n_symbols"),
+        when(size(col("encs")) > 0, element_at(col("encs"), 1)).as("enc_first"))
+  }
+
   val bpeEncode = QueryDef("bpe_encode",
-    (s, dir) => {
-      val words = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val merges: Array[String] = words
-        .select(col("wc"), explode(charNgrams(col("w"), 2, distinct = false)).as("pair"))
-        // regex-safe merge alphabet (the corpus is [a-z0-9]; punctuation
-        // pairs would need quoting in BOTH engines' patterns)
-        .filter(col("pair").rlike("^[a-z0-9]{2}$"))
-        .groupBy("pair").agg(sum(col("wc")).as("n"))
-        .orderBy(col("n").desc, col("pair").asc).limit(bpeNumMerges)
-        .collect().map(_.getString(0))
-      require(merges.length == bpeNumMerges,
-        s"corpus yields only ${merges.length} merge pairs (< $bpeNumMerges)")
-      def encodeWord(w: Column): Column = {
-        val spaced = trim(regexp_replace(w, "(.)", "$1 "))
-        merges.foldLeft(spaced) { (acc, p) =>
-          regexp_replace(acc, s"${p(0)} ${p(1)}", p.toString)
-        }
-      }
-      table(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("encs", transform(col("toks"), t => encodeWord(t)))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_words"),
-          aggregate(col("encs"), lit(0L),
-            (acc, e) => acc + size(split(e, " ")).cast("long")).as("n_symbols"),
-          when(size(col("encs")) > 0, element_at(col("encs"), 1)).as("enc_first"))
-        .orderBy("doc_id")
-    },
-    Some {
-      // the merge-application chain, innermost-first: merge rank 1 runs
-      // first (matching the Scala foldLeft order). Merges ride along as
-      // p1..p8 COLUMNS off a one-row cross join — DuckDB lambdas reject
-      // subqueries but capture enclosing columns fine.
-      val applied = (1 to bpeNumMerges).foldLeft("trim(regexp_replace(t, '(.)', '\\1 ', 'g'))") {
-        (acc, i) =>
-          s"""regexp_replace($acc,
-            substring(p$i, 1, 1) || ' ' || substring(p$i, 2, 1), p$i, 'g')"""
-      }
-      val msCols = (1 to bpeNumMerges)
-        .map(i => s"max(CASE WHEN rn = $i THEN pair END) AS p$i").mkString(", ")
-      s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
-        wc AS (SELECT w, COUNT(*) AS wcnt FROM tok GROUP BY w),
-        pr AS (SELECT wcnt,
-                 UNNEST([substring(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
-               FROM wc WHERE length(w) >= 2),
-        agg AS (SELECT pair, SUM(wcnt) AS n FROM pr
-                WHERE regexp_matches(pair, '^[a-z0-9]{2}$$') GROUP BY pair),
-        mt AS (SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rn
-               FROM agg QUALIFY rn <= $bpeNumMerges),
-        ms AS (SELECT $msCols FROM mt),
-        d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        enc AS (SELECT doc_id, toks,
-                  list_transform(toks, t -> $applied) AS encs
-                FROM d CROSS JOIN ms)
-        SELECT doc_id,
-          CAST(len(toks) AS BIGINT) AS n_words,
-          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(encs, e -> CAST(len(string_split(e, ' ')) AS BIGINT))),
-            (a, b) -> a + b) AS BIGINT) AS n_symbols,
-          CASE WHEN len(encs) > 0 THEN encs[1] END AS enc_first
-        FROM enc ORDER BY doc_id"""
-    })
+    (s, dir) =>
+      bpeEncodedCounts(s, dir)
+        .select("doc_id", "n_words", "n_symbols", "enc_first")
+        .orderBy("doc_id"),
+    Some(s"""WITH $bpeEncCtesSql
+        SELECT doc_id, n_words, n_symbols, enc_first
+        FROM cnt ORDER BY doc_id"""))
+
+  /** Tokenizer fertility per language — THE tokenizer-evaluation metric
+    * (symbols emitted per word; multilingual tokenizer papers report it
+    * per language because a vocabulary tuned to one language fragments
+    * the others): the corpus-learned BPE of `bpe_encode` applied to
+    * every document, rolled up as Σsymbols/Σwords per `lang`. Integer
+    * sums (order-free) + one IEEE divide; the shared [[bpeEncCtesSql]]
+    * replays the merge learning and every encode. */
+  val bpeFertility = QueryDef("bpe_fertility",
+    (s, dir) =>
+      bpeEncodedCounts(s, dir)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_symbols")).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("lang"),
+    Some(s"""WITH $bpeEncCtesSql
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_words,
+          CAST(SUM(n_symbols) AS BIGINT) AS n_symbols,
+          ROUND(CAST(SUM(n_symbols) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility
+        FROM cnt GROUP BY lang ORDER BY lang"""))
 
   // ── pipeline_select ─────────────────────────────────────────────────────
 
@@ -1101,6 +1138,6 @@ object SelectionQueries {
 
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
-      bpePairCounts, bpeEncode, pipelineSelect, pipelinePretrain,
+      bpePairCounts, bpeEncode, bpeFertility, pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion)
 }

@@ -246,6 +246,37 @@ class SelectionSpec extends AnyFunSuite {
         "every doc containing the rare term should make the top-20")
   }
 
+  test("bpe_fertility: per-lang rollup consistent with per-doc encode counts, fertility >= 1") {
+    val perDoc = SelectionQueries.bpeEncode.spark(spark, sf)
+      .select("doc_id", "n_words", "n_symbols")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val langs = queries.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SelectionQueries.bpeFertility.spark(spark, sf)
+      .select("lang", "n_docs", "n_words", "n_symbols", "fertility")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length > 1, "need multiple languages for a per-lang metric")
+    val byLang = perDoc.groupBy(d => langs(d._1))
+    out.foreach { case (lang, nDocs, nWords, nSyms, fert) =>
+      val docs = byLang(lang)
+      assert(nDocs == docs.length && nWords == docs.map(_._2).sum &&
+        nSyms == docs.map(_._3).sum, s"rollup mismatch for $lang")
+      // merges never cross word boundaries: at least one symbol per word,
+      // at most one per character (merges only shrink)
+      assert(fert >= 1.0, s"$lang fertility $fert < 1")
+      assert(math.abs(fert - nSyms.toDouble / nWords.toDouble) < 1e-6)
+    }
+    // merges actually fired somewhere: total symbols < total characters
+    val totalChars = queries.Tables.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.regexp_replace(col("text"), " ", ""))))
+      .head().getLong(0)
+    assert(out.map(_._4).sum < totalChars, "no merge ever reduced symbol count")
+  }
+
   test("pipeline_pretrain: funnel monotone, reason = first failing stage, shards only for kept") {
     val out = SelectionQueries.pipelinePretrain.spark(spark, sf)
       .select("doc_id", "gate_ok", "dedup_ok", "temp_ok", "kept", "reason", "shard")
