@@ -47,6 +47,30 @@ object ExtensionQueries {
        AND epoch_ns(b.ts) // 1000 BETWEEN epoch_ns(a.ts) // 1000 - 86400000000 AND epoch_ns(a.ts) // 1000
       ORDER BY click_id, view_id"""))
 
+  /** Stream-static dimension enrichment (batch twin; the streaming path
+    * is [[EventStream.enrich]] on a file stream, proven stream == batch
+    * in StreamingSinksSpec): events left-join the broadcast customer
+    * dimension, unmatched facts enriched as 'unknown'. The dim is
+    * filtered (c_custkey % 7 ≠ 0) so the unmatched path is non-vacuous
+    * at every scale. */
+  val streamEnrich = QueryDef("stream_enrich",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dims = table(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      EventStream.enrich(e, dims)
+        .select("event_id", "user_id", "event_type", "segment")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, e.event_type,
+        COALESCE(c.c_mktsegment, 'unknown') AS segment
+      FROM events e
+      LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0) c
+        ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""))
+
   /** Windowed top-k ("trending"): the 3 most frequent event types per
     * 5-minute tumbling window — the canonical streaming-analytics rank
     * (trending topics / hot keys / top error codes per interval). Built on
@@ -360,7 +384,7 @@ object ExtensionQueries {
     Some(imageDhashOracleSql))
 
   val defs: Seq[QueryDef] = Seq(
-    streamWindowAgg, streamTopK, sessionizeQ, streamIntervalJoin, multimodalMeta,
+    streamWindowAgg, streamTopK, streamEnrich, sessionizeQ, streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
     asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash,
     dedupImageDhashOracle)

@@ -101,6 +101,21 @@ object EventStream {
   def dedupKeys(df: DataFrame): DataFrame =
     df.select("user_id", "event_type").distinct()
 
+  /** Stream-static dimension enrichment — the canonical streaming join
+    * shape Structured Streaming keeps STATELESS: each micro-batch joins
+    * the broadcast static dimension, no watermark or join state needed
+    * (unlike stream-stream). Unmatched events keep flowing with segment
+    * 'unknown' (left join — an enrichment must never drop facts because
+    * the dim is stale). Works identically on a batch frame, which is how
+    * the registered `stream_enrich` query oracles it; StreamingSinksSpec
+    * proves stream == batch over the same files. At 100 TB the dim
+    * either broadcasts (typical: dims are small) or falls back to a
+    * shuffle join — the broadcast hint here states the intent, AQE
+    * drops it if the dim exceeds the threshold. */
+  def enrich(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(broadcast(dims), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+
   /** Streaming exact-dedup on business keys with BOUNDED state:
     * `dropDuplicatesWithinWatermark` evicts seen-key state once the
     * watermark passes it, so an unbounded event stream doesn't grow state

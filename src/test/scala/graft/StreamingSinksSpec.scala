@@ -36,6 +36,37 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static dim enrichment equals batch left join; unknowns flow through") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    val dims = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val want = EventStream.enrich(batch, dims)
+      .select("event_id", "user_id", "event_type", "segment")
+      .as[(Long, Long, String, String)].collect().toSet
+
+    val streamDir = Files.createTempDirectory("graft_enrich_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStream.readEventStream(spark, streamDir.toString)
+      .select("event_id", "user_id", "event_type")
+    val q = EventStream.enrich(stream, dims)
+      .select("event_id", "user_id", "event_type", "segment")
+      .writeStream
+      .format("memory").queryName("enriched")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._4 == "unknown"), "filtered-dim miss path never fired")
+    assert(got.exists(_._4 != "unknown"), "no event matched the dim")
+  }
+
   test("streaming key dedup (watermark-bounded state) equals batch distinct") {
     val dir = "/root/testdata/sf0.001"
     val batch = spark.read.parquet(s"$dir/events.parquet")
