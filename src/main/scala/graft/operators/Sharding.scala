@@ -36,16 +36,26 @@ object Sharding {
   def snakeShards(df: DataFrame, nShards: Int,
                   sizeCol: String, idCol: String): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val spark = df.sparkSession
-    val sorted = df.orderBy(col(sizeCol).desc, col(idCol).asc)
-    val schema = sorted.schema.add("rank", LongType, nullable = false)
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    val ranked = globalRank(df, Seq(col(sizeCol).desc, col(idCol).asc))
     ranked
       .withColumn("shard",
         when(expr(s"rank div $nShards") % 2 === 0, col("rank") % nShards)
           .otherwise(lit(nShards - 1) - col("rank") % nShards)
           .cast("long"))
+  }
+
+  /** Append a 0-based `rank` column in `sortCols` order — a
+    * range-partitioned distributed sort plus `zipWithIndex` (partition
+    * offsets from one count job), NOT an un-partitioned SQL Window that
+    * would funnel the corpus through a single task. Deterministic iff
+    * `sortCols` is a total order over the rows (same caller-owned
+    * precondition as [[snakeShards]]). */
+  def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add("rank", LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
   }
 }

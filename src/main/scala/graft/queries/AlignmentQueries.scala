@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Post-training (SFT / RLHF) data-prep queries — the steps between a
+  * curated corpus and a fine-tuning run: chat-template rendering with
+  * assistant-only loss spans, preference-pair construction, padding-
+  * efficiency length bucketing, deterministic resumable epoch ordering,
+  * and tokenizer OOV-coverage measurement. Conversations/candidates are
+  * deterministically synthesized from `documents` (the pii_scrub /
+  * html_strip precedent) so every decision replays in the DuckDB oracle.
+  * All narrow maps + bounded-partition windows or single partial aggs —
+  * nothing here funnels the corpus through one task.
+  */
+object AlignmentQueries {
+  import Tables.table
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // ── chat_template ───────────────────────────────────────────────────────
+
+  private val turnTok = 16
+  private val preamble = "<|system|>\nYou are a helpful assistant.\n"
+
+  /** SFT chat-template rendering with assistant-only loss spans: each
+    * document becomes a conversation (16-token turns, user/assistant
+    * alternating after a fixed system preamble), rendered as
+    * `<|role|>\n<content>\n` blocks, and each turn carries the character
+    * span `[char_start, char_end)` of its content inside the full
+    * rendered string plus `loss_mask` (true = the span trains; user and
+    * system text is context only) — the mask a causal-LM SFT loader
+    * applies so loss lands on assistant tokens alone. Offsets are pure
+    * integer prefix sums: the per-doc window runs over a conversation's
+    * own turns (≤ ⌈n_tok/16⌉ rows — bounded per key, never a global
+    * window), and the explode fan-out rides the scan. The round-trip law
+    * (re-rendering from spans reconstructs the conversation byte-for-
+    * byte) is pinned in AlignmentSpec. */
+  val chatTemplateQ = QueryDef("chat_template",
+    (s, dir) => {
+      val c = turnTok
+      val turns = table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("turn_idx",
+          explode(sequence(lit(0L), expr(s"(n_tok + ${c - 1}) div $c - 1"))))
+        .select(col("doc_id"), col("turn_idx"),
+          concat_ws(" ", slice(col("toks"),
+            (col("turn_idx") * c + 1).cast("int"), lit(c))).as("turn_text"))
+        .withColumn("role",
+          when(col("turn_idx") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+        // header = "<|" + role + "|>\n" → length(role) + 5 chars (ASCII corpus)
+        .withColumn("header_len", (length(col("role")) + 5).cast("long"))
+        .withColumn("render_len",
+          col("header_len") + length(col("turn_text")) + 1) // + trailing "\n"
+      val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      turns
+        .withColumn("char_start",
+          lit(preamble.length.toLong) +
+            coalesce(sum(col("render_len")).over(w), lit(0L)) + col("header_len"))
+        .withColumn("char_end", col("char_start") + length(col("turn_text")))
+        .withColumn("loss_mask", col("role") === lit("assistant"))
+        .select("doc_id", "turn_idx", "role", "turn_text",
+          "char_start", "char_end", "loss_mask")
+        .orderBy("doc_id", "turn_idx")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t WHERE len(toks) > 0),
+      u AS (SELECT doc_id, toks,
+              UNNEST(generate_series(0, (n_tok + ${turnTok - 1}) // $turnTok - 1)) AS turn_idx
+            FROM n),
+      r AS (SELECT doc_id, turn_idx,
+              array_to_string(list_slice(toks, turn_idx * $turnTok + 1, turn_idx * $turnTok + $turnTok), ' ') AS turn_text,
+              CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+            FROM u),
+      l AS (SELECT *, CAST(length(role) + 5 AS BIGINT) AS header_len,
+              CAST(length(role) + 5 + length(turn_text) + 1 AS BIGINT) AS render_len
+            FROM r),
+      o AS (SELECT *, ${preamble.length} + COALESCE(SUM(render_len) OVER (
+              PARTITION BY doc_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + header_len AS char_start
+            FROM l)
+      SELECT doc_id, turn_idx, role, turn_text,
+        CAST(char_start AS BIGINT) AS char_start,
+        CAST(char_start + length(turn_text) AS BIGINT) AS char_end,
+        role = 'assistant' AS loss_mask
+      FROM o ORDER BY doc_id, turn_idx"""))
+
+  // ── preference_pairs ────────────────────────────────────────────────────
+
+  private val prefMargin = 8L
+
+  /** RLHF/DPO preference-pair construction: documents group into prompts
+    * of 4 candidate responses (prompt_id = doc_id div 4), each scored by
+    * an integer reward proxy (distinct-token count — lexical richness);
+    * per prompt, chosen = best (tie → lowest id), rejected = worst (tie →
+    * highest id), and only pairs with reward margin ≥ 8 survive (near-tie
+    * pairs teach a preference model noise — the confidence gate every
+    * DPO/RM dataset build applies). ONE hash aggregate per prompt via
+    * lexicographic struct max/min — no window, no self-join; at 100 TB
+    * this is a single map-side-partial shuffle on prompt_id. */
+  val preferencePairsQ = QueryDef("preference_pairs",
+    (s, dir) => {
+      val cand = table(s, dir, "documents").select(
+        col("doc_id"), expr("doc_id div 4").as("prompt_id"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("score"))
+      cand.groupBy("prompt_id")
+        .agg(
+          max(struct(col("score"), (-col("doc_id")).as("nid"))).as("ch"),
+          min(struct(col("score"), (-col("doc_id")).as("nid"))).as("rj"))
+        .select(col("prompt_id"),
+          (-col("ch.nid")).as("chosen_id"), col("ch.score").as("chosen_score"),
+          (-col("rj.nid")).as("rejected_id"), col("rj.score").as("rejected_score"))
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .filter(col("margin") >= prefMargin)
+        .orderBy("prompt_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+               CAST(len(list_distinct($toksSql)) AS BIGINT) AS score
+             FROM documents),
+      r AS (SELECT prompt_id, doc_id, score,
+              ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) AS rd,
+              ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id DESC) AS ra
+            FROM c),
+      ch AS (SELECT prompt_id, doc_id AS chosen_id, score AS chosen_score FROM r WHERE rd = 1),
+      rj AS (SELECT prompt_id, doc_id AS rejected_id, score AS rejected_score FROM r WHERE ra = 1)
+      SELECT prompt_id, chosen_id, chosen_score, rejected_id, rejected_score,
+        chosen_score - rejected_score AS margin
+      FROM ch JOIN rj USING (prompt_id)
+      WHERE chosen_id <> rejected_id AND chosen_score - rejected_score >= $prefMargin
+      ORDER BY prompt_id"""))
+
+  // ── length_buckets ──────────────────────────────────────────────────────
+
+  /** Padding-efficiency length bucketing: documents bin into power-of-2
+    * token-length buckets (the batching scheme that pads each sequence to
+    * its bucket top instead of the global max), and each bucket reports
+    * document count, real tokens, padded tokens, and integer parts-per-
+    * million padding waste — the number a batch-shape planner minimizes.
+    * One map-side-partial aggregate on a ≤ 6-value key; every output is
+    * integer arithmetic, so the oracle replays it exactly. */
+  val lengthBucketsQ = QueryDef("length_buckets",
+    (s, dir) => table(s, dir, "documents")
+      .select(tokenCount(col("text")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket",
+        when(col("n_tok") <= 8, lit(8L)).when(col("n_tok") <= 16, lit(16L))
+          .when(col("n_tok") <= 32, lit(32L)).when(col("n_tok") <= 64, lit(64L))
+          .when(col("n_tok") <= 128, lit(128L)).otherwise(lit(256L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_ppm",
+        expr("(padded_tokens - sum_tokens) * 1000000 div padded_tokens"))
+      .orderBy("bucket"),
+    Some(s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+      b AS (SELECT n_tok,
+              CASE WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
+                   WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                   WHEN n_tok <= 128 THEN 128 ELSE 256 END AS bucket
+            FROM t WHERE n_tok > 0),
+      g AS (SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+            FROM b GROUP BY bucket)
+      SELECT bucket, n_docs, sum_tokens,
+        n_docs * bucket AS padded_tokens,
+        (n_docs * bucket - sum_tokens) * 1000000 // (n_docs * bucket) AS waste_ppm
+      FROM g ORDER BY bucket"""))
+
+  // ── epoch_shuffle ───────────────────────────────────────────────────────
+
+  /** Deterministic resumable epoch ordering: the global data order a
+    * multi-epoch training run consumes — each epoch is an independent
+    * md5-keyed permutation of the corpus (salt `graft-epoch:<epoch>:`),
+    * and `position` is the 0-based global training-step order across
+    * epochs. Seeded hashing instead of a random shuffle is what makes the
+    * order RESUMABLE: any worker can recompute the order from scratch
+    * after a crash, and elastic re-sharding keeps byte-identical batches.
+    * The rank is [[graft.operators.Sharding.globalRank]] — a range-
+    * partitioned distributed sort + zipWithIndex, never a single-task
+    * Window over the corpus. */
+  val epochShuffleQ = QueryDef("epoch_shuffle",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0L), lit(1L))))
+        .withColumn("h", md5(concat(lit("graft-epoch:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      graft.operators.Sharding
+        .globalRank(docs, Seq(col("epoch").asc, col("h").asc, col("doc_id").asc))
+        .select(col("epoch"), col("rank").as("position"), col("doc_id"), col("h"))
+        .orderBy("position")
+    },
+    Some("""WITH e AS (SELECT doc_id, UNNEST(CAST([0, 1] AS BIGINT[])) AS epoch FROM documents),
+      h AS (SELECT doc_id, epoch,
+              md5('graft-epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+            FROM e)
+      SELECT epoch, CAST(ROW_NUMBER() OVER (ORDER BY epoch, h, doc_id) - 1 AS BIGINT) AS position,
+        doc_id, h
+      FROM h ORDER BY position"""))
+
+  // ── oov_rate ────────────────────────────────────────────────────────────
+
+  private val oovVocabK = 16
+
+  /** Tokenizer OOV-coverage measurement: learn a bounded top-K vocabulary
+    * from corpus frequency (K = 16 of the 31-token synthetic vocabulary,
+    * tie → token asc — a total order, so the cut replays), then measure
+    * the per-language out-of-vocabulary token rate — the coverage metric
+    * that decides whether a tokenizer's vocab needs rebuilding for a new
+    * language mix (complements `bpe_fertility`'s symbols-per-word).
+    * Vocab is one partial-agg scan + TakeOrdered (bounded at K rows →
+    * one-row array broadcast); scoring is a narrow HOF count against the
+    * broadcast array; the rollup is two integer sums per lang + one IEEE
+    * divide. */
+  val oovRateQ = QueryDef("oov_rate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val vocabArr = docs.select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(oovVocabK)
+        .agg(collect_list(col("token")).as("vocab")) // membership only — order-free
+      docs.select(col("lang"), tokens(col("text")).as("toks"))
+        .crossJoin(broadcast(vocabArr))
+        .select(col("lang"), size(col("toks")).cast("long").as("n"),
+          size(filter(col("toks"), t => not(array_contains(col("vocab"), t))))
+            .cast("long").as("oov"))
+        .groupBy("lang")
+        .agg(sum(col("n")).as("n_tokens"), sum(col("oov")).as("oov_tokens"))
+        .withColumn("oov_rate",
+          round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+        .orderBy("lang")
+    },
+    Some(s"""WITH tok AS (SELECT UNNEST($toksSql) AS token FROM documents),
+      vc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      vr AS (SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk FROM vc),
+      v AS (SELECT list(token) AS vocab FROM vr WHERE rk <= $oovVocabK),
+      d AS (SELECT lang, $toksSql AS toks FROM documents),
+      m AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n,
+              CAST(len(list_filter(toks, t -> NOT list_contains(vocab, t))) AS BIGINT) AS oov
+            FROM d CROSS JOIN v)
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+        ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS oov_rate
+      FROM m GROUP BY lang ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    chatTemplateQ, preferencePairsQ, lengthBucketsQ, epochShuffleQ, oovRateQ)
+}

@@ -7,5 +7,5 @@ object Registry {
     CoreQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ ExtensionQueries.defs ++ PipelineQueries.defs ++
       MiscQueries.defs ++ CurationQueries.defs ++ DatasetQueries.defs ++
-      SelectionQueries.defs
+      SelectionQueries.defs ++ AlignmentQueries.defs
 }
