@@ -285,6 +285,19 @@ object ScaleProbe {
         noop(graft.queries.MiscQueries.pagerankRanked(
           spark.range(n).select(col("id").as("doc_id"))))
       },
+      "global_rank" -> { m =>
+        // the epoch_shuffle / shard_assign rank machinery: range-
+        // partitioned distributed sort + zipWithIndex over 2 epochs ×
+        // corpus. Watches that global ranking stays a distributed sort
+        // (n log n with bounded per-task memory), never a single-task
+        // window funnel.
+        val d = docs(m).select(col("doc_id"))
+          .withColumn("epoch", explode(sequence(lit(0L), lit(1L))))
+          .withColumn("h", md5(concat(lit("graft-epoch:"), col("epoch").cast("string"),
+            lit(":"), col("doc_id").cast("string"))))
+        noop(graft.operators.Sharding.globalRank(d,
+          Seq(col("epoch").asc, col("h").asc, col("doc_id").asc)))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

@@ -414,6 +414,54 @@ object CurationQueries {
         COUNT(*) AS n_pages, CAST(SUM(n_dups) AS BIGINT) AS n_docs, MIN(keep_id) AS first_doc
       FROM kept GROUP BY 1 ORDER BY host"""))
 
+  /** Crawl link-graph edge extraction: pull (href, anchor-text) pairs out
+    * of page HTML — the edge-building stage that feeds `link_pagerank`'s
+    * authority ranks and the anchor-text quality/retrieval signal. Pages
+    * are deterministically synthesized (`html_strip` precedent): each doc
+    * carries doc_id % 3 anchors, so the no-link class is non-vacuous.
+    * Scale shape: two regexp_extract_all passes ride the scan (narrow,
+    * codegen'd), the explode fans out ∝ links-per-page, and NOTHING
+    * shuffles — the output is the raw edge list a downstream
+    * groupBy(host) or PageRank consumes. Both engines extract with the
+    * same RE2-safe patterns (no lookaround). */
+  val anchorExtractQ = QueryDef("anchor_extract",
+    (s, dir) => {
+      def anchor(j: Int) = format_string(
+        "<a href=\"https://site%s.example.com/p%s\">ref %s</a>",
+        ((col("doc_id") + j) % 7).cast("string"), col("doc_id").cast("string"),
+        ((col("doc_id") + j) % 11).cast("string"))
+      val pages = table(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 >= 1, anchor(0)).otherwise(lit("")),
+          when(col("doc_id") % 3 >= 2, anchor(1)).otherwise(lit(""))).as("page"))
+      pages
+        .select(col("doc_id"),
+          regexp_extract_all(col("page"), lit("<a href=\"([^\"]+)\">"), lit(1)).as("hrefs"),
+          regexp_extract_all(col("page"), lit("<a href=\"[^\"]+\">([^<]+)</a>"), lit(1)).as("anchors"))
+        .select(col("doc_id"), col("anchors"),
+          posexplode(col("hrefs")).as(Seq("link_idx", "href")))
+        .select(col("doc_id"), col("link_idx"), col("href"),
+          element_at(col("anchors"), col("link_idx") + 1).as("anchor"),
+          regexp_extract(col("href"), "^https?://([^/]+)", 1).as("target_host"))
+        .orderBy("doc_id", "link_idx")
+    },
+    Some("""WITH p AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 >= 1 THEN printf('<a href="https://site%d.example.com/p%d">ref %d</a>',
+            doc_id % 7, doc_id, doc_id % 11) ELSE '' END ||
+          CASE WHEN doc_id % 3 >= 2 THEN printf('<a href="https://site%d.example.com/p%d">ref %d</a>',
+            (doc_id + 1) % 7, doc_id, (doc_id + 1) % 11) ELSE '' END AS page
+        FROM documents),
+      e AS (SELECT doc_id,
+          regexp_extract_all(page, '<a href="([^"]+)">', 1) AS hrefs,
+          regexp_extract_all(page, '<a href="[^"]+">([^<]+)</a>', 1) AS anchors
+        FROM p),
+      u AS (SELECT doc_id, hrefs, anchors,
+          UNNEST(generate_series(1, len(hrefs))) AS i FROM e)
+      SELECT doc_id, CAST(i - 1 AS INT) AS link_idx, hrefs[CAST(i AS INT)] AS href,
+        anchors[CAST(i AS INT)] AS anchor,
+        regexp_extract(hrefs[CAST(i AS INT)], '^https?://([^/]+)', 1) AS target_host
+      FROM u ORDER BY doc_id, link_idx"""))
+
   /** Deterministic fixed-size stratified sample: the n docs with the
     * smallest salted md5 per stratum (source). The hash IS the random
     * draw — rerun-stable, engine-exact (hex-string compare), and
@@ -471,5 +519,6 @@ object CurationQueries {
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, chunkOverlapQ,
     spanCorruptionQ, streamDedupQ, packSequencesQ, packSequencesOracleQ, decontaminateQ,
-    sampleWeightedQ, sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ)
+    sampleWeightedQ, sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ,
+    anchorExtractQ)
 }

@@ -11,6 +11,23 @@ class CurationSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("anchor_extract: every synthesized link is recovered with aligned anchor text and host") {
+    val out = graft.queries.CurationQueries.anchorExtractQ.spark(spark, sf).collect()
+    assert(out.nonEmpty)
+    val n = graft.queries.Tables.table(spark, sf, "documents").count()
+    // per-doc link count equals the synthesized doc_id % 3 (zero-link docs emit no rows)
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0L until n).foreach { id =>
+      assert(byDoc.getOrElse(id, 0) == (id % 3).toInt, s"doc $id link count")
+    }
+    out.foreach { r =>
+      val (id, j) = (r.getLong(0), r.getInt(1))
+      assert(r.getString(2) == s"https://site${(id + j) % 7}.example.com/p$id")
+      assert(r.getString(3) == s"ref ${(id + j) % 11}") // anchor aligned to its own href
+      assert(r.getString(4) == s"site${(id + j) % 7}.example.com")
+    }
+  }
+
   test("span_corruption_mask round-trips: filling input sentinels from the target reconstructs the doc") {
     val out = graft.queries.CurationQueries.spanCorruptionQ
       .spark(spark, sf)
