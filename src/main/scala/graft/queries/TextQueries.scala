@@ -738,35 +738,41 @@ object TextQueries {
     * (bit-identical in any engine), log2 is a libm call whose last ulp
     * differs across engines and would poison an exact-hash oracle. The
     * mean accumulates in DECIMAL (order-independent), rounded at 9 dp. */
-  val lmScoreQ = QueryDef("lm_score",
-    (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val docs = table(s, dir, "documents").filter(length(col("text")) >= 2)
-      val bgs = docs.select(col("doc_id"),
-        explode(charNgrams(col("text"), 2, distinct = false)).as("bg"))
-      // The trained model is ~1.6k rows; checkpoint it so the corpus-wide
-      // bigram aggregation runs ONCE (ctx counts, V, and the scoring
-      // broadcast all derive from it — uncached, each re-executes the
-      // explode+agg over every document).
-      val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("cnt")).localCheckpoint()
-      val ctxCounts = bgCounts.groupBy(substring(col("bg"), 1, 1).as("c1"))
-        .agg(sum("cnt").as("ctx"))
-      val vDf = ctxCounts.agg(count(lit(1)).as("v"))
-      bgs
-        .join(broadcast(bgCounts), Seq("bg"), "left")
-        .withColumn("c1", substring(col("bg"), 1, 1))
-        .join(broadcast(ctxCounts), Seq("c1"), "left")
-        .crossJoin(broadcast(vDf))
-        .withColumn("p",
-          (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("p").cast(DecimalType(20, 18))).cast("double") /
-            count(lit(1)), 9).as("lm_score"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+  /** Per-doc Laplace-smoothed char-bigram LM mean-probability scores
+    * (doc_id, n_bigrams, lm_score) — the shared stage `lm_score` and
+    * `perplexity_buckets` both run, so the two queries and both oracles
+    * replay ONE model definition. */
+  def lmScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = docs.filter(length(col("text")) >= 2)
+    val bgs = d.select(col("doc_id"),
+      explode(charNgrams(col("text"), 2, distinct = false)).as("bg"))
+    // The trained model is ~1.6k rows; checkpoint it so the corpus-wide
+    // bigram aggregation runs ONCE (ctx counts, V, and the scoring
+    // broadcast all derive from it — uncached, each re-executes the
+    // explode+agg over every document).
+    val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val ctxCounts = bgCounts.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum("cnt").as("ctx"))
+    val vDf = ctxCounts.agg(count(lit(1)).as("v"))
+    bgs
+      .join(broadcast(bgCounts), Seq("bg"), "left")
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .join(broadcast(ctxCounts), Seq("c1"), "left")
+      .crossJoin(broadcast(vDf))
+      .withColumn("p",
+        (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p").cast(DecimalType(20, 18))).cast("double") /
+          count(lit(1)), 9).as("lm_score"))
+  }
+
+  /** DuckDB CTE chain ending in `ls(doc_id, n_bigrams, lm_score)` — the
+    * oracle twin of [[lmScored]], shared by both consuming oracles. */
+  val lmScoredCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
       bg AS (SELECT doc_id,
                UNNEST([substring(text, i, 2) for i in generate_series(1, length(text) - 1)]) AS bg
              FROM d),
@@ -779,14 +785,60 @@ object TextQueries {
              FROM bg b
              LEFT JOIN bc USING (bg)
              LEFT JOIN cc ON substring(b.bg, 1, 1) = cc.c1
-             CROSS JOIN v)
-      SELECT doc_id, COUNT(*) AS n_bigrams,
-        ROUND(CAST(SUM(CAST(p AS DECIMAL(20,18))) AS DOUBLE) / COUNT(*), 9) AS lm_score
-      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+             CROSS JOIN v),
+      ls AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(p AS DECIMAL(20,18))) AS DOUBLE) / COUNT(*), 9) AS lm_score
+             FROM sc GROUP BY doc_id)"""
+
+  val lmScoreQ = QueryDef("lm_score",
+    (s, dir) => lmScored(table(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""WITH $lmScoredCtes
+      SELECT doc_id, n_bigrams, lm_score FROM ls ORDER BY doc_id"""))
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    * LREC'20): within each language, rank documents by LM quality (mean
+    * smoothed bigram probability DESC — higher ≈ lower perplexity) and
+    * split into head/middle/tail terciles; downstream recipes keep head,
+    * subsample middle, drop tail. The within-language rank is the
+    * quality_percentile pattern — ONE corpus-wide distributed sort +
+    * zipWithIndex ([[graft.operators.Sharding.globalRank]] on
+    * (lang, score desc, id)) with per-language offsets joined back from
+    * a #langs-row aggregate — never a per-language Window funneling a
+    * 100 TB language through one task. Bucket assignment is pure integer
+    * arithmetic on (rank − offset, n), so every boundary replays. */
+  val perplexityBucketsQ = QueryDef("perplexity_buckets",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = lmScored(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("lm_score"))
+      val ranked = graft.operators.Sharding.globalRank(scored,
+        Seq(col("lang").asc, col("lm_score").desc, col("doc_id").asc))
+      val offs = ranked.groupBy("lang")
+        .agg(min(col("rank")).as("off"), count(lit(1)).as("n"))
+      ranked.join(broadcast(offs), "lang")
+        .withColumn("b", expr("((rank - off) * 3) div n"))
+        .withColumn("bucket",
+          when(col("b") === 0, lit("head")).when(col("b") === 1, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "lang", "lm_score", "bucket")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lmScoredCtes,
+      l AS (SELECT ls.doc_id, d2.lang, ls.lm_score
+            FROM ls JOIN documents d2 ON ls.doc_id = d2.doc_id),
+      r AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id ASC) - 1 AS rk,
+              COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM l)
+      SELECT doc_id, lang, lm_score,
+        CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,
-    heavyHittersQ, dedupIncrementalQ, mineContrastivePairs)
+    heavyHittersQ, dedupIncrementalQ, mineContrastivePairs,
+    perplexityBucketsQ)
 }

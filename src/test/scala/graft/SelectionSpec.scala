@@ -384,4 +384,28 @@ class SelectionSpec extends AnyFunSuite {
     assert(got.exists(g => g._2 > 0 && g._3 == 0) || got.exists(g => g._2 > 0 && g._3 > 0))
     assert(got.exists(_._3 > 0), "dense arm never fires in the fused list")
   }
+
+  test("perplexity_buckets: per-lang terciles balanced, score-monotone, covering") {
+    val out = graft.queries.TextQueries.perplexityBucketsQ.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      // tercile sizes from the integer split differ by at most 1
+      val sizes = Seq("head", "middle", "tail").map(b => rows.count(_._4 == b))
+      assert(sizes.sum == n)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // score-monotone: every head score >= every middle score >= every tail
+      // score (ranking is (score desc, id asc), so boundary ties can only
+      // produce EQUAL scores across adjacent buckets, never inversions)
+      def worst(b: String) = rows.filter(_._4 == b).map(_._3).min
+      def best(b: String) = rows.filter(_._4 == b).map(_._3).max
+      assert(worst("head") >= best("middle") - 1e-12)
+      assert(worst("middle") >= best("tail") - 1e-12)
+    }
+    // every scored doc got exactly one bucket
+    val scored = graft.queries.TextQueries.lmScored(
+      graft.queries.Tables.table(spark, sf, "documents")).count()
+    assert(out.length == scored)
+  }
 }
