@@ -285,6 +285,14 @@ object ScaleProbe {
         noop(graft.queries.MiscQueries.pagerankRanked(
           spark.range(n).select(col("id").as("doc_id"))))
       },
+      "sft_funnel" -> { m =>
+        // the pipeline_sft composed chain via the SHARED stage builder:
+        // narrow gate → bag-of-words hash-agg dedup → turn explode →
+        // snake-shard distributed sort. Salted replicas keep the dup
+        // groups per-replica (linear), matching a real sharded corpus.
+        noop(graft.queries.AlignmentQueries.sftFunnel(
+          graft.ops.Parallelism.ensure(docs(m))))
+      },
       "global_rank" -> { m =>
         // the epoch_shuffle / shard_assign rank machinery: range-
         // partitioned distributed sort + zipWithIndex over 2 epochs ×

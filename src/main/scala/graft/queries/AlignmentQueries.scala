@@ -248,6 +248,111 @@ object AlignmentQueries {
         ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS oov_rate
       FROM m GROUP BY lang ORDER BY lang"""))
 
+  // ── pipeline_sft ────────────────────────────────────────────────────────
+
+  /** Composed end-to-end SFT data-prep funnel (the `pipeline_pretrain`
+    * analog for post-training): quality gate (≥ 2 full turns of material
+    * AND ≥ 10% distinct tokens — integer comparisons only) → exact
+    * bag-of-words dedup AMONG GATE SURVIVORS (keep = min doc_id) →
+    * conversation stats from the SAME 16-token turn split `chat_template`
+    * renders (n_turns, assistant-side chars = the loss-bearing payload) →
+    * snake-deal sharding balanced on ASSISTANT chars (data loaders stall
+    * on loss-bearing tokens, not raw length). Per doc: stage verdicts,
+    * first-failing-stage `reason`, shard (−1 dropped). All three reason
+    * classes fire at every scale (sf0.01: 121 gate / 54 dup / 325 kept).
+    * Scale shape = the stages' own shapes: narrow gate metrics, one
+    * hash-agg dedup, turn explode ∝ tokens/16, one distributed sort for
+    * the shard rank. */
+  /** The funnel as a stage builder over any (doc_id, text) frame — the
+    * registered query and the ScaleProbe `sft_funnel` family both run
+    * this exact chain. */
+  def sftFunnel(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val c = turnTok
+      val gated = docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("gate_pass",
+          when(col("n_tok") >= 2L * c && col("n_dis") * 10 >= col("n_tok"), 1)
+            .otherwise(0))
+      val keyed = gated.filter(col("gate_pass") === 1)
+        .withColumn("ch",
+          md5(array_join(array_sort(array_distinct(col("toks"))), " ")))
+      val groups = keyed.groupBy("ch").agg(min(col("doc_id")).as("keep_id"))
+      val verdict = keyed.join(groups, "ch")
+        .withColumn("is_dup",
+          when(col("doc_id") === col("keep_id"), 0).otherwise(1))
+      val turns = verdict.filter(col("is_dup") === 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), expr(s"(n_tok + ${c - 1}) div $c - 1")))
+            .as("turn_idx"))
+        .select(col("doc_id"), col("turn_idx"),
+          length(concat_ws(" ", slice(col("toks"),
+            (col("turn_idx") * c + 1).cast("int"), lit(c)))).cast("long").as("tl"))
+      val stats = turns.groupBy("doc_id").agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("turn_idx") % 2 === 1, col("tl")).otherwise(lit(0L)))
+          .as("assistant_chars"))
+      val sharded = graft.operators.Sharding
+        .snakeShards(stats, nShards = 4, sizeCol = "assistant_chars", idCol = "doc_id")
+        .select(col("doc_id"), col("n_turns"), col("assistant_chars"), col("shard"))
+      gated.select(col("doc_id"), col("gate_pass"))
+        .join(verdict.select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left")
+        .join(sharded, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gate_pass"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"),
+          when(col("gate_pass") === 1 && coalesce(col("is_dup"), lit(0)) === 0, 1)
+            .otherwise(0).as("kept"),
+          when(col("gate_pass") === 0, lit("gate"))
+            .when(col("is_dup") === 1, lit("dup")).as("reason"),
+          coalesce(col("n_turns"), lit(0L)).as("n_turns"),
+          coalesce(col("assistant_chars"), lit(0L)).as("assistant_chars"),
+          coalesce(col("shard"), lit(-1L)).as("shard"))
+        .orderBy("doc_id")
+  }
+
+  val pipelineSftQ = QueryDef("pipeline_sft",
+    (s, dir) => sftFunnel(table(s, dir, "documents")),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_dis FROM t),
+      g AS (SELECT doc_id, toks, n_tok,
+              CASE WHEN n_tok >= ${2 * turnTok} AND 10 * n_dis >= n_tok THEN 1 ELSE 0 END AS gate_pass
+            FROM m),
+      k AS (SELECT doc_id, toks, n_tok,
+              md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS ch
+            FROM g WHERE gate_pass = 1),
+      grp AS (SELECT ch, MIN(doc_id) AS keep_id FROM k GROUP BY ch),
+      v AS (SELECT k.doc_id, k.toks, k.n_tok,
+              CASE WHEN k.doc_id = grp.keep_id THEN 0 ELSE 1 END AS is_dup
+            FROM k JOIN grp USING (ch)),
+      u AS (SELECT doc_id, toks, n_tok FROM v WHERE is_dup = 0),
+      tr AS (SELECT doc_id, toks,
+               UNNEST(generate_series(0, (n_tok + ${turnTok - 1}) // $turnTok - 1)) AS ti
+             FROM u),
+      tx AS (SELECT doc_id, ti,
+               CAST(length(array_to_string(list_slice(toks, ti * $turnTok + 1, ti * $turnTok + $turnTok), ' ')) AS BIGINT) AS tl
+             FROM tr),
+      st AS (SELECT doc_id, COUNT(*) AS n_turns,
+               CAST(SUM(CASE WHEN ti % 2 = 1 THEN tl ELSE 0 END) AS BIGINT) AS assistant_chars
+             FROM tx GROUP BY doc_id),
+      r AS (SELECT doc_id, n_turns, assistant_chars,
+              ROW_NUMBER() OVER (ORDER BY assistant_chars DESC, doc_id ASC) - 1 AS rk
+            FROM st),
+      sh AS (SELECT doc_id, n_turns, assistant_chars,
+              CAST(CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4 ELSE 3 - rk % 4 END AS BIGINT) AS shard
+            FROM r)
+      SELECT g.doc_id, g.gate_pass,
+        COALESCE(v.is_dup, 0) AS is_dup,
+        CASE WHEN g.gate_pass = 1 AND COALESCE(v.is_dup, 0) = 0 THEN 1 ELSE 0 END AS kept,
+        CASE WHEN g.gate_pass = 0 THEN 'gate' WHEN v.is_dup = 1 THEN 'dup' END AS reason,
+        COALESCE(sh.n_turns, 0) AS n_turns,
+        COALESCE(sh.assistant_chars, 0) AS assistant_chars,
+        COALESCE(sh.shard, -1) AS shard
+      FROM g LEFT JOIN v ON g.doc_id = v.doc_id LEFT JOIN sh ON g.doc_id = sh.doc_id
+      ORDER BY g.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
-    chatTemplateQ, preferencePairsQ, lengthBucketsQ, epochShuffleQ, oovRateQ)
+    chatTemplateQ, preferencePairsQ, lengthBucketsQ, epochShuffleQ, oovRateQ,
+    pipelineSftQ)
 }

@@ -525,7 +525,75 @@ object DatasetQueries {
                   CAST(n_a + n_b AS DOUBLE) > 3.84 THEN 1 ELSE 0 END AS drifted
       FROM x ORDER BY bucket"""))
 
+  /** Per-source corpus data card — the release datasheet every training
+    * corpus ships (Gebru et al., "Datasheets for Datasets"): doc/token
+    * inventories, corpus token share, language spread + dominant
+    * language, within-source exact-dup rate, lexical-diversity ratio.
+    * Every number a mixture designer reads before weighting a source.
+    * Scale shape: ONE narrow pass derives all per-doc metrics riding the
+    * scan; everything after aggregates on `source` / (source, lang) /
+    * (source, content-hash) keys with map-side partials; the corpus
+    * total is a one-row broadcast. Integer ppm shares; the diversity
+    * ratio is the single IEEE divide both engines run identically. */
+  val dataCardQ = QueryDef("data_card",
+    (s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_dis"),
+          md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("ch"))
+      val dupBySource = base.groupBy("source", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(sum(col("c") - 1).as("dup_docs"))
+      val domLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          min(struct((-col("c")).as("nc"), col("lang"))).as("dm"),
+          count(lit(1)).as("n_langs"))
+        .select(col("source"), col("dm.lang").as("dominant_lang"), col("n_langs"))
+      val perSource = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_dis")).as("n_distinct"))
+      val total = perSource.agg(sum(col("n_tokens")).as("corpus_tokens"))
+      perSource.join(broadcast(domLang), "source")
+        .join(broadcast(dupBySource), "source")
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div corpus_tokens").as("token_share_ppm"),
+          col("n_langs"), col("dominant_lang"),
+          expr("dup_docs * 1000000 div n_docs").as("dup_ppm"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("distinct_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, source, lang, $toksSql AS toks FROM documents),
+      base AS (SELECT doc_id, source, lang,
+          CAST(len(toks) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_dis,
+          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS ch
+        FROM b),
+      db AS (SELECT source, ch, COUNT(*) AS c FROM base GROUP BY source, ch),
+      dd AS (SELECT source, CAST(SUM(c - 1) AS BIGINT) AS dup_docs FROM db GROUP BY source),
+      dl AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang),
+      dr AS (SELECT source, lang,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS nl
+            FROM dl),
+      dom AS (SELECT source, lang AS dominant_lang, CAST(nl AS BIGINT) AS n_langs
+              FROM dr WHERE rn = 1),
+      ps AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(SUM(n_dis) AS BIGINT) AS n_distinct
+            FROM base GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM ps)
+      SELECT ps.source, ps.n_docs, ps.n_tokens,
+        ps.n_tokens * 1000000 // tot.corpus_tokens AS token_share_ppm,
+        dom.n_langs, dom.dominant_lang,
+        dd.dup_docs * 1000000 // ps.n_docs AS dup_ppm,
+        ROUND(CAST(ps.n_distinct AS DOUBLE) / CAST(ps.n_tokens AS DOUBLE), 6) AS distinct_ratio
+      FROM ps JOIN dom USING (source) JOIN dd USING (source) CROSS JOIN tot
+      ORDER BY ps.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(dedupSemantic, dedupRepresentative, dedupSoftWeights, corpusOverlap,
-      shardAssign, corpusDrift)
+      shardAssign, corpusDrift, dataCardQ)
 }

@@ -109,6 +109,37 @@ class AlignmentSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("pipeline_sft: funnel monotone, reasons consistent, shards balanced on assistant chars") {
+    val out = AlignmentQueries.pipelineSftQ.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        Option(r.getString(4)), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, gate, dup, kept, reason, nTurns, aChars, shard) =>
+      // funnel monotone + reason = first failing stage
+      assert(kept == (if (gate == 1 && dup == 0) 1 else 0))
+      if (gate == 0) assert(reason.contains("gate") && dup == 0)
+      else if (dup == 1) assert(reason.contains("dup"))
+      else assert(reason.isEmpty)
+      // dropped docs carry zeroed stats and shard -1; kept docs real ones
+      if (kept == 0) assert(nTurns == 0 && aChars == 0 && shard == -1)
+      else {
+        assert(nTurns >= 2 && shard >= 0 && shard < 4)
+        assert(aChars > 0) // >= 1 assistant turn with content
+      }
+    }
+    // all three classes non-vacuous
+    assert(out.exists(_._2 == 0) && out.exists(_._3 == 1) && out.exists(_._4 == 1))
+    // shard doc-counts balanced within 1 and assistant-char loads within
+    // one round's spread (snake-deal bound: max per-round delta)
+    val kept = out.filter(_._4 == 1)
+    val counts = (0 until 4).map(sh => kept.count(_._8 == sh))
+    assert(counts.max - counts.min <= 1)
+    val loads = (0 until 4).map(sh => kept.filter(_._8 == sh).map(_._7).sum)
+    val maxDoc = kept.map(_._7).max
+    assert(loads.max - loads.min <= maxDoc,
+      s"shard loads $loads spread exceeds one doc ($maxDoc)")
+  }
+
   test("oov_rate: rates bounded, non-vacuous, and the per-lang rollup matches a direct count") {
     val out = AlignmentQueries.oovRateQ.spark(spark, sf).cache()
     val rows = out.collect()

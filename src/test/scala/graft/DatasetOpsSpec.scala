@@ -203,4 +203,32 @@ class DatasetOpsSpec extends AnyFunSuite {
       assert(out.getOrElse(b, 0) == 1, s"bucket of '$w' ($b) not flagged as drifted")
     }
   }
+
+  test("data_card: shares sum to ~1e6, dup rate and dominant lang match direct recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.DatasetQueries.dataCardQ.spark(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ppm token shares: floor-division rounds each down by < 1 ppm
+    val shareSum = out.map(_.getLong(3)).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - out.length)
+    // independent per-source recompute from the raw table
+    val docs = graft.queries.Tables.table(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ").filter(_.nonEmpty)))
+    val bySource = docs.groupBy(_._2)
+    out.foreach { r =>
+      val rows = bySource(r.getString(0))
+      assert(r.getLong(1) == rows.length) // n_docs
+      assert(r.getLong(2) == rows.map(_._4.length.toLong).sum) // n_tokens
+      // dup rate: docs minus distinct bag-of-words keys
+      val dups = rows.length - rows.map(_._4.distinct.sorted.mkString(" ")).distinct.length
+      assert(r.getLong(6) == dups.toLong * 1000000L / rows.length, s"dup_ppm ${r.getString(0)}")
+      // dominant language is a true argmax with lang-asc tie-break
+      val langCounts = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      val dom = langCounts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      assert(r.getString(5) == dom)
+      assert(r.getLong(4) == langCounts.size) // n_langs
+    }
+  }
 }
