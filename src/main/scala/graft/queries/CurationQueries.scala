@@ -414,6 +414,31 @@ object CurationQueries {
         COUNT(*) AS n_pages, CAST(SUM(n_dups) AS BIGINT) AS n_docs, MIN(keep_id) AS first_doc
       FROM kept GROUP BY 1 ORDER BY host"""))
 
+  /** Intra-document consecutive-repeat collapse — the cheap text cleaner
+    * that folds stutter artifacts ("the the the" → "the") crawl
+    * extraction and OCR leave behind, run before token counting so
+    * repeats don't inflate budgets. A pure narrow map: one indexed HOF
+    * filter keeps token i iff it differs from token i−1; zero shuffle,
+    * rides the scan. Both engines evaluate the identical keep rule. */
+  val collapseRepeatsQ = QueryDef("collapse_repeats",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) =>
+          (i === 0) || (t =!= element_at(col("toks"), i))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_collapsed"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      k AS (SELECT doc_id, toks,
+              [toks[i] for i in generate_series(1, len(toks))
+               if i = 1 OR toks[i] <> toks[i - 1]] AS kept
+            FROM t)
+      SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+        CAST(len(toks) - len(kept) AS BIGINT) AS n_collapsed
+      FROM k ORDER BY doc_id"""))
+
   /** Crawl link-graph edge extraction: pull (href, anchor-text) pairs out
     * of page HTML — the edge-building stage that feeds `link_pagerank`'s
     * authority ranks and the anchor-text quality/retrieval signal. Pages
@@ -520,5 +545,5 @@ object CurationQueries {
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, chunkOverlapQ,
     spanCorruptionQ, streamDedupQ, packSequencesQ, packSequencesOracleQ, decontaminateQ,
     sampleWeightedQ, sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ,
-    anchorExtractQ)
+    anchorExtractQ, collapseRepeatsQ)
 }

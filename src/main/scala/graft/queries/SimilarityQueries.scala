@@ -816,8 +816,54 @@ object SimilarityQueries {
     },
     Some(kmeansOracleSql))
 
+  /** Embedding-corpus QA gate — the sanity pass an embedding pipeline
+    * runs before indexing: detect degenerate (zero/near-zero-norm)
+    * vectors and report per-label norm statistics (count, degenerate
+    * count, mean/min/max norm). Degenerates are deterministically
+    * synthesized (every 17th vector zeroed — the pii_scrub precedent)
+    * so the detection path fires at every scale. Norms are the
+    * documented left-fold + sqrt (IEEE-correctly-rounded, unlike
+    * log/exp — replayable); the mean accumulates in DECIMAL
+    * (order-free). One narrow pass + one partial-agg shuffle on the
+    * tiny label key. */
+  val embeddingStatsQ = QueryDef("embedding_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = table(s, dir, "embeddings")
+        .withColumn("embedding",
+          when(col("vec_id") % 17 === 0,
+            transform(col("embedding"), _ => lit(0.0f))).otherwise(col("embedding")))
+        .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+        .withColumn("degenerate", (col("nrm") < 1e-6).cast("int"))
+      base.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("degenerate")).cast("long").as("n_degenerate"),
+          round(sum(when(col("degenerate") === 0, col("nrm")).otherwise(lit(0.0))
+              .cast(DecimalType(25, 15))).cast("double") /
+            sum(lit(1) - col("degenerate")), 6).as("mean_norm"),
+          round(min(when(col("degenerate") === 0, col("nrm"))), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy("label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+          CASE WHEN vec_id % 17 = 0
+               THEN [CAST(0.0 AS FLOAT) for x in embedding]
+               ELSE embedding END AS embedding
+        FROM embeddings),
+      n AS (SELECT vec_id, label, ${normSql("embedding")} AS nrm FROM e),
+      f AS (SELECT label, nrm,
+              CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END AS degenerate FROM n)
+      SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(degenerate) AS BIGINT) AS n_degenerate,
+        ROUND(CAST(SUM(CAST(CASE WHEN degenerate = 0 THEN nrm ELSE 0.0 END AS DECIMAL(25,15))) AS DOUBLE) /
+          SUM(1 - degenerate), 6) AS mean_norm,
+        ROUND(MIN(CASE WHEN degenerate = 0 THEN nrm END), 6) AS min_norm,
+        ROUND(MAX(nrm), 6) AS max_norm
+      FROM f GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
     annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
-    annMatryoshkaTopK, annRecall, quantizeEmbeddings, kmeansTrainOracle)
+    annMatryoshkaTopK, annRecall, quantizeEmbeddings, kmeansTrainOracle,
+    embeddingStatsQ)
 }

@@ -11,6 +11,26 @@ class CurationSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("collapse_repeats: output is stutter-free, counts balance, and the op is idempotent") {
+    val out = graft.queries.CurationQueries.collapseRepeatsQ.spark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty && out.exists(_._3 > 0)) // collapse genuinely fires
+    val raw = graft.queries.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    out.foreach { case (id, clean, n) =>
+      val toks = clean.split(" ").filter(_.nonEmpty)
+      // no two consecutive tokens equal → idempotent by construction
+      toks.sliding(2).foreach(w => if (w.length == 2) assert(w(0) != w(1)))
+      // independent reference collapse
+      val ref = raw(id).foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == t) acc else acc :+ t
+      }
+      assert(toks.sameElements(ref), s"doc $id collapse mismatch")
+      assert(n == raw(id).length - ref.length)
+    }
+  }
+
   test("anchor_extract: every synthesized link is recovered with aligned anchor text and host") {
     val out = graft.queries.CurationQueries.anchorExtractQ.spark(spark, sf).collect()
     assert(out.nonEmpty)

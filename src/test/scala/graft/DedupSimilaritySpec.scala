@@ -641,4 +641,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().head
     assert(nullRow.isNullAt(0))
   }
+
+  test("embedding_stats: degenerate detection exact, norm stats match a driver recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.embeddingStatsQ.spark(spark, sf).collect()
+    assert(out.nonEmpty)
+    val raw = graft.queries.Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = raw.groupBy(_._2)
+    out.foreach { r =>
+      val rows = byLabel(r.getInt(0))
+      assert(r.getLong(1) == rows.length)
+      // degenerate = exactly the synthesized vec_id % 17 == 0 rows (the
+      // real corpus has no zero vectors at these scales)
+      assert(r.getLong(2) == rows.count(_._1 % 17 == 0))
+      def norm(v: Array[Float]): Double = {
+        var s = 0.0; v.foreach(x => s += x.toDouble * x.toDouble); math.sqrt(s)
+      }
+      val live = rows.filter(_._1 % 17 != 0).map(t => norm(t._3))
+      assert(math.abs(r.getDouble(3) - live.sum / live.length) < 1e-5) // mean
+      assert(math.abs(r.getDouble(4) - live.min) < 1e-6)
+      assert(math.abs(r.getDouble(5) - live.max) < 1e-6)
+    }
+    assert(out.map(_.getLong(2)).sum > 0) // detection path non-vacuous
+  }
 }
