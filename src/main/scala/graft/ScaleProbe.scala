@@ -285,6 +285,31 @@ object ScaleProbe {
         noop(graft.queries.MiscQueries.pagerankRanked(
           spark.range(n).select(col("id").as("doc_id"))))
       },
+      "asof_join" -> { m =>
+        // the join_asof union+window shape: n keys × ~10 rows/side per
+        // key — per-key window partitions stay CONSTANT size while key
+        // count scales with m (the state-bounded design claim). Watches
+        // for any corpus-sized window partition sneaking in.
+        val n = 50000L * m
+        val left = spark.range(n).select((col("id") % (n / 10)).as("k"),
+          (col("id") * 7 % 1000).as("lt"), col("id").as("lid"))
+        val right = spark.range(n).select((col("id") % (n / 10)).as("k"),
+          (col("id") * 3 % 1000).as("rt"), col("id").as("rid"))
+        noop(graft.operators.AsOfJoin.asof(left, right, "k", "lt", "rt", "lid", "rid"))
+      },
+      "range_join" -> { m =>
+        // the join_range binned equi-join: interval fan-out ∝ span/bin
+        // (constant ~4 bins/interval here), each (point, interval) pair
+        // meets in exactly one bin. Linear in points + intervals; the
+        // probe watches for a BroadcastNestedLoopJoin cliff if the bin
+        // pre-join ever stops pruning.
+        val n = 100000L * m
+        val points = spark.range(n).select((col("id") % 100000 * 0.01).as("v"))
+        val ivals = spark.range(n / 10).select(
+          (col("id") % 10000 * 0.1).as("lo"),
+          (col("id") % 10000 * 0.1 + 0.35).as("hi"), col("id").as("ival_id"))
+        noop(graft.operators.RangeJoin.pointInInterval(points, ivals, binWidth = 0.1))
+      },
       "sft_funnel" -> { m =>
         // the pipeline_sft composed chain via the SHARED stage builder:
         // narrow gate → bag-of-words hash-agg dedup → turn explode →

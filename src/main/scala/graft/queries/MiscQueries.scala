@@ -359,7 +359,71 @@ object MiscQueries {
       FROM bef LEFT JOIN del USING (event_type)
       ORDER BY bef.event_type"""))
 
+  /** Slowly-changing-dimension Type-2 history build — turn a change-event
+    * stream into validity-interval dimension rows (state, valid_from,
+    * valid_to, is_current), the standard warehouse pattern for tracking
+    * attribute history that `merge_upsert` snapshots can't express. Two
+    * per-key windows (change detection via lag, interval close via lead)
+    * over per-user partitions that stay bounded as users scale — never a
+    * global window. `change_id` (the triggering event) makes the output
+    * a total order even under same-timestamp flip-flops. */
+  val scd2History = QueryDef("scd2_history",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w) - 1)
+        .withColumn("is_current", col("valid_to").isNull.cast("int"))
+        .select(col("user_id"), col("event_id").as("change_id"),
+          col("event_type").as("state"), col("ts").as("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "change_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+      c AS (SELECT *, LAG(event_type, 1) OVER (
+              PARTITION BY user_id ORDER BY tns ASC, event_id ASC) AS prev_type
+            FROM e),
+      f AS (SELECT user_id, event_id, event_type, tns FROM c
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+      v AS (SELECT *, LEAD(tns, 1) OVER (
+              PARTITION BY user_id ORDER BY tns ASC, event_id ASC) - 1 AS valid_to
+            FROM f)
+      SELECT user_id, event_id AS change_id, event_type AS state,
+        tns AS valid_from, valid_to,
+        CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM v ORDER BY user_id, valid_from, change_id"""))
+
+  /** C4-style wordlist gate (Raffel et al.'s "bad words" filter): drop
+    * any document containing a blocklisted token. The list broadcasts as
+    * a literal (in production a few-KB wordlist); the check is ONE
+    * codegen'd HOF count riding the scan — zero shuffle, zero joins.
+    * `dup` is a genuine rare corpus token (~5% of docs at every scale)
+    * so both verdict classes are non-vacuous; `unsafe` never occurs,
+    * proving absent terms cost nothing. */
+  val blocklistFilter = QueryDef("blocklist_filter",
+    (s, dir) => {
+      val blocked = Seq("dup", "unsafe")
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_blocked",
+          size(filter(col("toks"), t =>
+            t.isin(blocked.map(lit): _*))).cast("long"))
+        .select(col("doc_id"), col("n_blocked"),
+          (col("n_blocked") === 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(toks, t -> t IN ('dup', 'unsafe'))) AS BIGINT) AS n_blocked,
+        CASE WHEN len(list_filter(toks, t -> t IN ('dup', 'unsafe'))) = 0 THEN 1 ELSE 0 END AS keep
+      FROM t ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
-    componentsStar, deletePropagate)
+    componentsStar, deletePropagate, scd2History, blocklistFilter)
 }

@@ -27,4 +27,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(12L) == ((None, None)))
     assert(out(13L) == ((Some(24L), Some(0L))))
   }
+
+  test("scd2_history: intervals partition each user's timeline, states alternate, one current row") {
+    val rows = graft.queries.MiscQueries.scd2History
+      .spark(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, hist) =>
+      val ordered = hist.sortBy(h => (h._4, h._2))
+      // exactly one open (current) interval per user, and it is the last
+      assert(ordered.count(_._5.isEmpty) == 1 && ordered.last._5.isEmpty)
+      ordered.foreach(h => assert((h._6 == 1) == h._5.isEmpty))
+      // contiguous: each interval closes 1ns before the next opens
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4 - 1), s"user $user gap/overlap at ${b._4}")
+          assert(a._3 != b._3, s"user $user adjacent intervals share state")
+        case _ =>
+      }
+    }
+  }
+
+  test("blocklist_filter: keep verdict is exactly the absence of blocked tokens") {
+    val rows = graft.queries.MiscQueries.blocklistFilter
+      .spark(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val raw = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    rows.foreach { r =>
+      val n = raw(r.getLong(0)).count(t => t == "dup" || t == "unsafe")
+      assert(r.getLong(1) == n)
+      assert(r.getInt(2) == (if (n == 0) 1 else 0))
+    }
+    // both verdict classes fire
+    assert(rows.exists(_.getInt(2) == 0) && rows.exists(_.getInt(2) == 1))
+  }
 }
