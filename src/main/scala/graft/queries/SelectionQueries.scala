@@ -1136,8 +1136,79 @@ object SelectionQueries {
         ROUND(rrf, 9) AS rrf
       FROM f ORDER BY rrf DESC, doc_id ASC LIMIT $rrfOut"""))
 
+  /** Two-phase anneal data schedule — the end-of-training re-weighting
+    * recipe (Llama-3 / MiniCPM style): the main phase spreads 90% of the
+    * token budget uniformly across sources, and the final anneal phase
+    * re-allocates the last 10% to ONLY the above-average-quality sources
+    * (∝ their token inventories) — the "finish on your best data" move.
+    * Eligibility is the integer cross-multiplied mean comparison
+    * sum_q·corpus_docs ≥ corpus_q·n_docs (no divides), and every budget
+    * is integer floor arithmetic, so the whole schedule replays exactly.
+    * Scale shape: one map-side-partial corpus agg; global windows run
+    * over the ~#sources-row aggregate only (documented-safe size). The
+    * anneal_budget·n_tokens product fits BIGINT through corpus sizes of
+    * ~3e9 tokens per source; a 100 TB deployment reorders to
+    * (n_tokens·1e6 div pool)·budget div 1e6 — noted, not needed here. */
+  val mixAnneal = QueryDef("mix_anneal",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("source"), tokenCount(col("text")).as("nt"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("q"))
+      val bySrc = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("q")).as("sum_q"))
+      val w = Window.partitionBy() // ~#sources rows — documented-safe
+      bySrc
+        .withColumn("corpus_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("corpus_docs", sum(col("n_docs")).over(w))
+        .withColumn("corpus_q", sum(col("sum_q")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .withColumn("anneal_eligible",
+          when(col("sum_q") * col("corpus_docs") >= col("corpus_q") * col("n_docs"), 1)
+            .otherwise(0))
+        .withColumn("anneal_pool",
+          sum(when(col("anneal_eligible") === 1, col("n_tokens")).otherwise(lit(0L)))
+            .over(w))
+        .withColumn("total_budget", expr("corpus_tokens div 2"))
+        .withColumn("anneal_budget", expr("total_budget div 10"))
+        .withColumn("main_tokens",
+          expr("(total_budget - anneal_budget) div n_sources"))
+        .withColumn("anneal_tokens",
+          when(col("anneal_eligible") === 1,
+            expr("anneal_budget * n_tokens div anneal_pool")).otherwise(lit(0L)))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("anneal_eligible"), col("main_tokens"), col("anneal_tokens"),
+          (col("main_tokens") + col("anneal_tokens")).as("schedule_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH td AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS nt,
+          CAST(len(list_distinct($toksSql)) AS BIGINT) AS q FROM documents),
+      st AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              CAST(SUM(q) AS BIGINT) AS sum_q
+            FROM td GROUP BY source),
+      g AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS corpus_tokens,
+              CAST(SUM(n_docs) OVER () AS BIGINT) AS corpus_docs,
+              CAST(SUM(sum_q) OVER () AS BIGINT) AS corpus_q,
+              COUNT(*) OVER () AS n_sources
+            FROM st),
+      e AS (SELECT *, CASE WHEN sum_q * corpus_docs >= corpus_q * n_docs
+                           THEN 1 ELSE 0 END AS anneal_eligible FROM g),
+      p AS (SELECT *, CAST(SUM(CASE WHEN anneal_eligible = 1 THEN n_tokens ELSE 0 END)
+                OVER () AS BIGINT) AS anneal_pool,
+              corpus_tokens // 2 AS total_budget,
+              (corpus_tokens // 2) // 10 AS anneal_budget
+            FROM e)
+      SELECT source, n_docs, n_tokens, anneal_eligible,
+        (total_budget - anneal_budget) // n_sources AS main_tokens,
+        CASE WHEN anneal_eligible = 1
+             THEN anneal_budget * n_tokens // anneal_pool ELSE 0 END AS anneal_tokens,
+        (total_budget - anneal_budget) // n_sources +
+          CASE WHEN anneal_eligible = 1
+               THEN anneal_budget * n_tokens // anneal_pool ELSE 0 END AS schedule_tokens
+      FROM p ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, pipelineSelect, pipelinePretrain,
-      qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion)
+      qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal)
 }

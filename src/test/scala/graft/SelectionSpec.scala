@@ -385,6 +385,39 @@ class SelectionSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "dense arm never fires in the fused list")
   }
 
+  test("mix_anneal: eligibility is the true mean comparison, budgets conserve") {
+    val out = graft.queries.SelectionQueries.mixAnneal.spark(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // both eligibility classes fire
+    assert(out.exists(_._4 == 1) && out.exists(_._4 == 0))
+    // independent recompute of the eligibility rule
+    val docs = graft.queries.Tables.table(spark, sf, "documents")
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("nt"),
+        size(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("long").as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val (corpusDocs, corpusTok, corpusQ) =
+      (docs.length.toLong, docs.map(_._2).sum, docs.map(_._3).sum)
+    out.foreach { case (src, nDocs, nTok, elig, main, anneal, sched) =>
+      val (d, t, q) = bySrc(src)
+      assert(nDocs == d && nTok == t)
+      assert(elig == (if (q * corpusDocs >= corpusQ * d) 1 else 0), s"$src eligibility")
+      assert((anneal > 0) == (elig == 1))
+      assert(sched == main + anneal)
+    }
+    // budget conservation: floor divisions under-allocate by < 1 per source
+    val totalBudget = corpusTok / 2
+    val annealBudget = totalBudget / 10
+    assert(out.map(_._5).sum <= totalBudget - annealBudget)
+    assert(out.map(_._6).sum <= annealBudget)
+    assert(out.map(_._6).sum >= annealBudget - out.count(_._4 == 1))
+  }
+
   test("perplexity_buckets: per-lang terciles balanced, score-monotone, covering") {
     val out = graft.queries.TextQueries.perplexityBucketsQ.spark(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
