@@ -18,6 +18,23 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // Per-query codegen/JIT warm-up at the smallest SF (not timed): the
+    // first execution of a deep generated-code chain in a fresh JVM pays
+    // C2 tier-up (~22 s measured on pipeline_dedup_corpus vs ~5 s steady;
+    // whichever heavy LSH query runs first in a sweep absorbs a similar
+    // tail). Running every query once on sf0.001 compiles the same
+    // generated/operator code at negligible data cost, so the timed sweep
+    // below measures steady-state plans instead of compiler state.
+    // Disable with SPARK_GRAFT_WARM_DIR="" for cold-start measurements.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory &&
+        warmDir != sfDir)
+      selected.foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH WARMUP $name: ${e.getMessage}")
+        }
+      }
     val results = selected.map { case (name, fn) =>
       // isolate queries from each other's garbage: long sweeps otherwise
       // show multi-second random spikes when a query inherits the heap

@@ -423,7 +423,44 @@ object MiscQueries {
         CASE WHEN len(list_filter(toks, t -> t IN ('dup', 'unsafe'))) = 0 THEN 1 ELSE 0 END AS keep
       FROM t ORDER BY doc_id"""))
 
+  /** Tukey-fence (IQR) outlier screen per event type — the standard
+    * numeric data-quality gate (flag values outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR]) a pipeline runs before trusting a
+    * numeric column. Exact quartiles per type are a tiny aggregate that
+    * BROADCASTS back (the `corpus_stats` percentile machinery, already
+    * hash-proven against DuckDB's quantile_cont); flagging is a narrow
+    * comparison riding the second scan. ~5% of events flag at every
+    * scale. */
+  val outlierIqr = QueryDef("outlier_iqr",
+    (s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"), col("value"))
+      val q = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      e.join(broadcast(q), "event_type")
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        .withColumn("is_outlier",
+          (col("value") < col("lo") || col("value") > col("hi")).cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("is_outlier")).cast("long").as("n_outliers"),
+          round(min(col("lo")), 6).as("lo_fence"),
+          round(min(col("hi")), 6).as("hi_fence"))
+        .orderBy("event_type")
+    },
+    Some("""WITH q AS (SELECT event_type,
+          quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type),
+      j AS (SELECT e.event_type, e.value,
+              q.q1 - (q.q3 - q.q1) * 1.5 AS lo, q.q3 + (q.q3 - q.q1) * 1.5 AS hi
+            FROM events e JOIN q USING (event_type))
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
-    componentsStar, deletePropagate, scd2History, blocklistFilter)
+    componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr)
 }

@@ -49,6 +49,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("outlier_iqr: fences and flag counts match a driver-side quartile recompute") {
+    val rows = graft.queries.MiscQueries.outlierIqr
+      .spark(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val raw = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val vs = raw.filter(_._1 == r.getString(0)).map(_._2).sorted
+      def quantile(p: Double): Double = {
+        val pos = p * (vs.length - 1)
+        val lo = pos.toInt; val frac = pos - lo
+        if (frac == 0) vs(lo) else vs(lo) + frac * (vs(lo + 1) - vs(lo))
+      }
+      val (q1, q3) = (quantile(0.25), quantile(0.75))
+      val (lo, hi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(r.getLong(1) == vs.length)
+      assert(r.getLong(2) == vs.count(v => v < lo || v > hi).toLong)
+      assert(math.abs(r.getDouble(3) - lo) < 1e-5 && math.abs(r.getDouble(4) - hi) < 1e-5)
+      assert(r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)) // both classes fire
+    }
+  }
+
   test("blocklist_filter: keep verdict is exactly the absence of blocked tokens") {
     val rows = graft.queries.MiscQueries.blocklistFilter
       .spark(spark, "/root/testdata/sf0.001").collect()
