@@ -279,6 +279,32 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Cross-corpus LSH candidate pairs — the contamination-screen shape:
+    * a LARGE left corpus (training vectors) against a SMALL broadcast
+    * right corpus (benchmark/test-set vectors). Candidates are rows
+    * sharing any LSH (table, bucket) key, so the work is linear in left
+    * bucket occupancy × right bucket density, never |left|×|right|; the
+    * bucket join ships bare ids (ship-arrays-late), left vectors attach
+    * once per surviving pair, and the right side rides the broadcast it
+    * already is. Pass [[md5Planes]] for a fully oracle-replayable pair
+    * set. Returns (leftId, rightId, sim) for every candidate pair. */
+  def lshCrossPairs(left: DataFrame, right: DataFrame,
+                    planeMatrix: Array[Array[Array[Double]]],
+                    leftId: String = "vec_id", leftVec: String = "embedding",
+                    rightId: String = "tid", rightVec: String = "tvec"): DataFrame = {
+    val lb = left.select(col(leftId),
+      posexplode(tableBuckets(col(leftVec), planeMatrix)).as(Seq("table_idx", "bucket")))
+    val rb = right.select(col(rightId),
+      posexplode(tableBuckets(col(rightVec), planeMatrix)).as(Seq("table_idx", "bucket")))
+    val cand = lb.join(broadcast(rb), Seq("table_idx", "bucket"))
+      .select(col(leftId), col(rightId)).distinct()
+    cand
+      .join(left.select(col(leftId), col(leftVec)), leftId)
+      .join(broadcast(right.select(col(rightId), col(rightVec))), rightId)
+      .withColumn("sim", cosine(col(leftVec), col(rightVec)))
+      .select(col(leftId), col(rightId), col("sim"))
+  }
+
   /** Per-vector int8 scalar quantization — the storage-compression step of
     * a billion-vector ANN index (4 bytes → 1 byte per dim): codes
     * `q_i = floor((x_i − min)/scale + 0.5)` clipped to [0, 255] with

@@ -134,6 +134,100 @@ object DatasetQueries {
     },
     Some(semDedupOracleSql))
 
+  // ── decontaminate_semantic ──────────────────────────────────────────────
+
+  private def deconOracleSql: String = {
+    s"""WITH
+      tst AS (SELECT vec_id AS tid, embedding AS tvec FROM embeddings WHERE vec_id % 7 = 3),
+      pt AS (SELECT tid + 2000000 AS vec_id,
+               [CAST(CAST(tvec[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) AS FLOAT)
+                for i in generate_series(1, len(tvec))] AS embedding
+             FROM tst),
+      trn AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3
+              UNION ALL SELECT vec_id, embedding FROM pt),
+      nn AS (SELECT COUNT(*) AS n FROM trn),
+      depth AS (SELECT LEAST(24, GREATEST(8,
+          (SELECT MIN(p) FROM generate_series(0, 40) g(p)
+           WHERE (CAST(64 AS BIGINT) << p) >= (SELECT n FROM nn)))) AS planes),
+      pl AS (SELECT tt.t AS t, tj.j AS j,
+               list(CAST(('0x' || substring(md5('graft-decon:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    ORDER BY ti.i) AS hs
+             FROM generate_series(0, 3) tt(t),
+                  generate_series(0, 23) tj(j),
+                  generate_series(0, 63) ti(i), depth
+             WHERE tj.j < depth.planes
+             GROUP BY tt.t, tj.j),
+      pu AS (SELECT t, j,
+               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM pl),
+      ld AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM trn),
+      td AS (SELECT tid, tvec, ${normSql("tvec")} AS nrm FROM tst),
+      ldots AS (SELECT ld.vec_id, pu.t, pu.j, ${dotSql("ld.embedding", "pu.u")} AS dp
+                FROM ld, pu),
+      lbk AS (SELECT vec_id, t,
+               SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS bucket
+              FROM ldots GROUP BY vec_id, t),
+      tdots AS (SELECT td.tid, pu.t, pu.j, ${dotSql("td.tvec", "pu.u")} AS dp
+                FROM td, pu),
+      tbk AS (SELECT tid, t,
+               SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS bucket
+              FROM tdots GROUP BY tid, t),
+      cand AS (SELECT DISTINCT l.vec_id, r.tid
+               FROM lbk l JOIN tbk r ON l.t = r.t AND l.bucket = r.bucket),
+      sims AS (SELECT c.vec_id, c.tid,
+                 CASE WHEN a.nrm > 0 AND b.nrm > 0
+                      THEN ${dotSql("a.embedding", "b.tvec")} / (a.nrm * b.nrm)
+                      ELSE 0.0 END AS sim
+               FROM cand c JOIN ld a ON a.vec_id = c.vec_id JOIN td b ON b.tid = c.tid),
+      best AS (SELECT vec_id, tid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, tid ASC) AS rn
+               FROM sims)
+      SELECT t.vec_id, b.tid AS match_tid, b.sim AS max_sim,
+        CASE WHEN b.sim >= 0.99 THEN 1 ELSE 0 END AS contaminated
+      FROM trn t LEFT JOIN (SELECT vec_id, tid, sim FROM best WHERE rn = 1) b USING (vec_id)
+      ORDER BY t.vec_id"""
+  }
+
+  /** SEMANTIC test-set decontamination — the embedding-space complement of
+    * the n-gram `decontaminate` query: flag every TRAINING vector whose
+    * cosine to ANY benchmark/test-set vector reaches 0.99 (paraphrased or
+    * lightly-perturbed eval leakage that exact n-gram overlap misses).
+    * The test set is the `vec_id % 7 = 3` slice; the training corpus is
+    * the rest plus a planted near-twin of every test vector
+    * (component-wise ×(1 + (i%5−2)/10³), the dedup_semantic pattern), so
+    * BOTH verdict classes are non-vacuous at every scale and each planted
+    * twin MUST flag against its own test source. Candidate generation is
+    * [[Similarity.lshCrossPairs]] — train-side buckets stream, the small
+    * test side is broadcast, work is linear in train size (never
+    * train×test) — which is exactly the 100 TB shape: a benchmark suite
+    * is KBs of vectors against TBs of training embeddings. Depth is the
+    * count-derived auto rule; planes are md5-derived; the oracle replays
+    * depth, buckets, candidates, every cosine, and the per-train argmax
+    * (sim desc, tid asc). */
+  val decontaminateSemantic = QueryDef("decontaminate_semantic",
+    (s, dir) => {
+      val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val test = base.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("tid"), col("embedding").as("tvec"))
+      val planted = test.select((col("tid") + lit(2000000L)).as("vec_id"),
+        transform(col("tvec"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
+            .cast("float")).as("embedding"))
+      val train = base.filter(col("vec_id") % 7 =!= 3).unionByName(planted)
+      val planes = Similarity.autoPlanesExact(train.count(), 64L, 8, 24)
+      val pm = Similarity.md5Planes(planes, 4, 64, "graft-decon")
+      val pairs = Similarity.lshCrossPairs(train, test, pm)
+      val best = pairs.groupBy("vec_id")
+        .agg(min(struct((-col("sim")).as("ns"), col("tid"))).as("b"))
+        .select(col("vec_id"), col("b.tid").as("match_tid"),
+          (-col("b.ns")).as("max_sim"))
+      train.select("vec_id").join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("match_tid"), col("max_sim"),
+          when(col("max_sim") >= 0.99, 1).otherwise(0).as("contaminated"))
+        .orderBy("vec_id")
+    },
+    Some(deconOracleSql))
+
   // ── dedup_representative ────────────────────────────────────────────────
 
   /** DuckDB CTE chain ending in `wk(doc_id, text, toks, keep_id)` and
@@ -594,6 +688,6 @@ object DatasetQueries {
       ORDER BY ps.source"""))
 
   val defs: Seq[QueryDef] =
-    Seq(dedupSemantic, dedupRepresentative, dedupSoftWeights, corpusOverlap,
-      shardAssign, corpusDrift, dataCardQ)
+    Seq(dedupSemantic, decontaminateSemantic, dedupRepresentative,
+      dedupSoftWeights, corpusOverlap, shardAssign, corpusDrift, dataCardQ)
 }

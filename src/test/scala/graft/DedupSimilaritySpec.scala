@@ -666,4 +666,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(out.map(_.getLong(2)).sum > 0) // detection path non-vacuous
   }
+
+  test("lshCrossPairs: planted twins flag against their own test source; clean rows stay clean") {
+    // Train corpus: 40 well-separated one-hot-ish vectors + a near-twin of
+    // each test vector; test corpus: 8 vectors. The decontamination law:
+    // every twin's best match is its own source at sim ≈ 1; no clean train
+    // vector reaches the 0.99 gate against any test vector.
+    val dim = 16
+    def unit(i: Int): Array[Float] = {
+      val a = new Array[Float](dim); a(i % dim) = 1f; a((i + 7) % dim) = 0.1f; a
+    }
+    val test = (0 until 8).map(i => (100L + i, unit(2 * i))).toDF("tid", "tvec")
+    val twins = (0 until 8).map { i =>
+      val v = unit(2 * i).map(x => x * 1.001f); (1000L + i, v)
+    }
+    val clean = (0 until 40).map(i => (i.toLong, unit(2 * i + 1)))
+    val train = (clean ++ twins).toDF("vec_id", "embedding")
+    val pm = Similarity.md5Planes(6, 4, dim, "spec-decon")
+    val pairs = Similarity.lshCrossPairs(train, test, pm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val flagged = pairs.filter(_._3 >= 0.99)
+    // every twin flags against exactly its own source
+    assert(flagged.map(p => (p._1, p._2)).toSet ==
+      (0 until 8).map(i => (1000L + i, 100L + i)).toSet)
+    // clean rows never reach the gate
+    assert(!flagged.exists(_._1 < 1000L))
+  }
 }
