@@ -383,9 +383,68 @@ object ExtensionQueries {
     },
     Some(imageDhashOracleSql))
 
+  /** CLIP-style multimodal pair curation — the LAION recipe (Schuhmann et
+    * al., 2021): keep an (image, caption) pair only if the caption passes
+    * a language gate AND the image-embedding/text-embedding cosine clears
+    * the alignment threshold (LAION's 0.28). The text side is the
+    * embeddings table keyed by doc_id; the image embedding is synthesized
+    * deterministically from it — doc_id % 3 = 0 pairs get a near-aligned
+    * perturbation (cosine ≈ +0.999998), the rest a negated perturbation
+    * (cosine ≈ −0.999998) — so BOTH gate classes fire at every scale and
+    * every float in the chain is IEEE-replayable (the real pipeline
+    * swaps the synthesis for a model-seam column; the gate logic, join
+    * shape and verdict plumbing are the production path). Scale shape:
+    * one co-partitioned equi-join (caption ↔ embedding on the shared
+    * key) plus a narrow map — no extra shuffle; the reason column is the
+    * first-failing-stage pattern of pipeline_select. */
+  val multimodalClipFilter = QueryDef("multimodal_clip_filter",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val caps = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      caps.join(emb, "doc_id")
+        .withColumn("img", transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)) *
+            when(col("doc_id") % 3 === 0, lit(1.0)).otherwise(lit(-1.0))).cast("float")))
+        .withColumn("clip_sim", Similarity.cosine(col("embedding"), col("img")))
+        .withColumn("lang_ok", when(col("lang") === "en", 1).otherwise(0))
+        .withColumn("sim_ok", when(col("clip_sim") >= 0.28, 1).otherwise(0))
+        .select(col("doc_id"), col("lang"), col("clip_sim"),
+          col("lang_ok"), col("sim_ok"),
+          (col("lang_ok") * col("sim_ok")).as("kept"),
+          when(col("lang_ok") === 0, "lang")
+            .when(col("sim_ok") === 0, "low_sim")
+            .otherwise("kept").as("reason"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT d.doc_id, d.lang, e.embedding,
+          [CAST(CAST(e.embedding[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) *
+                (CASE WHEN d.doc_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT)
+           for i in generate_series(1, len(e.embedding))] AS img
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      n AS (SELECT doc_id, lang,
+          sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, b) -> a + b)) AS ne,
+          sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in img], (a, b) -> a + b)) AS ni,
+          list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(img[i] AS DOUBLE)
+                       for i in generate_series(1, len(embedding))], (a, b) -> a + b) AS dp
+        FROM p),
+      s AS (SELECT doc_id, lang,
+          CASE WHEN ne > 0 AND ni > 0 THEN dp / (ne * ni) ELSE 0.0 END AS clip_sim
+        FROM n)
+      SELECT doc_id, lang, clip_sim,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
+        CASE WHEN clip_sim >= 0.28 THEN 1 ELSE 0 END AS sim_ok,
+        (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) *
+          (CASE WHEN clip_sim >= 0.28 THEN 1 ELSE 0 END) AS kept,
+        CASE WHEN lang <> 'en' THEN 'lang'
+             WHEN clip_sim < 0.28 THEN 'low_sim'
+             ELSE 'kept' END AS reason
+      FROM s ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, streamTopK, streamEnrich, sessionizeQ, streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
     asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash,
-    dedupImageDhashOracle)
+    dedupImageDhashOracle, multimodalClipFilter)
 }

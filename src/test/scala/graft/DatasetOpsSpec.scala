@@ -231,4 +231,24 @@ class DatasetOpsSpec extends AnyFunSuite {
       assert(r.getLong(4) == langCounts.size) // n_langs
     }
   }
+
+  test("multimodal_clip_filter laws: synthesis polarity drives the gate; reason is first-failing") {
+    val out = graft.queries.ExtensionQueries.multimodalClipFilter
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "clip_sim", "lang_ok", "sim_ok", "kept", "reason")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, lang, sim) = (r.getLong(0), r.getString(1), r.getDouble(2))
+      val (lok, sok, kept, reason) = (r.getInt(3), r.getInt(4), r.getInt(5), r.getString(6))
+      // aligned synthesis ⇒ near +1; negated ⇒ near −1 (nothing near the gate)
+      if (id % 3 == 0) assert(sim > 0.99) else assert(sim < -0.99)
+      assert(lok == (if (lang == "en") 1 else 0))
+      assert(sok == (if (sim >= 0.28) 1 else 0))
+      assert(kept == lok * sok)
+      assert(reason == (if (lok == 0) "lang" else if (sok == 0) "low_sim" else "kept"))
+    }
+    // all three reason classes fire
+    assert(out.map(_.getString(6)).toSet == Set("lang", "low_sim", "kept"))
+  }
 }
