@@ -46,17 +46,23 @@ object TextFunctions {
     * ([[graft.plans.WordNgrams]]) when constructible; the declarative
     * transform-per-window form interprets n lambdas per window and
     * stays only as the fallback. */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    wordNgrams(text, n, distinct = true)
+
+  /** Word n-grams with occurrence control: `distinct = false` keeps every
+    * occurrence in order (duplicate-n-gram-fraction counting), `true`
+    * gives the shingle SET form. Same native/fallback split. */
+  def wordNgrams(text: Column, n: Int, distinct: Boolean): Column = {
     val native =
       try Some(org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.WordNgrams(
-          org.apache.spark.sql.graft.ColumnBridge.expression(text), n, distinct = true)))
+          org.apache.spark.sql.graft.ColumnBridge.expression(text), n, distinct)))
       catch { case _: Throwable => None }
     native.getOrElse {
       val ts = tokens(text)
-      when(size(ts) >= n,
-        array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
+      val all = transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))
+      when(size(ts) >= n, if (distinct) array_distinct(all) else all)
         .otherwise(array(concat_ws(" ", ts)))
     }
   }

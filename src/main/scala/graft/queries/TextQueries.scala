@@ -835,7 +835,118 @@ object TextQueries {
         CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
       FROM r ORDER BY doc_id"""))
 
+  /** Fenced code-block extraction — the front door of every code-data
+    * pipeline (StarCoder/The-Stack style): pull ```lang-fenced blocks out
+    * of markdown/web pages, tag each with its language, and report per-doc
+    * block counts and code mass. Pages are synthesized deterministically
+    * from the corpus (doc_id % 4 = 0 gets a python block, % 8 = 0
+    * additionally a sql block, the rest none — all three block counts
+    * occur at every scale). Extraction is two global regex passes riding
+    * the scan — language tags and bodies — zero shuffle, pure codegen;
+    * both engines run RE2-compatible '```([a-z]+)\n([^`]*)```' with
+    * identical global-match semantics (the anchor_extract precedent).
+    * At 100 TB this is a narrow map over the page scan: no join, no agg,
+    * output partitioning inherited from the input. */
+  val codeExtractQ = QueryDef("code_extract",
+    (s, dir) => {
+      val fencePat = "```([a-z]+)\\n([^`]*)```"
+      val page = concat(lit("intro "), substring(col("text"), 1, 40),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n```python\n"), substring(col("text"), 41, 60), lit("\n```\n")))
+          .otherwise(lit(" ")),
+        lit("middle "),
+        when(col("doc_id") % 8 === 0,
+          concat(lit("```sql\n"), substring(col("text"), 101, 30), lit("\n```\n")))
+          .otherwise(lit("")),
+        substring(col("text"), 131, 40))
+      table(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          regexp_extract_all(col("page"), lit(fencePat), lit(1)).as("tags"),
+          regexp_extract_all(col("page"), lit(fencePat), lit(2)).as("bodies"))
+        .select(col("doc_id"),
+          size(col("bodies")).cast("long").as("n_blocks"),
+          length(array_join(col("bodies"), "")).cast("long").as("code_chars"),
+          array_join(col("tags"), ",").as("langs"),
+          when(size(col("bodies")) > 0, 1).otherwise(0).as("has_code"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pg AS (SELECT doc_id,
+        'intro ' || substring(text, 1, 40) ||
+        CASE WHEN doc_id % 4 = 0
+             THEN chr(10) || '```python' || chr(10) || substring(text, 41, 60) || chr(10) || '```' || chr(10)
+             ELSE ' ' END ||
+        'middle ' ||
+        CASE WHEN doc_id % 8 = 0
+             THEN '```sql' || chr(10) || substring(text, 101, 30) || chr(10) || '```' || chr(10)
+             ELSE '' END ||
+        substring(text, 131, 40) AS page
+      FROM documents),
+      ex AS (SELECT doc_id,
+        regexp_extract_all(page, '```([a-z]+)\n([^`]*)```', 1) AS tags,
+        regexp_extract_all(page, '```([a-z]+)\n([^`]*)```', 2) AS bodies
+      FROM pg)
+      SELECT doc_id,
+        CAST(len(bodies) AS BIGINT) AS n_blocks,
+        CAST(strlen(COALESCE(array_to_string(bodies, ''), '')) AS BIGINT) AS code_chars,
+        COALESCE(array_to_string(tags, ','), '') AS langs,
+        CASE WHEN len(bodies) > 0 THEN 1 ELSE 0 END AS has_code
+      FROM ex ORDER BY doc_id"""))
+
+  /** Cross-document duplicate n-gram fraction — the Gopher/MassiveText
+    * repetition filter that looks ACROSS documents (Rae et al. 2021, §A1.2;
+    * quality_gopher's rules are intra-document): per doc, the fraction of
+    * its 8-gram OCCURRENCES that appear in at least one other document.
+    * Boilerplate-heavy pages (headers, templates, licence blocks) score
+    * high and get flagged at 30%. Scale shape: grams are hashed to 60-bit
+    * md5 keys BEFORE the document-frequency shuffle (ship-arrays-late —
+    * the join key is 8 bytes, never the 8-word string), the df agg is one
+    * map-side-partial count over distinct (gh, doc) pairs, and the per-doc
+    * rollup joins occurrences back on the same hash. Integer-ppm fraction;
+    * both verdict classes fire at every scale (47/500 flagged at sf0.01). */
+  val dupNgramFractionQ = QueryDef("dup_ngram_fraction",
+    (s, dir) => {
+      val n = 8
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val occ = docs
+        .select(col("doc_id"),
+          explode(wordNgrams(col("text"), n, distinct = false)).as("g"))
+        .select(col("doc_id"), Dedup.md5Hash60(col("g")).as("gh"))
+        .localCheckpoint() // read by the df agg and the per-doc rollup
+      val dfq = occ.distinct().groupBy("gh").agg(count(lit(1)).as("dfc"))
+      val per = occ.join(dfq, "gh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      per.select(col("doc_id"), col("n_grams"), col("n_dup"),
+          expr("n_dup * 1000000 div n_grams").as("dup_ppm"),
+          when(expr("n_dup * 1000000 div n_grams") >= 300000, 1).otherwise(0)
+            .as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val joins = (1 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      gs AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 8
+               THEN [toks[i] || ' ' || $joins for i in generate_series(1, len(toks) - 7)]
+               ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM d),
+      occ AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM (SELECT doc_id, UNNEST(grams) AS g FROM gs)),
+      dfq AS (SELECT gh, COUNT(*) AS dfc
+              FROM (SELECT DISTINCT doc_id, gh FROM occ) GROUP BY gh),
+      per AS (SELECT o.doc_id, COUNT(*) AS n_grams,
+                CAST(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM occ o JOIN dfq USING (gh) GROUP BY o.doc_id)
+      SELECT doc_id, n_grams, n_dup,
+        n_dup * 1000000 // n_grams AS dup_ppm,
+        CASE WHEN n_dup * 1000000 // n_grams >= 300000 THEN 1 ELSE 0 END AS flagged
+      FROM per ORDER BY doc_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
+    codeExtractQ, dupNgramFractionQ,
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,

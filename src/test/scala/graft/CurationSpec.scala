@@ -97,4 +97,56 @@ class CurationSpec extends AnyFunSuite {
     val rate = out.map(_._4).sum.toDouble / out.map(_._2).sum.toDouble
     assert(rate > 0.15 && rate < 0.25, s"mask rate $rate far from 0.2")
   }
+
+  test("code_extract laws: block count follows the synthesis rule; code mass equals fence payloads") {
+    val spark = TestSpark.spark
+    val out = graft.queries.TextQueries.codeExtractQ
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_blocks", "code_chars", "langs", "has_code").collect()
+    assert(out.nonEmpty)
+    val texts = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, nb, cc, langs, hc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4))
+      val expectBlocks = (if (id % 4 == 0) 1 else 0) + (if (id % 8 == 0) 1 else 0)
+      assert(nb == expectBlocks, s"doc $id: n_blocks $nb != $expectBlocks")
+      assert(hc == (if (expectBlocks > 0) 1 else 0))
+      val t = texts(id)
+      def slice(from: Int, len: Int): String =
+        if (t.length < from) "" else t.substring(from - 1, math.min(t.length, from - 1 + len))
+      // fence bodies carry a leading slice + trailing newline each
+      val expectChars =
+        (if (id % 4 == 0) slice(41, 60).length + 1 else 0) +
+          (if (id % 8 == 0) slice(101, 30).length + 1 else 0)
+      assert(cc == expectChars, s"doc $id: code_chars $cc != $expectChars")
+      assert(langs == (if (id % 8 == 0) "python,sql" else if (id % 4 == 0) "python" else ""))
+    }
+  }
+
+  test("dup_ngram_fraction: independent recompute on the corpus; both verdict classes fire") {
+    val spark = TestSpark.spark
+    val out = graft.queries.TextQueries.dupNgramFractionQ
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_grams", "n_dup", "dup_ppm", "flagged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    def grams(ts: Seq[String]): Seq[String] =
+      if (ts.length >= 8) ts.sliding(8).map(_.mkString(" ")).toSeq
+      else Seq(ts.mkString(" "))
+    val docSets = docs.map { case (id, ts) => id -> grams(ts).toSet }.toMap
+    val dfc = docSets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    out.foreach { case (id, ng, nd, ppm, fl) =>
+      val gs = grams(docs.toMap.apply(id))
+      assert(ng == gs.length, s"doc $id gram count")
+      val expDup = gs.count(g => dfc(g) >= 2)
+      assert(nd == expDup, s"doc $id dup count: $nd != $expDup")
+      assert(ppm == nd * 1000000L / ng)
+      assert(fl == (if (ppm >= 300000) 1 else 0))
+    }
+    assert(out.exists(_._5 == 1) && out.exists(_._5 == 0), "verdict classes vacuous")
+  }
 }
