@@ -460,7 +460,41 @@ object MiscQueries {
         ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** Temporal train/eval split — time-based decontamination (train on the
+    * past, evaluate on the future; the leakage-free split for anything
+    * with a clock: event streams, versioned crawls, market data). The
+    * cutoff is RANK-derived, not a wall-clock constant: ordered by
+    * (ts, event_id) — a total order — the first 90% of events are train,
+    * the rest eval, so the rule replays on any snapshot without float
+    * quantiles. Rank is [[graft.operators.Sharding.globalRank]]
+    * (distributed sort + zipWithIndex, never a single-partition Window
+    * over the corpus); the 90% gate is an integer cross-multiply
+    * (10·rank ≤ 9·n). At 100 TB: one range-partitioned sort + a one-row
+    * count broadcast. */
+  val timeSplitQ = QueryDef("time_split",
+    (s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_id"), col("ts"))
+      val tot = ev.agg(count(lit(1)).as("n"))
+      graft.operators.Sharding.globalRank(ev, Seq(col("ts").asc, col("event_id").asc))
+        .crossJoin(broadcast(tot))
+        .select(col("event_id"),
+          expr("ts div 1000000000").as("ts_sec"),
+          (col("rank") + 1).as("rank"),
+          when((col("rank") + 1) * 10 <= col("n") * 9, "train").otherwise("eval")
+            .as("split"))
+        .orderBy("event_id")
+    },
+    Some("""WITH t AS (SELECT event_id, epoch_ns(ts) AS tsn FROM events),
+      r AS (SELECT event_id, tsn,
+              ROW_NUMBER() OVER (ORDER BY tsn ASC, event_id ASC) AS rank
+            FROM t),
+      tot AS (SELECT COUNT(*) AS n FROM t)
+      SELECT event_id, tsn // 1000000000 AS ts_sec, rank,
+        CASE WHEN rank * 10 <= n * 9 THEN 'train' ELSE 'eval' END AS split
+      FROM r CROSS JOIN tot ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
-    componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr)
+    componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
+    timeSplitQ)
 }

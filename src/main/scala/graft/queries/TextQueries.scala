@@ -945,8 +945,110 @@ object TextQueries {
       FROM per ORDER BY doc_id"""
     })
 
+  /** Tokenizer-vocabulary coverage curve — the vocab-size selection
+    * evidence: cumulative corpus share of the top-k tokens as k grows
+    * (a tokenizer team reads this to pick a vocab budget; coverage ppm
+    * at k=30 vs k=8 quantifies the tail). One map-side-partial token
+    * count (output bounded by vocab size), then rank/cumsum on the
+    * vocab-sized frame — the single-partition window is safe for the
+    * same documented reason as vocab_topk: it runs over an AGGREGATE
+    * whose cardinality is the vocabulary, not the corpus. Integer-ppm
+    * shares; total order (count desc, token asc). */
+  val vocabCoverageQ = QueryDef("vocab_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_cnt", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 30)
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("tok"), col("cnt"), col("cum_cnt"),
+          expr("cum_cnt * 1000000 div total").as("cum_ppm"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH c AS (SELECT t AS tok, COUNT(*) AS cnt
+        FROM (SELECT UNNEST($toksSql) AS t FROM documents) GROUP BY t),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+      r AS (SELECT tok, cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+              CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+            FROM c)
+      SELECT rank, tok, cnt, cum_cnt,
+        cum_cnt * 1000000 // total AS cum_ppm
+      FROM r CROSS JOIN tot WHERE rank <= 30 ORDER BY rank"""))
+
+  /** Unicode-script detection — the multilingual-corpus complement of
+    * lang_id: per-document character histogram over script classes
+    * (Latin / Cyrillic / CJK), dominant script (argmax, ties
+    * latin > cyrillic > cjk), and a mixed-script flag when the
+    * second-largest script holds ≥ 5% of characters (mixed-script pages
+    * are a spam/injection signal in crawl curation). Pages are
+    * synthesized so all three dominant classes and both mixed classes
+    * fire at every scale (doc_id % 5 picks a majority-Cyrillic,
+    * majority-CJK, or untouched-Latin page). Counting is pure regex
+    * char-class arithmetic riding the scan — zero shuffle; literal-char
+    * classes keep Java-regex and RE2 semantics identical (the
+    * url_normalize parity discipline). Integer-ppm shares. */
+  val scriptDetectQ = QueryDef("script_detect",
+    (s, dir) => {
+      val page = when(col("doc_id") % 5 === 0,
+          concat(expr("repeat('привет ', 40)"), substring(col("text"), 1, 30)))
+        .when(col("doc_id") % 5 === 1,
+          concat(expr("repeat('你好 ', 60)"), substring(col("text"), 1, 30)))
+        .otherwise(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), page.as("pg"))
+        .select(col("doc_id"),
+          length(col("pg")).cast("long").as("n_chars"),
+          length(regexp_replace(col("pg"), "[^a-z]", "")).cast("long").as("lat"),
+          (length(col("pg")) - length(regexp_replace(col("pg"), "[привет]", "")))
+            .cast("long").as("cyr"),
+          (length(col("pg")) - length(regexp_replace(col("pg"), "[你好]", "")))
+            .cast("long").as("cjk"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("lat * 1000000 div n_chars").as("latin_ppm"),
+          expr("cyr * 1000000 div n_chars").as("cyr_ppm"),
+          expr("cjk * 1000000 div n_chars").as("cjk_ppm"),
+          when(col("lat") >= col("cyr") && col("lat") >= col("cjk"), "latin")
+            .when(col("cyr") >= col("cjk"), "cyrillic")
+            .otherwise("cjk").as("dominant"),
+          when((col("lat") + col("cyr") + col("cjk")
+              - greatest(col("lat"), col("cyr"), col("cjk"))
+              - least(col("lat"), col("cyr"), col("cjk"))) * 20 >= col("n_chars"), 1)
+            .otherwise(0).as("mixed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pg AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN repeat('привет ', 40) || substring(text, 1, 30)
+             WHEN doc_id % 5 = 1 THEN repeat('你好 ', 60) || substring(text, 1, 30)
+             ELSE text END AS pg
+      FROM documents),
+      m AS (SELECT doc_id,
+          CAST(length(pg) AS BIGINT) AS n_chars,
+          CAST(length(regexp_replace(pg, '[^a-z]', '', 'g')) AS BIGINT) AS lat,
+          CAST(length(pg) - length(regexp_replace(pg, '[привет]', '', 'g')) AS BIGINT) AS cyr,
+          CAST(length(pg) - length(regexp_replace(pg, '[你好]', '', 'g')) AS BIGINT) AS cjk
+        FROM pg)
+      SELECT doc_id, n_chars,
+        lat * 1000000 // n_chars AS latin_ppm,
+        cyr * 1000000 // n_chars AS cyr_ppm,
+        cjk * 1000000 // n_chars AS cjk_ppm,
+        CASE WHEN lat >= cyr AND lat >= cjk THEN 'latin'
+             WHEN cyr >= cjk THEN 'cyrillic'
+             ELSE 'cjk' END AS dominant,
+        CASE WHEN (lat + cyr + cjk - greatest(lat, cyr, cjk) - least(lat, cyr, cjk)) * 20
+                  >= n_chars THEN 1 ELSE 0 END AS mixed
+      FROM m ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
-    codeExtractQ, dupNgramFractionQ,
+    codeExtractQ, dupNgramFractionQ, vocabCoverageQ, scriptDetectQ,
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,

@@ -149,4 +149,64 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(out.exists(_._5 == 1) && out.exists(_._5 == 0), "verdict classes vacuous")
   }
+
+  test("vocab_coverage: rank is a total order, cumulative share is monotone and exact") {
+    val out = graft.queries.TextQueries.vocabCoverageQ
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("rank", "tok", "cnt", "cum_cnt", "cum_ppm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == out.indices.map(_ + 1L).toSeq)   // contiguous ranks from 1
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })  // (cnt desc, tok asc) order
+    // cum_cnt is the running sum of cnt
+    assert(out.map(_._3).scanLeft(0L)(_ + _).tail.toSeq == out.map(_._4).toSeq)
+    assert(out.map(_._5).sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    assert(out.last._5 > 900000, "top-30 should cover most of a 31-word vocab corpus")
+  }
+
+  test("script_detect: ppm shares recompute from the synthesized page; dominant/mixed law") {
+    val spark = TestSpark.spark
+    val texts = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.queries.TextQueries.scriptDetectQ
+      .spark(spark, "/root/testdata/sf0.001")
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val page =
+        if (id % 5 == 0) "привет " * 40 + texts(id).take(30)
+        else if (id % 5 == 1) "你好 " * 60 + texts(id).take(30)
+        else texts(id)
+      val lat = page.count(c => c >= 'a' && c <= 'z')
+      val cyr = page.count("привет".contains(_))
+      val cjk = page.count("你好".contains(_))
+      assert(r.getLong(1) == page.length)
+      assert(r.getLong(2) == lat.toLong * 1000000 / page.length)
+      assert(r.getLong(3) == cyr.toLong * 1000000 / page.length)
+      assert(r.getLong(4) == cjk.toLong * 1000000 / page.length)
+      val dom = if (lat >= cyr && lat >= cjk) "latin" else if (cyr >= cjk) "cyrillic" else "cjk"
+      assert(r.getString(5) == dom)
+      val sec = lat + cyr + cjk - math.max(lat, math.max(cyr, cjk)) - math.min(lat, math.min(cyr, cjk))
+      assert(r.getInt(6) == (if (sec * 20 >= page.length) 1 else 0))
+    }
+    assert(out.map(_.getString(5)).toSet == Set("latin", "cyrillic", "cjk"))
+  }
+
+  test("time_split: 90/10 by rank, boundary is time-monotone under the total order") {
+    val out = graft.queries.MiscQueries.timeSplitQ
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts_sec", "rank", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val n = out.length
+    val train = out.filter(_._4 == "train")
+    assert(train.length == n * 9 / 10)
+    // ranks are a permutation of 1..n and train is exactly the rank prefix
+    assert(out.map(_._3).sorted.toSeq == (1L to n.toLong).toSeq)
+    assert(train.forall(_._3 * 10 <= n * 9L))
+    // no eval event precedes a train event in time
+    val maxTrainTs = train.map(_._2).max
+    val minEvalTs = out.filter(_._4 == "eval").map(_._2).min
+    assert(maxTrainTs <= minEvalTs)
+  }
 }
