@@ -1047,8 +1047,98 @@ object TextQueries {
                   >= n_chars THEN 1 ELSE 0 END AS mixed
       FROM m ORDER BY doc_id"""))
 
+  /** LSH banding-parameter calibration — the report a dedup owner reads
+    * BEFORE committing a banding to a 100 TB run: for each (bands,
+    * rows-per-band) split of the k = 32 signature, the candidate-pair
+    * count (≈ cluster-join cost), precision against exact shingle Jaccard
+    * ≥ 0.5, and recall against the POOLED truth (true pairs found by any
+    * swept config — the IR pooling methodology; exact all-pairs truth is
+    * O(n²) and is exactly what this query exists to avoid). Signatures
+    * are computed ONCE and each config re-bands the same 32 minhashes —
+    * banding is free, only the candidate joins differ. Permissive 16×2
+    * banding maximizes recall at low precision; strict 4×8 the reverse —
+    * the swept report quantifies that trade on the operator's own corpus.
+    * Integer-ppm metrics; every stage (signatures, bands, candidates,
+    * exact Jaccard, pool) replays in SQL. */
+  val lshCalibrationQ = QueryDef("lsh_calibration",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sh = docs
+        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+        .localCheckpoint() // read by the signature build and all three verify joins
+      val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+        .select("doc_id", "sig").localCheckpoint()
+      val perCfg = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+        Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+            bands = b, rowsPerBand = r, replayable = true)
+          .select("id_a", "id_b")
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+          .select(lit(b).as("bands"), lit(r).as("rpb"), col("id_a"), col("id_b"),
+            (col("inter").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+              .as("tj"))
+      }
+      val ac = perCfg.reduce(_ unionByName _).localCheckpoint()
+      val pool = ac.filter(col("tj") >= 0.5).select("id_a", "id_b").distinct()
+        .agg(count(lit(1)).as("pool_n"))
+      ac.groupBy("bands", "rpb")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("tj") >= 0.5, 1L).otherwise(0L)).as("n_true"))
+        .crossJoin(broadcast(pool))
+        .select(col("bands"), col("rpb"), col("n_candidates"), col("n_true"),
+          expr("n_true * 1000000 div n_candidates").as("precision_ppm"),
+          expr("n_true * 1000000 div pool_n").as("recall_vs_pool_ppm"))
+        .orderBy("bands")
+    },
+    Some {
+      val k = 32
+      val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
+      def bandSelects(bands: Int, rpb: Int) = (0 until bands).map { b =>
+        val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
+      }.mkString(" UNION ALL ")
+      def cfgCtes(tag: String, bands: Int, rpb: Int) =
+        s"""bd$tag AS (${bandSelects(bands, rpb)}),
+      cand$tag AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bd$tag a JOIN bd$tag b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id),
+      tj$tag AS (SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+               CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) AS tj
+             FROM cand$tag c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b)"""
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      ex AS (SELECT doc_id, UNNEST(sh) AS t FROM g),
+      th AS (SELECT doc_id,
+        CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
+        CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
+      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      ${cfgCtes("A", 16, 2)},
+      ${cfgCtes("B", 8, 4)},
+      ${cfgCtes("C", 4, 8)},
+      ac AS (SELECT 16 AS bands, 2 AS rpb, id_a, id_b, tj FROM tjA
+             UNION ALL SELECT 8, 4, id_a, id_b, tj FROM tjB
+             UNION ALL SELECT 4, 8, id_a, id_b, tj FROM tjC),
+      pool AS (SELECT COUNT(*) AS pool_n
+               FROM (SELECT DISTINCT id_a, id_b FROM ac WHERE tj >= 0.5)),
+      sm AS (SELECT bands, rpb, COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN tj >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+             FROM ac GROUP BY bands, rpb)
+      SELECT bands, rpb, n_candidates, n_true,
+        n_true * 1000000 // n_candidates AS precision_ppm,
+        n_true * 1000000 // pool_n AS recall_vs_pool_ppm
+      FROM sm CROSS JOIN pool ORDER BY bands"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     codeExtractQ, dupNgramFractionQ, vocabCoverageQ, scriptDetectQ,
+    lshCalibrationQ,
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,

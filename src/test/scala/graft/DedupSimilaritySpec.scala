@@ -692,4 +692,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // clean rows never reach the gate
     assert(!flagged.exists(_._1 < 1000L))
   }
+
+  test("lsh_calibration: candidate sets nest strict ⊆ permissive; metrics are consistent") {
+    // A (4×8) band collision means 8 consecutive signature positions agree,
+    // which implies both constituent (8×4) bands agree, which implies all
+    // four constituent (16×2) bands agree — candidates must nest.
+    val spark = TestSpark.spark
+    val sh = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), array_sort(TextFunctions.wordShingles(col("text"), 2)).as("sh"))
+    val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32).select("doc_id", "sig")
+    def cands(b: Int, r: Int): Set[(Long, Long)] =
+      Dedup.lshCandidatePairs(sigs, "doc_id", "sig", bands = b, rowsPerBand = r,
+          replayable = true)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (c16, c8, c4) = (cands(16, 2), cands(8, 4), cands(4, 8))
+    assert(c4.subsetOf(c8) && c8.subsetOf(c16), "banding candidate sets must nest")
+    assert(c4.nonEmpty && c16.size > c8.size, "sweep classes vacuous")
+    // the registered report agrees with the recomputed candidate counts
+    val rep = graft.queries.TextQueries.lshCalibrationQ
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("bands", "rpb", "n_candidates", "n_true", "precision_ppm", "recall_vs_pool_ppm")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rep((16, 2))._1 == c16.size && rep((8, 4))._1 == c8.size && rep((4, 8))._1 == c4.size)
+    rep.values.foreach { case (nc, nt, prec, rec) =>
+      assert(nt <= nc && prec == nt * 1000000L / nc && rec <= 1000000L)
+    }
+  }
 }
