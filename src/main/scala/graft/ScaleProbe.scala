@@ -331,6 +331,52 @@ object ScaleProbe {
         noop(graft.operators.Sharding.globalRank(d,
           Seq(col("epoch").asc, col("h").asc, col("doc_id").asc)))
       },
+      "decon_semantic" -> { m =>
+        // decontaminate_semantic via the SHARED stage builder: direction-
+        // salted replicas (the semantic_dedup discipline) keep cross-
+        // replica cosines below the 0.99 gate, so flagged counts stay
+        // linear while the auto-depth cross-pairs join absorbs the
+        // bucket-occupancy growth. Test fraction (vec_id % 7) is scale-
+        // invariant; the broadcast side grows with m — the probe watches
+        // the linear-in-train claim.
+        require(m <= 23, s"direction salt has period 23, got $m replicas")
+        val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val rep = (col("vec_id") / 100000000L).cast("int")
+        val base = emb0.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+          .localCheckpoint(false)
+        noop(graft.queries.DatasetQueries.decontaminationVerdicts(base))
+      },
+      "dup_ngrams" -> { m =>
+        // dup_ngram_fraction via the SHARED stage builder: salted replicas
+        // are 8-gram-disjoint, so document frequencies and dup fractions
+        // are per-replica constants — occurrence volume scales with m,
+        // verdicts stay identical per replica
+        noop(graft.queries.TextQueries.dupNgramVerdicts(
+          graft.ops.Parallelism.ensure(docs(m)).select(col("doc_id"), col("text"))))
+      },
+      "lsh_calib" -> { m =>
+        // lsh_calibration via the SHARED stage builder: one signature
+        // build + three band joins; salted replicas keep per-config
+        // candidate densities linear
+        noop(graft.queries.TextQueries.lshCalibrationReport(
+          graft.ops.Parallelism.ensure(docs(m)).select(col("doc_id"), col("text"))))
+      },
+      "mm_funnel" -> { m =>
+        // pipeline_multimodal via the SHARED stage builder: pair join +
+        // CLIP gate (narrow) → survivor hash-agg dedup → kept-set snake
+        // sort. Embeddings replicate unsalted (the gate keys on doc_id
+        // parity and lang — scale-invariant fractions); captions salt so
+        // dedup groups stay per-replica.
+        val emb = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val caps = docs(m).select(col("doc_id"), col("lang"), col("text"))
+        noop(graft.queries.ExtensionQueries.multimodalFunnel(caps.join(emb, "doc_id")))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

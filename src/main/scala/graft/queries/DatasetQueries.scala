@@ -204,28 +204,34 @@ object DatasetQueries {
     * count-derived auto rule; planes are md5-derived; the oracle replays
     * depth, buckets, candidates, every cosine, and the per-train argmax
     * (sim desc, tid asc). */
+  /** Shared decontamination stages — the REGISTERED query and ScaleProbe
+    * both call this: test split → planted twins → count-derived depth →
+    * md5 planes → cross-corpus LSH candidates → per-train argmax →
+    * verdicts. */
+  def decontaminationVerdicts(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val test = base.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("tid"), col("embedding").as("tvec"))
+    val planted = test.select((col("tid") + lit(2000000L)).as("vec_id"),
+      transform(col("tvec"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
+          .cast("float")).as("embedding"))
+    val train = base.filter(col("vec_id") % 7 =!= 3).unionByName(planted)
+    val planes = Similarity.autoPlanesExact(train.count(), 64L, 8, 24)
+    val pm = Similarity.md5Planes(planes, 4, 64, "graft-decon")
+    val pairs = Similarity.lshCrossPairs(train, test, pm)
+    val best = pairs.groupBy("vec_id")
+      .agg(min(struct((-col("sim")).as("ns"), col("tid"))).as("b"))
+      .select(col("vec_id"), col("b.tid").as("match_tid"),
+        (-col("b.ns")).as("max_sim"))
+    train.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_tid"), col("max_sim"),
+        when(col("max_sim") >= 0.99, 1).otherwise(0).as("contaminated"))
+  }
+
   val decontaminateSemantic = QueryDef("decontaminate_semantic",
-    (s, dir) => {
-      val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val test = base.filter(col("vec_id") % 7 === 3)
-        .select(col("vec_id").as("tid"), col("embedding").as("tvec"))
-      val planted = test.select((col("tid") + lit(2000000L)).as("vec_id"),
-        transform(col("tvec"), (x, i) =>
-          (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
-            .cast("float")).as("embedding"))
-      val train = base.filter(col("vec_id") % 7 =!= 3).unionByName(planted)
-      val planes = Similarity.autoPlanesExact(train.count(), 64L, 8, 24)
-      val pm = Similarity.md5Planes(planes, 4, 64, "graft-decon")
-      val pairs = Similarity.lshCrossPairs(train, test, pm)
-      val best = pairs.groupBy("vec_id")
-        .agg(min(struct((-col("sim")).as("ns"), col("tid"))).as("b"))
-        .select(col("vec_id"), col("b.tid").as("match_tid"),
-          (-col("b.ns")).as("max_sim"))
-      train.select("vec_id").join(best, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("match_tid"), col("max_sim"),
-          when(col("max_sim") >= 0.99, 1).otherwise(0).as("contaminated"))
-        .orderBy("vec_id")
-    },
+    (s, dir) => decontaminationVerdicts(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      .orderBy("vec_id"),
     Some(deconOracleSql))
 
   // ── dedup_representative ────────────────────────────────────────────────

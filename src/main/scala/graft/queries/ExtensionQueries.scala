@@ -397,6 +397,15 @@ object ExtensionQueries {
     * one co-partitioned equi-join (caption ↔ embedding on the shared
     * key) plus a narrow map — no extra shuffle; the reason column is the
     * first-failing-stage pattern of pipeline_select. */
+  /** The deterministic image-embedding synthesis shared by
+    * `multimodal_clip_filter` and `pipeline_multimodal` — aligned
+    * perturbation for doc_id % 3 = 0 pairs, negated for the rest (a model
+    * seam fills this column in production; the gate/funnel plumbing is
+    * the product). References `doc_id` and `embedding` of the input row. */
+  private def clipImg = transform(col("embedding"), (x, i) =>
+    (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)) *
+      when(col("doc_id") % 3 === 0, lit(1.0)).otherwise(lit(-1.0))).cast("float"))
+
   val multimodalClipFilter = QueryDef("multimodal_clip_filter",
     (s, dir) => {
       import graft.operators.Similarity
@@ -404,9 +413,7 @@ object ExtensionQueries {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val caps = table(s, dir, "documents").select(col("doc_id"), col("lang"))
       caps.join(emb, "doc_id")
-        .withColumn("img", transform(col("embedding"), (x, i) =>
-          (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)) *
-            when(col("doc_id") % 3 === 0, lit(1.0)).otherwise(lit(-1.0))).cast("float")))
+        .withColumn("img", clipImg)
         .withColumn("clip_sim", Similarity.cosine(col("embedding"), col("img")))
         .withColumn("lang_ok", when(col("lang") === "en", 1).otherwise(0))
         .withColumn("sim_ok", when(col("clip_sim") >= 0.28, 1).otherwise(0))
@@ -442,9 +449,104 @@ object ExtensionQueries {
              ELSE 'kept' END AS reason
       FROM s ORDER BY doc_id"""))
 
+  /** Shared multimodal-funnel stages — the REGISTERED query and ScaleProbe
+    * both call this on a (doc_id, lang, text, embedding) frame:
+    * CLIP gate → caption exact dedup among survivors → char-balanced
+    * snake sharding of the kept set. */
+  def multimodalFunnel(paired: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{Dedup, Sharding, Similarity}
+    val scored = paired
+      .withColumn("img", clipImg)
+      .withColumn("clip_sim", Similarity.cosine(col("embedding"), col("img")))
+      .withColumn("gate_ok",
+        when(col("lang") === "en" && col("clip_sim") >= 0.28, 1).otherwise(0))
+      .select("doc_id", "lang", "text", "clip_sim", "gate_ok")
+      .localCheckpoint() // read by the kept chain and the final verdict join
+    val k = scored.filter(col("gate_ok") === 1)
+      .select(col("doc_id"), md5(Dedup.bagOfWordsKey(col("text"))).as("ch"),
+        length(col("text")).cast("long").as("n_chars"))
+    val grp = k.groupBy("ch").agg(min(col("doc_id")).as("keep_id"))
+    val kk = k.join(grp, "ch")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") === col("keep_id"), 1).otherwise(0).as("dup_ok"))
+    val sh = Sharding.snakeShards(
+        kk.filter(col("dup_ok") === 1).select("doc_id", "n_chars"),
+        nShards = 4, "n_chars", "doc_id")
+      .select(col("doc_id"), col("shard"))
+    scored.select("doc_id", "lang", "clip_sim", "gate_ok")
+      .join(kk.select("doc_id", "dup_ok"), Seq("doc_id"), "left")
+      .join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("clip_sim"), col("gate_ok"),
+        coalesce(col("dup_ok"), lit(0)).as("dup_ok"),
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        when(col("gate_ok") === 0,
+            when(col("lang") =!= "en", "lang").otherwise("low_sim"))
+          .when(coalesce(col("dup_ok"), lit(0)) === 0, "dup")
+          .otherwise("kept").as("reason"))
+  }
+
+  /** Composed multimodal curation funnel — the pipeline_pretrain analog
+    * for (image, caption) pair corpora (the LAION assembly line): CLIP
+    * alignment gate (language AND cosine threshold) → exact caption dedup
+    * among gate survivors (bag-of-words key — dedup must run on the
+    * POST-gate population or dropped pairs elect keepers) → char-balanced
+    * snake sharding of the kept set. Per pair: stage verdicts, a
+    * first-failing-stage reason, and the shard (−1 dropped). All four
+    * reason classes fire at every scale (sf0.01: 282 lang / 143 low_sim /
+    * 4 dup / 71 kept). Scale shape: one co-partitioned pair join + narrow
+    * gate, one hash-agg dedup over survivors, one distributed snake sort
+    * over the kept minority — each stage the SAME builder its standalone
+    * query uses. */
+  val pipelineMultimodal = QueryDef("pipeline_multimodal",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val caps = table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      multimodalFunnel(caps.join(emb, "doc_id")).orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT d.doc_id, d.lang, d.text, e.embedding,
+          [CAST(CAST(e.embedding[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) *
+                (CASE WHEN d.doc_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT)
+           for i in generate_series(1, len(e.embedding))] AS img
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      n AS (SELECT doc_id, lang, text,
+          sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (a, b) -> a + b)) AS ne,
+          sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in img], (a, b) -> a + b)) AS ni,
+          list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(img[i] AS DOUBLE)
+                       for i in generate_series(1, len(embedding))], (a, b) -> a + b) AS dp
+        FROM p),
+      g AS (SELECT doc_id, lang, text,
+          CASE WHEN ne > 0 AND ni > 0 THEN dp / (ne * ni) ELSE 0.0 END AS clip_sim,
+          CASE WHEN lang = 'en' AND (CASE WHEN ne > 0 AND ni > 0 THEN dp / (ne * ni) ELSE 0.0 END) >= 0.28
+               THEN 1 ELSE 0 END AS gate_ok
+        FROM n),
+      k AS (SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS ch,
+          CAST(length(text) AS BIGINT) AS n_chars
+        FROM g WHERE gate_ok = 1),
+      grp AS (SELECT ch, MIN(doc_id) AS keep_id FROM k GROUP BY ch),
+      kk AS (SELECT k.doc_id, k.n_chars,
+               CASE WHEN k.doc_id = grp.keep_id THEN 1 ELSE 0 END AS dup_ok
+             FROM k JOIN grp USING (ch)),
+      r AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank
+            FROM kk WHERE dup_ok = 1),
+      sh AS (SELECT doc_id,
+               CAST(CASE WHEN (rank // 4) % 2 = 0 THEN rank % 4
+                         ELSE 3 - (rank % 4) END AS BIGINT) AS shard
+             FROM r)
+      SELECT g.doc_id, g.clip_sim, g.gate_ok,
+        COALESCE(kk.dup_ok, 0) AS dup_ok,
+        COALESCE(sh.shard, -1) AS shard,
+        CASE WHEN g.gate_ok = 0 THEN (CASE WHEN g.lang <> 'en' THEN 'lang' ELSE 'low_sim' END)
+             WHEN COALESCE(kk.dup_ok, 0) = 0 THEN 'dup'
+             ELSE 'kept' END AS reason
+      FROM g LEFT JOIN kk USING (doc_id) LEFT JOIN sh USING (doc_id)
+      ORDER BY g.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamWindowAgg, streamTopK, streamEnrich, sessionizeQ, streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
     asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash,
-    dedupImageDhashOracle, multimodalClipFilter)
+    dedupImageDhashOracle, multimodalClipFilter, pipelineMultimodal)
 }

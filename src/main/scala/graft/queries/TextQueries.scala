@@ -904,25 +904,28 @@ object TextQueries {
     * map-side-partial count over distinct (gh, doc) pairs, and the per-doc
     * rollup joins occurrences back on the same hash. Integer-ppm fraction;
     * both verdict classes fire at every scale (47/500 flagged at sf0.01). */
+  /** Shared duplicate-n-gram stages — the REGISTERED query and ScaleProbe
+    * both call this on a (doc_id, text) frame. */
+  def dupNgramVerdicts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        explode(wordNgrams(col("text"), 8, distinct = false)).as("g"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("g")).as("gh"))
+      .localCheckpoint() // read by the df agg and the per-doc rollup
+    val dfq = occ.distinct().groupBy("gh").agg(count(lit(1)).as("dfc"))
+    val per = occ.join(dfq, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    per.select(col("doc_id"), col("n_grams"), col("n_dup"),
+      expr("n_dup * 1000000 div n_grams").as("dup_ppm"),
+      when(expr("n_dup * 1000000 div n_grams") >= 300000, 1).otherwise(0)
+        .as("flagged"))
+  }
+
   val dupNgramFractionQ = QueryDef("dup_ngram_fraction",
-    (s, dir) => {
-      val n = 8
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val occ = docs
-        .select(col("doc_id"),
-          explode(wordNgrams(col("text"), n, distinct = false)).as("g"))
-        .select(col("doc_id"), Dedup.md5Hash60(col("g")).as("gh"))
-        .localCheckpoint() // read by the df agg and the per-doc rollup
-      val dfq = occ.distinct().groupBy("gh").agg(count(lit(1)).as("dfc"))
-      val per = occ.join(dfq, "gh")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
-          sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup"))
-      per.select(col("doc_id"), col("n_grams"), col("n_dup"),
-          expr("n_dup * 1000000 div n_grams").as("dup_ppm"),
-          when(expr("n_dup * 1000000 div n_grams") >= 300000, 1).otherwise(0)
-            .as("flagged"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => dupNgramVerdicts(
+        table(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("doc_id"),
     Some {
       val joins = (1 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1060,38 +1063,42 @@ object TextQueries {
     * the swept report quantifies that trade on the operator's own corpus.
     * Integer-ppm metrics; every stage (signatures, bands, candidates,
     * exact Jaccard, pool) replays in SQL. */
+  /** Shared calibration stages — the REGISTERED query and ScaleProbe both
+    * call this on a (doc_id, text) frame. */
+  def lshCalibrationReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+      .localCheckpoint() // read by the signature build and all three verify joins
+    val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+      .select("doc_id", "sig").localCheckpoint()
+    val perCfg = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+          bands = b, rowsPerBand = r, replayable = true)
+        .select("id_a", "id_b")
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .select(lit(b).as("bands"), lit(r).as("rpb"), col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+            .as("tj"))
+    }
+    val ac = perCfg.reduce(_ unionByName _).localCheckpoint()
+    val pool = ac.filter(col("tj") >= 0.5).select("id_a", "id_b").distinct()
+      .agg(count(lit(1)).as("pool_n"))
+    ac.groupBy("bands", "rpb")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("tj") >= 0.5, 1L).otherwise(0L)).as("n_true"))
+      .crossJoin(broadcast(pool))
+      .select(col("bands"), col("rpb"), col("n_candidates"), col("n_true"),
+        expr("n_true * 1000000 div n_candidates").as("precision_ppm"),
+        expr("n_true * 1000000 div pool_n").as("recall_vs_pool_ppm"))
+  }
+
   val lshCalibrationQ = QueryDef("lsh_calibration",
-    (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val sh = docs
-        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint() // read by the signature build and all three verify joins
-      val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-        .select("doc_id", "sig").localCheckpoint()
-      val perCfg = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
-        Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
-            bands = b, rowsPerBand = r, replayable = true)
-          .select("id_a", "id_b")
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-          .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
-          .select(lit(b).as("bands"), lit(r).as("rpb"), col("id_a"), col("id_b"),
-            (col("inter").cast("double") /
-              (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-              .as("tj"))
-      }
-      val ac = perCfg.reduce(_ unionByName _).localCheckpoint()
-      val pool = ac.filter(col("tj") >= 0.5).select("id_a", "id_b").distinct()
-        .agg(count(lit(1)).as("pool_n"))
-      ac.groupBy("bands", "rpb")
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("tj") >= 0.5, 1L).otherwise(0L)).as("n_true"))
-        .crossJoin(broadcast(pool))
-        .select(col("bands"), col("rpb"), col("n_candidates"), col("n_true"),
-          expr("n_true * 1000000 div n_candidates").as("precision_ppm"),
-          expr("n_true * 1000000 div pool_n").as("recall_vs_pool_ppm"))
-        .orderBy("bands")
-    },
+    (s, dir) => lshCalibrationReport(
+        table(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("bands"),
     Some {
       val k = 32
       val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")

@@ -251,4 +251,25 @@ class DatasetOpsSpec extends AnyFunSuite {
     // all three reason classes fire
     assert(out.map(_.getString(6)).toSet == Set("lang", "low_sim", "kept"))
   }
+
+  test("pipeline_multimodal funnel: stage monotonicity, reason consistency, shard balance") {
+    val out = graft.queries.ExtensionQueries.pipelineMultimodal
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("doc_id", "gate_ok", "dup_ok", "shard", "reason").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    assert(out.map(_._5).toSet == Set("lang", "low_sim", "dup", "kept"))
+    out.foreach { case (id, gate, dup, shard, reason) =>
+      // funnel monotonicity: a later stage can only pass if every earlier one did
+      if (dup == 1) assert(gate == 1, s"doc $id: dup passed without gate")
+      // shard iff fully kept
+      assert((shard >= 0) == (gate == 1 && dup == 1), s"doc $id shard presence")
+      // reason is the first failing stage
+      val expected = if (gate == 0) Set("lang", "low_sim")
+                     else if (dup == 0) Set("dup") else Set("kept")
+      assert(expected.contains(reason), s"doc $id reason $reason")
+    }
+    // kept docs deal round-robin into 4 shards: count spread ≤ 1
+    val counts = out.filter(_._4 >= 0).groupBy(_._4).map(_._2.length)
+    assert(counts.size == 4 && counts.max - counts.min <= 1)
+  }
 }
