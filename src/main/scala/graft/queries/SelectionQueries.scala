@@ -211,11 +211,14 @@ object SelectionQueries {
 
   // ── cluster_assign ──────────────────────────────────────────────────────
 
-  private def clusterAssignOracleSql: String = {
+  /** Assignment CTE chain ending in `a(vec_id, cluster, sim)` — shared by
+    * the `cluster_assign` and `cluster_balance` oracles. Callers prepend
+    * `WITH `. */
+  private def clusterAssignCtes: String = {
     val centRows = (0 until nClusters).map(c =>
       s"SELECT $c AS c, [${centroidInts(c).mkString(",")}] AS hs")
       .mkString(" UNION ALL ")
-    s"""WITH ct AS ($centRows),
+    s"""ct AS ($centRows),
       cu AS (SELECT c,
                [CAST(CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS FLOAT) for h in hs] AS u
              FROM ct),
@@ -230,11 +233,14 @@ object SelectionQueries {
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, c ASC) AS rn
             FROM dots),
       a AS (SELECT vec_id, CAST(c AS BIGINT) AS cluster, ROUND(cs, 6) AS sim
-            FROM r WHERE rn = 1),
+            FROM r WHERE rn = 1)"""
+  }
+
+  private def clusterAssignOracleSql: String =
+    s"""WITH $clusterAssignCtes,
       z AS (SELECT cluster, COUNT(*) AS n_members FROM a GROUP BY cluster)
       SELECT a.vec_id, a.cluster, a.sim, z.n_members
       FROM a JOIN z USING (cluster) ORDER BY a.vec_id"""
-  }
 
   /** Nearest-centroid topic assignment under a FIXED codebook — the
     * deployment-time path of k-means topic bucketing (SemDeDup clusters,
@@ -1207,8 +1213,81 @@ object SelectionQueries {
                THEN anneal_budget * n_tokens // anneal_pool ELSE 0 END AS schedule_tokens
       FROM p ORDER BY source"""))
 
+  /** Topic-diversity report over the fixed-codebook assignment — the
+    * mixture-design dashboard beside `cluster_assign`: per topic cluster
+    * the member count, corpus share (ppm), absolute deviation from the
+    * uniform share, and an over-representation verdict. A skewed topic
+    * distribution is the signal that triggers cluster-balanced resampling
+    * (the D4/SemDeDup re-weighting step). Empty clusters REPORT (grid
+    * left-join) — a dead topic is exactly what the dashboard must show.
+    * Scale shape: one narrow argmax pass + one count agg + an 8-row grid
+    * join; integer-ppm arithmetic throughout. */
+  val clusterBalance = QueryDef("cluster_balance",
+    (s, dir) => {
+      val assigned = table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_max(array(clusterArgmaxEntries(col("embedding")): _*)).as("best"))
+        .select(col("vec_id"), (-col("best.nc")).cast("long").as("cluster"))
+      val z = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      val grid = s.range(nClusters).select(col("id").as("cluster"))
+      val zz = grid.join(z, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("n_members"), lit(0L)).as("n_members"))
+      val tot = zz.agg(sum(col("n_members")).as("n"))
+      val uniform = 1000000L / nClusters
+      zz.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_members"),
+          expr("n_members * 1000000 div n").as("share_ppm"),
+          abs(expr("n_members * 1000000 div n") - lit(uniform)).as("dev_ppm"),
+          when(expr("n_members * 1000000 div n") > uniform, 1).otherwise(0)
+            .as("over_rep"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH $clusterAssignCtes,
+      z AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members FROM a GROUP BY cluster),
+      grid AS (SELECT CAST(i AS BIGINT) AS cluster FROM generate_series(0, ${nClusters - 1}) g(i)),
+      zz AS (SELECT grid.cluster, COALESCE(z.n_members, 0) AS n_members
+             FROM grid LEFT JOIN z USING (cluster)),
+      tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS n FROM zz)
+      SELECT zz.cluster, zz.n_members,
+        zz.n_members * 1000000 // tot.n AS share_ppm,
+        ABS(zz.n_members * 1000000 // tot.n - ${1000000L / nClusters}) AS dev_ppm,
+        CASE WHEN zz.n_members * 1000000 // tot.n > ${1000000L / nClusters}
+             THEN 1 ELSE 0 END AS over_rep
+      FROM zz CROSS JOIN tot ORDER BY zz.cluster"""))
+
+  /** Curriculum ordering — the length-based curriculum schedule (Bengio et
+    * al. 2009's canonical difficulty proxy): the corpus sorted easy→hard
+    * by (token count asc, doc_id) with a 1-based training ORDER and an
+    * integer-tercile phase (1 = warmup short docs, 3 = long-context
+    * tail). The loader consumes `rank` directly; phase boundaries feed
+    * staged context-length schedules. Rank is the distributed
+    * [[graft.operators.Sharding.globalRank]] sort (never a corpus-wide
+    * Window); phase is pure integer (3·rank0) div n + 1. */
+  val curriculumOrder = QueryDef("curriculum_order",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      graft.operators.Sharding.globalRank(docs,
+          Seq(col("n_tokens").asc, col("doc_id").asc))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_tokens"), (col("rank") + 1).as("rank"),
+          (expr("(3 * rank) div n") + 1).as("phase"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+              ROW_NUMBER() OVER (ORDER BY n_tokens ASC, doc_id ASC) - 1 AS rank0
+            FROM t),
+      tot AS (SELECT COUNT(*) AS n FROM t)
+      SELECT doc_id, n_tokens, rank0 + 1 AS rank,
+        (3 * rank0) // n + 1 AS phase
+      FROM r CROSS JOIN tot ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, pipelineSelect, pipelinePretrain,
-      qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal)
+      qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
+      clusterBalance, curriculumOrder)
 }

@@ -441,4 +441,41 @@ class SelectionSpec extends AnyFunSuite {
       graft.queries.Tables.table(spark, sf, "documents")).count()
     assert(out.length == scored)
   }
+
+  test("cluster_balance: shares account for the corpus, deviation and verdicts recompute") {
+    val out = SelectionQueries.clusterBalance
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("cluster", "n_members", "share_ppm", "dev_ppm", "over_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.map(_._1).toSeq == (0L until 8L))
+    val n = out.map(_._2).sum
+    // assignment partition: members across clusters == corpus size
+    val corpus = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert(n == corpus)
+    out.foreach { case (_, m, share, dev, over) =>
+      assert(share == m * 1000000L / n)
+      assert(dev == math.abs(share - 125000L))
+      assert(over == (if (share > 125000L) 1 else 0))
+    }
+    // floor-division shares sum to ≤ 1e6 within 8 ulps
+    val s = out.map(_._3).sum
+    assert(s <= 1000000L && s > 1000000L - 8)
+  }
+
+  test("curriculum_order: rank is the (n_tokens, doc_id) total order; terciles balance") {
+    val out = SelectionQueries.curriculumOrder
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_tokens", "rank", "phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    assert(out.map(_._3).sorted.toSeq == (1L to n.toLong))
+    // rank respects the easy→hard order
+    val byRank = out.sortBy(_._3)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)); case _ => }
+    // phases are contiguous rank blocks of near-equal size
+    val sizes = out.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.length == 3 && sizes.max - sizes.min <= 1)
+    byRank.foreach { case (_, _, r, p) => assert(p == 3 * (r - 1) / n + 1) }
+  }
 }
