@@ -861,9 +861,95 @@ object SimilarityQueries {
         ROUND(MAX(nrm), 6) AS max_norm
       FROM f GROUP BY label ORDER BY label"""))
 
+  private def ivfProbeSweepSql: String = {
+    val probes = Seq(1, 2, 4, 8)
+    val perProbe = probes.map { p =>
+      s"""qp$p AS (SELECT qid, c AS list_id FROM qr WHERE rn <= $p),
+      pr$p AS (SELECT q.qid, d.vec_id,
+          CASE WHEN d.nrm > 0 AND q.qnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.nrm * q.qnrm)
+               ELSE 0.0 END AS sim
+        FROM qp$p
+        JOIN asg ON qp$p.list_id = asg.list_id
+        JOIN d ON asg.vec_id = d.vec_id
+        JOIN q ON qp$p.qid = q.qid
+        WHERE d.vec_id <> q.qid),
+      r$p AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM pr$p) WHERE rank <= $annK),
+      h$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM r$p JOIN bfr USING (qid, vec_id))"""
+    }.mkString(",\n      ")
+    val sel = probes.map(p =>
+      s"SELECT $p AS n_probe, h$p.hits, h$p.hits * 1000000 // tot.n_rel AS recall_ppm FROM h$p CROSS JOIN tot")
+      .mkString(" UNION ALL ")
+    s"""WITH ct AS ($ivfCentroidRowsSql),
+      cu AS (SELECT c, [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM ct),
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      ad AS (SELECT d.vec_id, cu.c, ${l2Sql("d.embedding", "cu.u")} AS dist FROM d, cu),
+      asg AS (SELECT vec_id, c AS list_id
+              FROM (SELECT vec_id, c,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+                    FROM ad) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+            FROM d WHERE vec_id % 50 = 0),
+      qr AS (SELECT q.qid, cu.c,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY ${l2Sql("q.qe", "cu.u")} ASC, cu.c ASC) AS rn
+             FROM q, cu),
+      bfp AS (SELECT q.qid, d.vec_id,
+          CASE WHEN d.nrm > 0 AND q.qnrm > 0
+               THEN ${dotSql("d.embedding", "q.qe")} / (d.nrm * q.qnrm)
+               ELSE 0.0 END AS sim
+        FROM d, q WHERE d.vec_id <> q.qid),
+      bfr AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM bfp) WHERE rank <= $annK),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM bfr),
+      $perProbe
+      $sel ORDER BY n_probe"""
+  }
+
+  /** IVF probe-budget sweep — the ANN analog of lsh_calibration (the
+    * report an index owner reads before fixing nProbe in production):
+    * recall@$k$ against in-engine brute force at nProbe ∈ {1, 2, 4, 8}
+    * over the SAME md5-codebook index the ann_ivf_topk_oracle machinery
+    * runs, so the entire sweep — assignment, probe ordering, candidate
+    * joins, both rankings, the hit counts — replays in SQL. The nProbe=8
+    * row probes every list and must read recall_ppm = 1000000 exactly
+    * (candidate set degenerates to brute force): a self-certifying anchor
+    * hashed alongside the curve. Scale shape: one shared assignment, four
+    * probed candidate joins each touching nProbe/nLists of the corpus,
+    * one broadcast brute-force truth (the sweep runs on a SAMPLE in
+    * production — that is its entire point). */
+  val ivfProbeSweep = QueryDef("ivf_probe_sweep",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val index = graft.operators.Ivf.fromCenters(emb, ivfOracleCenters)
+      val q = annQueries(emb)
+      val bf = Similarity.bruteForceTopK(emb, q, annK)
+        .select("qid", "vec_id").localCheckpoint() // truth read by all 4 sweeps
+      val tot = bf.agg(count(lit(1)).as("n_rel"))
+      Seq(1, 2, 4, 8).map { p =>
+        graft.operators.Ivf.topK(index, q, k = annK, nProbe = p)
+          .select("qid", "vec_id")
+          .join(bf, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(p).as("n_probe"), col("hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("n_probe"), col("hits"),
+          expr("hits * 1000000 div n_rel").as("recall_ppm"))
+        .orderBy("n_probe")
+    },
+    Some(ivfProbeSweepSql))
+
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
     annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
     annMatryoshkaTopK, annRecall, quantizeEmbeddings, kmeansTrainOracle,
-    embeddingStatsQ)
+    embeddingStatsQ, ivfProbeSweep)
 }

@@ -720,4 +720,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(nt <= nc && prec == nt * 1000000L / nc && rec <= 1000000L)
     }
   }
+
+  test("ivf_probe_sweep: recall is monotone in probe budget; full probe is exactly brute force") {
+    val out = graft.queries.SimilarityQueries.ivfProbeSweep
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("n_probe", "hits", "recall_ppm").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // more probes can only add candidates → recall is monotone
+    out.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3); case _ => }
+    // probing every list IS brute force — the anchor row must be exact
+    assert(out.last._3 == 1000000L, s"full-probe recall ${out.last._3} != 1e6")
+    // the curve is non-trivial: the 1-probe row misses something
+    assert(out.head._3 < 1000000L)
+  }
 }
