@@ -693,7 +693,43 @@ object DatasetQueries {
       FROM ps JOIN dom USING (source) JOIN dd USING (source) CROSS JOIN tot
       ORDER BY ps.source"""))
 
+  /** Cross-source duplication provenance matrix — WHICH sources copy
+    * WHICH (licensing/attribution forensics, vendor-corpus overlap
+    * pricing; corpus_overlap answers "how similar", this answers "how
+    * many literal duplicates"): per source pair, the number of exact
+    * bag-of-words duplicate DOCUMENT pairs spanning the two sources and
+    * the number of shared content groups. Scale shape: one hash-agg to
+    * (content, source) counts — output bounded by distinct contents —
+    * then a self-join on content hash whose fan-out is per-group
+    * #sources², never corpus²; cross-pair counts are exact integer
+    * products. Only pairs with ≥1 shared group emit (a 0-filled
+    * #sources² grid would bury the signal). */
+  val sourceDedupMatrix = QueryDef("source_dedup_matrix",
+    (s, dir) => {
+      val keyed = table(s, dir, "documents")
+        .select(col("source"), md5(Dedup.bagOfWordsKey(col("text"))).as("ch"))
+      val bySrc = keyed.groupBy("ch", "source").agg(count(lit(1)).as("c"))
+      bySrc.select(col("ch"), col("source").as("src_a"), col("c").as("ca"))
+        .join(bySrc.select(col("ch"), col("source").as("src_b"), col("c").as("cb")), "ch")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("ca") * col("cb")).as("n_dup_pairs"),
+          count(lit(1)).as("n_shared_groups"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH k AS (SELECT source,
+        md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS ch
+      FROM documents),
+      bs AS (SELECT ch, source, COUNT(*) AS c FROM k GROUP BY ch, source),
+      p AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
+            FROM bs a JOIN bs b ON a.ch = b.ch AND a.source < b.source)
+      SELECT src_a, src_b,
+        CAST(SUM(ca * cb) AS BIGINT) AS n_dup_pairs,
+        COUNT(*) AS n_shared_groups
+      FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
+
   val defs: Seq[QueryDef] =
     Seq(dedupSemantic, decontaminateSemantic, dedupRepresentative,
-      dedupSoftWeights, corpusOverlap, shardAssign, corpusDrift, dataCardQ)
+      dedupSoftWeights, corpusOverlap, shardAssign, corpusDrift, dataCardQ,
+      sourceDedupMatrix)
 }

@@ -460,6 +460,96 @@ object MiscQueries {
         ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** HITS rounds as a reusable builder — the REGISTERED query and any
+    * probe share it. Same deterministic synthetic link graph as
+    * [[pagerankRanked]] (two multiplicative-hash out-links per page plus
+    * the planted hub), 2 hub/authority iterations. ALL arithmetic is
+    * integer: scores in 1e9 micro-units, per-step max-normalization as
+    * `x div greatest(max div 1e9, 1)` — a pure integer divide chain that
+    * (a) keeps every sum exact in any accumulation order, (b) can never
+    * overflow int64 (raw sums ≤ indeg·1e9; no multiply), and (c) replays
+    * bit-for-bit in any engine. Per iteration: two sum shuffles (src,
+    * dst) + two one-row max broadcasts; scores localCheckpointed per
+    * round (the components_star discipline). */
+  def hitsScored(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val S = 1000000000L
+    val docs = ids.select(col("doc_id")).localCheckpoint()
+    val cnt = docs.agg(count(lit(1)).as("n")).localCheckpoint()
+    val withN = docs.crossJoin(broadcast(cnt))
+    val e1 = withN.select(col("doc_id").as("src"),
+      ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
+    val e2 = withN.select(col("doc_id").as("src"),
+      ((col("doc_id") * 17 + 3) % col("n")).as("dst"))
+    val hub = docs.select(col("doc_id").as("src"), lit(0L).as("dst"))
+    val edges = e1.union(e2).union(hub)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var auth = docs.select(col("doc_id").as("id"), lit(S).as("a"))
+    var hubs: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 2) {
+      val hraw = edges.join(auth, edges("dst") === auth("id"))
+        .groupBy("src").agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hubs = docs.join(hraw, col("doc_id") === col("src"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("doc_id").as("id"),
+          expr(s"coalesce(hr, 0) div greatest(hm div $S, 1)").as("h"))
+        .localCheckpoint()
+      val araw = edges.join(hubs, edges("src") === hubs("id"))
+        .groupBy("dst").agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auth = docs.join(araw, col("doc_id") === col("dst"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("doc_id").as("id"),
+          expr(s"coalesce(ar, 0) div greatest(am div $S, 1)").as("a"))
+        .localCheckpoint()
+    }
+    auth.join(hubs, "id")
+      .select(col("id"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) — the second classical
+    * link-quality signal beside `link_pagerank` (PageRank rewards being
+    * LINKED-TO by good pages; HITS separates directory/hub pages from
+    * authority pages — crawl curation uses hub scores to find link farms
+    * and authority scores as a quality prior). Top-20 by authority under
+    * the (auth desc, id asc) total order; the planted hub node must
+    * dominate authority (spec law). */
+  val hitsScores = QueryDef("hits_scores",
+    (s, dir) =>
+      hitsScored(table(s, dir, "documents").select(col("doc_id")))
+        .orderBy(col("auth_scaled").desc, col("id").asc)
+        .limit(20),
+    Some {
+      val S = 1000000000L
+      def norm(rawCte: String, rawCol: String, key: String, out: String, tag: String) =
+        s"""${tag}m AS (SELECT MAX($rawCol) AS mx FROM $rawCte),
+        $tag AS (SELECT d.doc_id AS id,
+                   COALESCE($rawCte.$rawCol, 0) // GREATEST(${tag}m.mx // $S, 1) AS $out
+                 FROM d CROSS JOIN ${tag}m LEFT JOIN $rawCte ON $rawCte.$key = d.doc_id)"""
+      s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        d AS (SELECT doc_id FROM documents),
+        e0 AS (SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM d CROSS JOIN nn
+               UNION SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM d CROSS JOIN nn
+               UNION SELECT doc_id, 0 FROM d),
+        e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        a0 AS (SELECT doc_id AS id, CAST($S AS BIGINT) AS a FROM d),
+        h1r AS (SELECT e.src, CAST(SUM(a0.a) AS BIGINT) AS hr
+                FROM e JOIN a0 ON e.dst = a0.id GROUP BY e.src),
+        ${norm("h1r", "hr", "src", "h", "h1")},
+        a1r AS (SELECT e.dst, CAST(SUM(h1.h) AS BIGINT) AS ar
+                FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+        ${norm("a1r", "ar", "dst", "a", "a1")},
+        h2r AS (SELECT e.src, CAST(SUM(a1.a) AS BIGINT) AS hr
+                FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+        ${norm("h2r", "hr", "src", "h", "h2")},
+        a2r AS (SELECT e.dst, CAST(SUM(h2.h) AS BIGINT) AS ar
+                FROM e JOIN h2 ON e.src = h2.id GROUP BY e.dst),
+        ${norm("a2r", "ar", "dst", "a", "a2")}
+        SELECT a2.id, a2.a AS auth_scaled, h2.h AS hub_scaled
+        FROM a2 JOIN h2 USING (id)
+        ORDER BY auth_scaled DESC, id ASC LIMIT 20"""
+    })
+
   /** Temporal train/eval split — time-based decontamination (train on the
     * past, evaluate on the future; the leakage-free split for anything
     * with a clock: event streams, versioned crawls, market data). The
@@ -496,5 +586,5 @@ object MiscQueries {
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
-    timeSplitQ)
+    timeSplitQ, hitsScores)
 }

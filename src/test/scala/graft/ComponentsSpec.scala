@@ -95,4 +95,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(total <= scale && scale - total < 100L * n * 4,
       s"rank mass $total drifted too far from $scale")
   }
+
+  test("hits_scores matches an independent integer HITS reference; hub dominates authority") {
+    val spark = TestSpark.spark
+    val n = 97L
+    val ids = spark.range(n).select(org.apache.spark.sql.functions.col("id").as("doc_id"))
+    val got = graft.queries.MiscQueries.hitsScored(ids)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // plain-Scala reference on the same formula graph
+    val S = 1000000000L
+    val edges = (0L until n).flatMap(u =>
+        Seq(u -> (u * 31 + 7) % n, u -> (u * 17 + 3) % n, u -> 0L))
+      .filter { case (s, d) => s != d }.distinct
+    var a = Map.empty[Long, Long].withDefaultValue(0L) ++ (0L until n).map(_ -> S)
+    var h = Map.empty[Long, Long].withDefaultValue(0L)
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = math.max(m.values.max / S, 1L)
+      (0L until n).map(i => i -> m.getOrElse(i, 0L) / mx).toMap
+    }
+    for (_ <- 1 to 2) {
+      h = norm(edges.groupBy(_._1).map { case (u, es) => u -> es.map(e => a(e._2)).sum })
+      a = norm(edges.groupBy(_._2).map { case (v, es) => v -> es.map(e => h(e._1)).sum })
+    }
+    got.foreach { case (id, (as, hs)) =>
+      assert(as == a(id) && hs == h(id), s"node $id: ($as,$hs) != (${a(id)},${h(id)})")
+    }
+    // the planted hub is the top authority, strictly
+    val top = a.maxBy { case (id, v) => (v, -id) }
+    assert(top._1 == 0L && got.contains(0L))
+    assert(a(0L) > a.filter(_._1 != 0L).values.max, "hub must strictly dominate authority")
+  }
 }

@@ -272,4 +272,28 @@ class DatasetOpsSpec extends AnyFunSuite {
     val counts = out.filter(_._4 >= 0).groupBy(_._4).map(_._2.length)
     assert(counts.size == 4 && counts.max - counts.min <= 1)
   }
+
+  test("source_dedup_matrix recomputes from raw docs; pair counts are exact cross products") {
+    val spark = TestSpark.spark
+    val out = graft.queries.DatasetQueries.sourceDedupMatrix
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("src_a", "src_b", "n_dup_pairs", "n_shared_groups").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty, "no cross-source dup groups — matrix vacuous")
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).distinct.sorted.mkString(" ")))
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.groupBy(_._1).view.mapValues(_.length).toMap)
+    val expect = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    bySrc.foreach { case (_, srcCounts) =>
+      val ss = srcCounts.keys.toSeq.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) {
+        val k = (ss(i), ss(j))
+        val (p, g) = expect.getOrElse(k, (0L, 0L))
+        expect(k) = (p + srcCounts(ss(i)).toLong * srcCounts(ss(j)), g + 1)
+      }
+    }
+    assert(out == expect.toMap)
+  }
 }
