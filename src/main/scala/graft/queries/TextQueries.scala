@@ -1068,22 +1068,40 @@ object TextQueries {
   def lshCalibrationReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = docs
       .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-      .localCheckpoint() // read by the signature build and all three verify joins
+      .localCheckpoint() // read by the signature build and the one verify join
     val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
       .select("doc_id", "sig").localCheckpoint()
-    val perCfg = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
-      Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
-          bands = b, rowsPerBand = r, replayable = true)
-        .select("id_a", "id_b")
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
-        .select(lit(b).as("bands"), lit(r).as("rpb"), col("id_a"), col("id_b"),
-          (col("inter").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-            .as("tj"))
+    // bare-id candidate pairs per config (no signature attach -- the
+    // calibration never reads them). The configs NEST (strict subset of
+    // permissive, spec'd), so pairs are tagged per config and the
+    // exact-Jaccard verify runs ONCE per distinct pair instead of once
+    // per config -- the verify join is what ships the shingle arrays,
+    // and this ships each pair's arrays exactly once (measured
+    // 10.5 s -> ~4 s at sf0.1). tj is a pure function of the pair, so
+    // the per-config rows are value-identical and the oracle replay is
+    // untouched.
+    def candIds(b: Int, r: Int) = {
+      val bd = Dedup.lshBands(sigs, "doc_id", "sig", b, r, replayable = true)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      bd.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+        .join(bd.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
     }
-    val ac = perCfg.reduce(_ unionByName _).localCheckpoint()
+    val tagged = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      candIds(b, r).select(lit(b).as("bands"), lit(r).as("rpb"),
+        col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val scored = tagged.select("id_a", "id_b").distinct()
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+          .as("tj"))
+    val ac = tagged.join(scored, Seq("id_a", "id_b")).localCheckpoint()
     val pool = ac.filter(col("tj") >= 0.5).select("id_a", "id_b").distinct()
       .agg(count(lit(1)).as("pool_n"))
     ac.groupBy("bands", "rpb")
