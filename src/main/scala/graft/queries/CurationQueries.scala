@@ -541,9 +541,69 @@ object CurationQueries {
         CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc
       FROM r ORDER BY doc_id"""))
 
+  /** Fill-in-the-middle transform — the FIM data prep for code/infilling
+    * models (Bavarian et al. 2022, "Efficient Training of Language Models
+    * to Fill in the Middle"): for the FIM-rate half of the corpus
+    * (salted-md5 coin, the span_corruption discipline), two md5-derived
+    * cut points split the document into prefix/middle/suffix and the
+    * training text is re-assembled in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so the model learns to
+    * infill conditioned on both sides; the other half passes through
+    * (the paper's 50% FIM rate). A pure narrow map (zero shuffle, array
+    * slices riding the scan); cuts are md5 buckets, not random draws, so
+    * the full output STRING is hash-oracle-checked and CurationSpec pins
+    * the round-trip law (prefix+middle+suffix reconstructs every doc). */
+  val fimTransformQ = QueryDef("fim_transform",
+    (s, dir) => {
+      def bucket(salt: String, mod: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % mod
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("fim_applied",
+          (bucket("graft-fim-apply", lit(2L)) === 0L).cast("int"))
+        .withColumn("c1", bucket("graft-fim-c1", col("n") + 1))
+        .withColumn("c2", col("c1") + bucket("graft-fim-c2", col("n") - col("c1") + 1))
+        .select(col("doc_id"), col("n").as("n_tok"), col("fim_applied"),
+          when(col("fim_applied") === 1, col("c1")).otherwise(lit(-1L)).as("cut1"),
+          when(col("fim_applied") === 1, col("c2")).otherwise(lit(-1L)).as("cut2"),
+          when(col("fim_applied") === 1,
+            concat(lit("<PRE> "),
+              concat_ws(" ", slice(col("toks"), lit(1), col("c1").cast("int"))),
+              lit(" <SUF> "),
+              concat_ws(" ", slice(col("toks"), (col("c2") + 1).cast("int"),
+                (col("n") - col("c2")).cast("int"))),
+              lit(" <MID> "),
+              concat_ws(" ", slice(col("toks"), (col("c1") + 1).cast("int"),
+                (col("c2") - col("c1")).cast("int")))))
+            .otherwise(concat_ws(" ", col("toks"))).as("train_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+          CAST(('0x' || substring(md5('graft-fim-apply:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS coin
+        FROM d),
+      c AS (SELECT doc_id, toks, n,
+          CASE WHEN coin = 0 THEN 1 ELSE 0 END AS fim_applied,
+          CAST(('0x' || substring(md5('graft-fim-c1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (n + 1) AS c1
+        FROM b),
+      e AS (SELECT doc_id, toks, n, fim_applied, c1,
+          c1 + CAST(('0x' || substring(md5('graft-fim-c2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (n - c1 + 1) AS c2
+        FROM c)
+      SELECT doc_id, n AS n_tok, fim_applied,
+        CASE WHEN fim_applied = 1 THEN c1 ELSE -1 END AS cut1,
+        CASE WHEN fim_applied = 1 THEN c2 ELSE -1 END AS cut2,
+        CASE WHEN fim_applied = 1
+             THEN '<PRE> ' || COALESCE(array_to_string(toks[1:c1], ' '), '') ||
+                  ' <SUF> ' || COALESCE(array_to_string(toks[c2+1:n], ' '), '') ||
+                  ' <MID> ' || COALESCE(array_to_string(toks[c1+1:c2], ' '), '')
+             ELSE COALESCE(array_to_string(toks, ' '), '') END AS train_text
+      FROM e ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     piiScrubQ, splitAssignQ, repetitionRatioQ, chunkTokensQ, chunkOverlapQ,
     spanCorruptionQ, streamDedupQ, packSequencesQ, packSequencesOracleQ, decontaminateQ,
     sampleWeightedQ, sampleStratifiedQ, normalizeUnicodeQ, urlNormalizeQ,
-    anchorExtractQ, collapseRepeatsQ)
+    anchorExtractQ, collapseRepeatsQ, fimTransformQ)
 }

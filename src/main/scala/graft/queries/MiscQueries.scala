@@ -460,6 +460,46 @@ object MiscQueries {
         ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** Winsorization — the clamp-don't-drop complement of `outlier_iqr`
+    * (numeric feature prep: rating/score/price columns clip to [p5, p95]
+    * instead of losing rows): per event type, exact 5th/95th percentile
+    * fences broadcast back to a second scan, values clamped, and the
+    * per-type summary — clamp counts on both tails and the clamped mean
+    * via an exact DECIMAL sum (order-free) surfaced with one IEEE divide.
+    * Same scale shape as outlier_iqr: one grouped percentile agg
+    * (constant-size state per type), one broadcast join, one partial-agg
+    * rollup riding the second scan. */
+  val winsorizeQ = QueryDef("winsorize",
+    (s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"), col("value"))
+      val q = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("p5"),
+        expr("percentile(value, 0.95)").as("p95"))
+      e.join(broadcast(q), "event_type")
+        .withColumn("clamped", greatest(col("p5"), least(col("value"), col("p95"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value") < col("p5")).cast("long")).as("n_lo"),
+          sum((col("value") > col("p95")).cast("long")).as("n_hi"),
+          round(min(col("p5")), 6).as("p5"),
+          round(min(col("p95")), 6).as("p95"),
+          round(sum(col("clamped").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_clamped"))
+        .orderBy("event_type")
+    },
+    Some("""WITH q AS (SELECT event_type,
+          quantile_cont(value, 0.05) AS p5, quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type),
+      j AS (SELECT e.event_type, e.value, q.p5, q.p95,
+              GREATEST(q.p5, LEAST(e.value, q.p95)) AS clamped
+            FROM events e JOIN q USING (event_type))
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN value < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        ROUND(MIN(p5), 6) AS p5, ROUND(MIN(p95), 6) AS p95,
+        ROUND(CAST(SUM(CAST(clamped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_clamped
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
   /** HITS rounds as a reusable builder — the REGISTERED query and any
     * probe share it. Same deterministic synthetic link graph as
     * [[pagerankRanked]] (two multiplicative-hash out-links per page plus
@@ -586,5 +626,5 @@ object MiscQueries {
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
-    timeSplitQ, hitsScores)
+    timeSplitQ, hitsScores, winsorizeQ)
 }

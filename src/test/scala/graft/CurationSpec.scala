@@ -193,6 +193,63 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.getString(5)).toSet == Set("latin", "cyrillic", "cjk"))
   }
 
+  test("fim_transform: PSM round-trips to the original doc; rate near 1/2; cuts in range") {
+    val out = graft.queries.CurationQueries.fimTransformQ
+      .spark(TestSpark.spark, sf)
+      .select("doc_id", "n_tok", "fim_applied", "cut1", "cut2", "train_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    val orig = graft.queries.Tables.table(TestSpark.spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    var sawNonTrivialMiddle = false
+    out.foreach { case (id, n, applied, c1, c2, txt) =>
+      val toks = orig(id)
+      assert(n == toks.length)
+      if (applied == 0) {
+        assert(c1 == -1 && c2 == -1 && txt == toks.mkString(" "))
+      } else {
+        assert(0 <= c1 && c1 <= c2 && c2 <= n, s"doc $id cuts out of range: $c1 $c2 $n")
+        // parse PSM sections and reorder back to PMS
+        val pre = txt.indexOf("<PRE> "); val suf = txt.indexOf(" <SUF> "); val mid = txt.indexOf(" <MID> ")
+        assert(pre == 0 && suf > 0 && mid > suf)
+        val prefix = txt.substring(6, suf)
+        val suffix = txt.substring(suf + 7, mid)
+        val middle = txt.substring(mid + 7)
+        def t(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+        assert(t(prefix) ++ t(middle) ++ t(suffix) == toks, s"doc $id round trip")
+        assert(t(prefix).length == c1 && t(middle).length == c2 - c1)
+        if (c2 - c1 > 1 && c1 > 0 && c2 < n) sawNonTrivialMiddle = true
+      }
+    }
+    val rate = out.count(_._3 == 1).toDouble / out.length
+    assert(rate > 0.4 && rate < 0.6, s"FIM rate $rate far from 0.5")
+    assert(sawNonTrivialMiddle, "no doc ever had a real three-way split")
+  }
+
+  test("winsorize: fences and clamp counts recompute from raw events") {
+    val spark = TestSpark.spark
+    val out = graft.queries.MiscQueries.winsorizeQ
+      .spark(spark, sf)
+      .select("event_type", "n_events", "n_lo", "n_hi", "p5", "p95").collect()
+    val raw = graft.queries.Tables.table(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def pct(vs: Array[Double], p: Double): Double = {
+      val s = vs.sorted; val idx = p * (s.length - 1)
+      val lo = idx.toInt; val f = idx - lo
+      if (lo + 1 < s.length) s(lo) * (1 - f) + s(lo + 1) * f else s(lo)
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vs = raw(r.getString(0))
+      assert(r.getLong(1) == vs.length)
+      val (p5, p95) = (pct(vs, 0.05), pct(vs, 0.95))
+      assert(math.abs(r.getDouble(4) - p5) < 1e-6 && math.abs(r.getDouble(5) - p95) < 1e-6)
+      assert(r.getLong(2) == vs.count(_ < p5) && r.getLong(3) == vs.count(_ > p95))
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, "clamp tails vacuous")
+    }
+  }
+
   test("time_split: 90/10 by rank, boundary is time-monotone under the total order") {
     val out = graft.queries.MiscQueries.timeSplitQ
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
