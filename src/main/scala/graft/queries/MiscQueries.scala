@@ -460,6 +460,84 @@ object MiscQueries {
         ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** Join-key skew diagnostics — the report read BEFORE choosing a
+    * salting/AQE strategy for a 100 TB join or aggregation (the
+    * skew_salted_* operators are the cure; this is the diagnosis): per
+    * candidate key the group-size distribution — key count, median and
+    * p99 group size, the max — and the top-10 heavy keys with their
+    * corpus share. A skew factor (max/median) ≫ 1 with heavy keys
+    * holding percent-level shares is the exact signature that picks
+    * salted aggregation over a plain shuffle. One count agg (map-side
+    * partials), one constant-size stats agg over the key counts, a
+    * bounded top-10 TakeOrdered — the report costs one scan. */
+  val skewReport = QueryDef("skew_report",
+    (s, dir) => {
+      val counts = table(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        expr("percentile(c, 0.5)").as("p50"),
+        expr("percentile(c, 0.99)").as("p99"))
+      counts.orderBy(col("c").desc, col("user_id").asc).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("user_id").as("key"), col("c").as("n_in_key"),
+          expr("c * 1000000 div n_rows").as("share_ppm"),
+          col("n_keys"), round(col("p50"), 6).as("p50_group"),
+          round(col("p99"), 6).as("p99_group"),
+          round(col("max_c").cast("double") / col("p50"), 6).as("skew_factor"))
+        .orderBy(col("n_in_key").desc, col("key").asc)
+    },
+    Some("""WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+              MAX(c) AS max_c,
+              quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99
+            FROM c),
+      top AS (SELECT user_id, c FROM c ORDER BY c DESC, user_id ASC LIMIT 10)
+      SELECT top.user_id AS key, top.c AS n_in_key,
+        top.c * 1000000 // t.n_rows AS share_ppm,
+        t.n_keys, ROUND(t.p50, 6) AS p50_group, ROUND(t.p99, 6) AS p99_group,
+        ROUND(CAST(t.max_c AS DOUBLE) / t.p50, 6) AS skew_factor
+      FROM top CROSS JOIN t ORDER BY n_in_key DESC, key ASC"""))
+
+  /** The final data-loader manifest — the artifact a training job
+    * actually consumes: per shard (the shard_assign snake deal) the file
+    * path ([[graft.functions.VideoFunctions]]-style deterministic
+    * pathing), document and token inventories, and the rank window the
+    * shard covers. This is the composition endpoint of the curation
+    * stack — shard the corpus, write each shard, hand the loader this
+    * table. One distributed snake sort + one per-shard agg. */
+  val dataloaderManifest = QueryDef("dataloader_manifest",
+    (s, dir) => {
+      import graft.functions.TextFunctions.tokenCount
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sharding.snakeShards(docs, nShards = 8, "n_tokens", "doc_id")
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("rank")).as("first_rank"), max(col("rank")).as("last_rank"))
+        .select(col("shard"),
+          format_string("/data/shards/train-%05d-of-00008.parquet", col("shard"))
+            .as("path"),
+          col("n_docs"), col("n_tokens"), col("first_rank"), col("last_rank"))
+        .orderBy("shard")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+              ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rank
+            FROM t),
+      sh AS (SELECT doc_id, n_tokens, rank,
+               CAST(CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                         ELSE 7 - (rank % 8) END AS BIGINT) AS shard
+             FROM r)
+      SELECT shard,
+        printf('/data/shards/train-%05d-of-00008.parquet', shard) AS path,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        MIN(rank) AS first_rank, MAX(rank) AS last_rank
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Winsorization — the clamp-don't-drop complement of `outlier_iqr`
     * (numeric feature prep: rating/score/price columns clip to [p5, p95]
     * instead of losing rows): per event type, exact 5th/95th percentile
@@ -626,5 +704,5 @@ object MiscQueries {
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
-    timeSplitQ, hitsScores, winsorizeQ)
+    timeSplitQ, hitsScores, winsorizeQ, skewReport, dataloaderManifest)
 }

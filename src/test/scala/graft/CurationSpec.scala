@@ -250,6 +250,44 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("skew_report: heavy keys and distribution stats recompute from raw counts") {
+    val spark = TestSpark.spark
+    val out = graft.queries.MiscQueries.skewReport.spark(spark, sf)
+      .select("key", "n_in_key", "share_ppm", "n_keys").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = graft.queries.Tables.table(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nRows = counts.values.sum
+    val top10 = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(out.map(t => (t._1, t._2)).toSeq == top10)
+    out.foreach { case (_, c, share, nKeys) =>
+      assert(share == c * 1000000L / nRows)
+      assert(nKeys == counts.size)
+    }
+  }
+
+  test("dataloader_manifest: shards account for the whole corpus with contiguous rank windows") {
+    val out = graft.queries.MiscQueries.dataloaderManifest.spark(TestSpark.spark, sf)
+      .select("shard", "path", "n_docs", "n_tokens", "first_rank", "last_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 8L))
+    val nDocs = graft.queries.Tables.table(TestSpark.spark, sf, "documents").count()
+    assert(out.map(_._3).sum == nDocs)            // every doc in exactly one shard
+    assert(out.map(_._3).max - out.map(_._3).min <= 1)  // snake balance
+    out.foreach { case (sh, path, _, _, fr, lr) =>
+      assert(path == f"/data/shards/train-$sh%05d-of-00008.parquet")
+      assert(fr >= 0 && lr < nDocs && fr <= lr)
+    }
+    // token totals spread within one round's biggest doc (snake-deal law)
+    val toks = out.map(_._4)
+    assert(toks.max - toks.min <= graft.queries.Tables.table(TestSpark.spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(org.apache.spark.sql.functions.col("text"))))
+      .collect().map(_.getInt(0)).max)
+  }
+
   test("time_split: 90/10 by rank, boundary is time-monotone under the total order") {
     val out = graft.queries.MiscQueries.timeSplitQ
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
