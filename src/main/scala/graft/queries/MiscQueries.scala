@@ -460,6 +460,110 @@ object MiscQueries {
         ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** Ordered event-funnel analysis — the canonical product-analytics
+    * query (view → click → purchase, each step strictly AFTER the
+    * previous one's first occurrence, per user): per step the users
+    * reached, conversion from the previous step and from the funnel
+    * start, in ppm. The conversion WINDOW is the corpus median
+    * view→click delay (a scale-free rule: roughly half the clicking
+    * users convert in-window at any event density, so drop-off is
+    * non-vacuous at every scale — a wall-clock constant window
+    * degenerates to 100% on dense streams). Shape: one per-user min-ts
+    * agg per step, each conditioned on the previous step's timestamp via
+    * a broadcast-sized per-user frame join (users ≪ events), a one-row
+    * median broadcast, then three one-row counts — the scan dominates,
+    * the funnel is free. Ties: a same-timestamp next-step event does NOT
+    * count (strict >), replayed identically. */
+  val funnelSteps = QueryDef("funnel_steps",
+    (s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val total = ev.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val anyClick = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min(col("ts")).as("t1"), min(col("t0")).as("t0"))
+      // the conversion window: the corpus MEDIAN view→click delay —
+      // scale-free (≈half the clicking users convert in-window at any
+      // event density), deterministic, and replayable (the winsorize
+      // percentile precedent)
+      val win = anyClick.agg(expr("percentile(t1 - t0, 0.5)").as("w"))
+      val c = anyClick.crossJoin(broadcast(win))
+        .filter((col("t1") - col("t0")).cast("double") <= col("w"))
+        .select(col("user_id"), col("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").crossJoin(broadcast(win))
+        .filter(col("ts") > col("t1") &&
+          (col("ts") - col("t1")).cast("double") <= col("w"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val nv = v.agg(count(lit(1)).as("n")).select(lit(1).as("step"), lit("view").as("event_type"), col("n"))
+      val nc = c.agg(count(lit(1)).as("n")).select(lit(2).as("step"), lit("click").as("event_type"), col("n"))
+      val np = p.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("event_type"), col("n"))
+      val steps = nv.unionByName(nc).unionByName(np)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("step") // 3-row frame
+      steps.crossJoin(broadcast(total))
+        .withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("step"), col("event_type"), col("n").as("n_reached"),
+          expr("n * 1000000 div n_users").as("from_start_ppm"),
+          expr("n * 1000000 div coalesce(prev, n_users)").as("from_prev_ppm"))
+        .orderBy("step")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+      tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ev),
+      v AS (SELECT user_id, MIN(tsn) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      ac AS (SELECT e.user_id, MIN(e.tsn) AS t1, MIN(v.t0) AS t0
+             FROM ev e JOIN v USING (user_id)
+             WHERE e.event_type = 'click' AND e.tsn > v.t0 GROUP BY e.user_id),
+      win AS (SELECT quantile_cont(t1 - t0, 0.5) AS w FROM ac),
+      c AS (SELECT user_id, t1 FROM ac CROSS JOIN win
+            WHERE CAST(t1 - t0 AS DOUBLE) <= win.w),
+      p AS (SELECT e.user_id, MIN(e.tsn) AS t2 FROM ev e JOIN c USING (user_id) CROSS JOIN win
+            WHERE e.event_type = 'purchase' AND e.tsn > c.t1
+              AND CAST(e.tsn - c.t1 AS DOUBLE) <= win.w
+            GROUP BY e.user_id),
+      st AS (SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM v) AS n
+             UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+             UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+      SELECT step, event_type, n AS n_reached,
+        n * 1000000 // tot.n_users AS from_start_ppm,
+        n * 1000000 // COALESCE(LAG(n) OVER (ORDER BY step), tot.n_users) AS from_prev_ppm
+      FROM st CROSS JOIN tot ORDER BY step"""))
+
+  /** CUBE aggregation with grouping flags — the OLAP rollup surface
+    * (every (event_type × weekday) margin in one pass): counts and
+    * decimal-exact value sums over `CUBE(event_type, weekday)`, weekday
+    * derived as pure integer epoch-day arithmetic ((day+4) % 7 — the
+    * 1970-01-01-is-Thursday anchor, no timezone/locale functions).
+    * One shuffle; Spark expands the cube at the map side with partial
+    * aggregation per grouping set. Grouping flags are explicit 0/1
+    * columns (engine-portable, unlike bitmask grouping_id orderings). */
+  val cubeCounts = QueryDef("cube_counts",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 86400000000000 + 4) % 7").as("weekday"), col("value"))
+      ev.cube(col("event_type"), col("weekday"))
+        .agg(grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("weekday")).cast("int").as("g_day"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("sum_value"))
+        .select(col("g_type"), col("g_day"),
+          col("event_type"), col("weekday"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("g_type"), col("g_day"),
+          col("event_type").asc_nulls_first, col("weekday").asc_nulls_first)
+    },
+    Some("""WITH ev AS (SELECT event_type,
+          (epoch_ns(ts) // 86400000000000 + 4) % 7 AS weekday, value
+        FROM events)
+      SELECT CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+        CAST(GROUPING(weekday) AS INTEGER) AS g_day,
+        event_type, weekday, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+      FROM ev GROUP BY CUBE (event_type, weekday)
+      ORDER BY g_type, g_day, event_type ASC NULLS FIRST, weekday ASC NULLS FIRST"""))
+
   /** Join-key skew diagnostics — the report read BEFORE choosing a
     * salting/AQE strategy for a 100 TB join or aggregation (the
     * skew_salted_* operators are the cure; this is the diagnosis): per
@@ -704,5 +808,6 @@ object MiscQueries {
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
-    timeSplitQ, hitsScores, winsorizeQ, skewReport, dataloaderManifest)
+    timeSplitQ, hitsScores, winsorizeQ, skewReport, dataloaderManifest,
+    funnelSteps, cubeCounts)
 }

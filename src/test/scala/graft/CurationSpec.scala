@@ -288,6 +288,36 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).max)
   }
 
+  test("funnel_steps: counts are monotone non-increasing; median window splits the clickers") {
+    val out = graft.queries.MiscQueries.funnelSteps.spark(TestSpark.spark, sf)
+      .select("step", "n_reached", "from_start_ppm", "from_prev_ppm").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out.sliding(2).forall { case Array(a, b) => b._2 <= a._2; case _ => true })
+    // every step loses someone after step 1 (the median window guarantees it)
+    assert(out(1)._2 < out(0)._2 && out(1)._2 > 0)
+    assert(out(2)._2 <= out(1)._2 && out(2)._2 > 0)
+    // median-window law: click step converts about half of the clicking users
+    assert(out(1)._4 >= 400000 && out(1)._4 <= 600000, s"click conv ${out(1)._4}")
+  }
+
+  test("cube_counts: margins sum consistently across grouping sets") {
+    val out = graft.queries.MiscQueries.cubeCounts.spark(TestSpark.spark, sf)
+      .select("g_type", "g_day", "event_type", "weekday", "n").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        Option(r.get(2)).map(_.toString), if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    val cells = out.filter(t => t._1 == 0 && t._2 == 0)
+    val typeMargin = out.filter(t => t._1 == 0 && t._2 == 1)
+    val dayMargin = out.filter(t => t._1 == 1 && t._2 == 0)
+    val grand = out.filter(t => t._1 == 1 && t._2 == 1)
+    assert(grand.length == 1 && grand.head._5 == cells.map(_._5).sum)
+    typeMargin.foreach { m =>
+      assert(m._5 == cells.filter(_._3 == m._3).map(_._5).sum, s"type margin ${m._3}") }
+    dayMargin.foreach { m =>
+      assert(m._5 == cells.filter(_._4 == m._4).map(_._5).sum, s"day margin ${m._4}") }
+    assert(cells.map(_._4).distinct.length == 7) // all weekdays occur
+  }
+
   test("time_split: 90/10 by rank, boundary is time-monotone under the total order") {
     val out = graft.queries.MiscQueries.timeSplitQ
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
