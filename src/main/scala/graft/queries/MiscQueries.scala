@@ -460,6 +460,102 @@ object MiscQueries {
         ROUND(MIN(lo), 6) AS lo_fence, ROUND(MIN(hi), 6) AS hi_fence
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** Z-score anomaly screen — the metrics-monitoring shape (score a live
+    * slice against a reference window's per-key distribution): reference
+    * = even event_ids, scored slice = odd; per event type the reference
+    * mean/σ come from DECIMAL-exact Σv and Σv² (order-free sums — the
+    * one-pass variance (Σv²/n − μ²) is fine at these magnitudes and both
+    * engines run the identical IEEE expression), and a point flags at
+    * |z| > 2 (~5% of this corpus — both classes at every scale; max |z|
+    * measured 6.7). Scale shape: one partial-agg stats pass over the
+    * reference, a #types-row broadcast, a narrow scoring scan. */
+  val anomalyZscore = QueryDef("anomaly_zscore",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = table(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      val ref = ev.filter(col("event_id") % 2 === 0)
+        .groupBy("event_type").agg(count(lit(1)).as("n_ref"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sv"),
+          sum((col("value").cast(DecimalType(18, 6)) *
+            col("value").cast(DecimalType(18, 6))).cast(DecimalType(28, 12))).as("sv2"))
+      val st = ref.select(col("event_type"), col("n_ref"),
+        (col("sv").cast("double") / col("n_ref")).as("mu"),
+        sqrt(col("sv2").cast("double") / col("n_ref") -
+          (col("sv").cast("double") / col("n_ref")) *
+            (col("sv").cast("double") / col("n_ref"))).as("sig"))
+      ev.filter(col("event_id") % 2 === 1)
+        .join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sig"))
+        .groupBy("event_type")
+        .agg(max(col("n_ref")).as("n_ref"), count(lit(1)).as("n_scored"),
+          sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_flagged"),
+          round(max(col("mu")), 6).as("ref_mean"),
+          round(max(col("sig")), 6).as("ref_std"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type, value FROM events),
+      ref AS (SELECT event_type, COUNT(*) AS n_ref,
+                SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+                SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS sv2
+              FROM ev WHERE event_id % 2 = 0 GROUP BY event_type),
+      st AS (SELECT event_type, n_ref,
+               CAST(sv AS DOUBLE) / n_ref AS mu,
+               sqrt(CAST(sv2 AS DOUBLE) / n_ref -
+                 (CAST(sv AS DOUBLE) / n_ref) * (CAST(sv AS DOUBLE) / n_ref)) AS sig
+             FROM ref)
+      SELECT e.event_type, MAX(st.n_ref) AS n_ref, COUNT(*) AS n_scored,
+        CAST(SUM(CASE WHEN ABS((e.value - st.mu) / st.sig) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        ROUND(MAX(st.mu), 6) AS ref_mean, ROUND(MAX(st.sig), 6) AS ref_std
+      FROM ev e JOIN st USING (event_type) WHERE e.event_id % 2 = 1
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** Snapshot diff — the lakehouse version-compare (what changed between
+    * table versions v1 and v2: the inverse of merge_upsert's changeset
+    * APPLY): a full-outer join on the key classifies every row as
+    * added / removed / changed / unchanged (payload compared by md5 over
+    * the canonicalized row), rolled up per event type. Versions are
+    * deterministic slices (v1 drops id % 5 = 1 — "added later"; v2 drops
+    * id % 7 = 2 — "deleted" — and perturbs value for id % 3 = 0 —
+    * "changed"), so all four classes fire at every scale. At 100 TB:
+    * key-partitioned SMJ (zero exchanges when both versions are bucketed
+    * by key — the StorageSpec co-location story) + one rollup. */
+  val snapshotDiff = QueryDef("snapshot_diff",
+    (s, dir) => {
+      val base = table(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      val v1 = base.filter(col("event_id") % 5 =!= 1)
+      val v2 = base.filter(col("event_id") % 7 =!= 2)
+        .withColumn("value",
+          when(col("event_id") % 3 === 0, col("value") + 1.0).otherwise(col("value")))
+      def h(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(col("event_id"), col("event_type"),
+          md5(concat_ws("|", col("event_type"), col("value").cast("string"))).as(s"h_$tag"))
+      h(v1, "a").join(h(v2, "b").withColumnRenamed("event_type", "et_b"),
+          Seq("event_id"), "full_outer")
+        .select(coalesce(col("event_type"), col("et_b")).as("event_type"),
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("event_type", "status").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "status")
+    },
+    Some("""WITH base AS (SELECT event_id, event_type, value FROM events),
+      v1 AS (SELECT event_id, event_type,
+               md5(event_type || '|' || CAST(value AS VARCHAR)) AS h
+             FROM base WHERE event_id % 5 <> 1),
+      v2 AS (SELECT event_id, event_type,
+               md5(event_type || '|' ||
+                 CAST(CASE WHEN event_id % 3 = 0 THEN value + 1.0 ELSE value END AS VARCHAR)) AS h
+             FROM base WHERE event_id % 7 <> 2)
+      SELECT COALESCE(v1.event_type, v2.event_type) AS event_type,
+        CASE WHEN v1.h IS NULL THEN 'added'
+             WHEN v2.h IS NULL THEN 'removed'
+             WHEN v1.h <> v2.h THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        COUNT(*) AS n
+      FROM v1 FULL OUTER JOIN v2 USING (event_id)
+      GROUP BY 1, 2 ORDER BY event_type, status"""))
+
   /** Ordered event-funnel analysis — the canonical product-analytics
     * query (view → click → purchase, each step strictly AFTER the
     * previous one's first occurrence, per user): per step the users
@@ -809,5 +905,5 @@ object MiscQueries {
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
     timeSplitQ, hitsScores, winsorizeQ, skewReport, dataloaderManifest,
-    funnelSteps, cubeCounts)
+    funnelSteps, cubeCounts, anomalyZscore, snapshotDiff)
 }

@@ -288,6 +288,49 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).max)
   }
 
+  test("anomaly_zscore: stats recompute from the reference half; both classes fire") {
+    val spark = TestSpark.spark
+    val out = graft.queries.MiscQueries.anomalyZscore.spark(spark, sf)
+      .select("event_type", "n_ref", "n_scored", "n_flagged", "ref_mean", "ref_std").collect()
+    val raw = graft.queries.Tables.table(spark, sf, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    var flaggedTotal = 0L
+    out.foreach { r =>
+      val et = r.getString(0)
+      val ref = raw.filter(t => t._2 == et && t._1 % 2 == 0).map(_._3)
+      val scored = raw.filter(t => t._2 == et && t._1 % 2 == 1).map(_._3)
+      assert(r.getLong(1) == ref.length && r.getLong(2) == scored.length)
+      val mu = ref.sum / ref.length
+      val sig = math.sqrt(ref.map(v => v * v).sum / ref.length - mu * mu)
+      assert(math.abs(r.getDouble(4) - mu) < 1e-4 && math.abs(r.getDouble(5) - sig) < 1e-4)
+      val nf = scored.count(v => math.abs((v - mu) / sig) > 2)
+      assert(r.getLong(3) == nf, s"$et flagged ${r.getLong(3)} != $nf")
+      flaggedTotal += r.getLong(3)
+      assert(r.getLong(3) < r.getLong(2)) // never flags everything
+    }
+    assert(flaggedTotal > 0, "anomaly class vacuous")
+  }
+
+  test("snapshot_diff: classes partition both versions; totals conserve") {
+    val spark = TestSpark.spark
+    val out = graft.queries.MiscQueries.snapshotDiff.spark(spark, sf)
+      .select("event_type", "status", "n").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val byStatus = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"))
+    val ids = graft.queries.Tables.table(spark, sf, "events")
+      .select("event_id").collect().map(_.getLong(0))
+    val v1 = ids.filter(_ % 5 != 1).toSet
+    val v2 = ids.filter(_ % 7 != 2).toSet
+    assert(byStatus("added") == (v2 -- v1).size)
+    assert(byStatus("removed") == (v1 -- v2).size)
+    val both = (v1 & v2)
+    assert(byStatus("changed") == both.count(_ % 3 == 0))
+    assert(byStatus("unchanged") == both.count(_ % 3 != 0))
+  }
+
   test("funnel_steps: counts are monotone non-increasing; median window splits the clickers") {
     val out = graft.queries.MiscQueries.funnelSteps.spark(TestSpark.spark, sf)
       .select("step", "n_reached", "from_start_ppm", "from_prev_ppm").collect()

@@ -721,6 +721,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_binary_topk: recall@5 vs brute force holds the 0.8 floor") {
+    val spark = TestSpark.spark
+    val emb = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, q, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = graft.queries.SimilarityQueries.annBinaryTopK
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"binary-quantized recall $recall below floor")
+  }
+
   test("ivf_probe_sweep: recall is monotone in probe budget; full probe is exactly brute force") {
     val out = graft.queries.SimilarityQueries.ivfProbeSweep
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
