@@ -1213,6 +1213,41 @@ object SelectionQueries {
                THEN anneal_budget * n_tokens // anneal_pool ELSE 0 END AS schedule_tokens
       FROM p ORDER BY source"""))
 
+  /** Linear quality classifier — the fastText-shaped keep/drop filter the
+    * CCNet/LLaMA pipelines apply corpus-wide (a LEARNED linear model over
+    * hashed token features; training happens offline — this is the
+    * deployment-time scoring path, the cluster_assign analog for
+    * classification): each token hashes to a fixed md5-derived INTEGER
+    * weight in [−8, 8], the document margin is
+    * Σ w[h(tok)] over token occurrences (exact integer, any accumulation
+    * order), and the verdict is margin > 0 with a per-1000-token
+    * normalized margin beside it for thresholding. Scale shape: a narrow
+    * explode + one partial-agg sum per doc riding the scan — the
+    * classifier costs nothing at 100 TB. Both classes fire at every
+    * scale (md5 weights are ~zero-mean). */
+  val qualityClassifier = QueryDef("quality_classifier",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (hashBucket(col("tok"), "graft-qcls-w", 17) - 8).as("w"))
+      d.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("margin"))
+        .select(col("doc_id"), col("n_tok"), col("margin"),
+          expr("CAST(FLOOR(CAST(margin * 1000 AS DOUBLE) / n_tok) AS BIGINT)")
+            .as("margin_per_kt"),
+          when(col("margin") > 0, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH occ AS (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents),
+      w AS (SELECT doc_id,
+          CAST(('0x' || substring(md5('graft-qcls-w:' || tok), 1, 8)) AS BIGINT) % 17 - 8 AS w
+        FROM occ)
+      SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(w) AS BIGINT) AS margin,
+        CAST(FLOOR(CAST(CAST(SUM(w) AS BIGINT) * 1000 AS DOUBLE) / COUNT(*)) AS BIGINT) AS margin_per_kt,
+        CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS keep
+      FROM w GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Topic-diversity report over the fixed-codebook assignment — the
     * mixture-design dashboard beside `cluster_assign`: per topic cluster
     * the member count, corpus share (ppm), absolute deviation from the
@@ -1289,5 +1324,5 @@ object SelectionQueries {
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
-      clusterBalance, curriculumOrder)
+      clusterBalance, curriculumOrder, qualityClassifier)
 }

@@ -1012,9 +1012,70 @@ object SimilarityQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
         FROM rr) WHERE rank <= $annK ORDER BY qid, rank"""))
 
+  /** Chunk-embedding mean pooling — the aggregation step every long-doc
+    * retrieval/embedding pipeline runs (embed chunks, pool back to one
+    * doc vector). The FLOAT hazard is the whole point of the exercise: a
+    * naive elementwise sum across a shuffle is accumulation-order
+    * nondeterministic, so the pool here is an ORDERED left fold — chunks
+    * collect per doc, sort by chunk index, fold zip-with-add from a zero
+    * vector, divide by the count — giving byte-identical pools on every
+    * run and an exact SQL replay (the oracle unrolls the same fold in
+    * chunk order). Chunks are deterministic per-index perturbations of
+    * the doc vector (the model seam's stand-in); outputs are scalars
+    * (first component, norm, cosine vs the original — which pooling must
+    * keep ≈ 1). Per-doc chunk counts are bounded, so the sort+fold is
+    * O(chunks) per key — no corpus-wide sort. */
+  val embeddingPool = QueryDef("embedding_pool",
+    (s, dir) => {
+      val nChunks = 4
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val chunks = emb
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(nChunks - 1))).as("ci"))
+        .select(col("vec_id"), col("ci"), col("embedding"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) +
+              (((i * (col("ci") + 1)) % 7) - 3).cast("double") / lit(100.0))).as("cv"))
+      val pooled = chunks.groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          sort_array(collect_list(struct(col("ci"), col("cv")))).as("cs"))
+        .withColumn("pooled",
+          transform(
+            aggregate(col("cs"),
+              array_repeat(lit(0.0), 64),
+              (acc, s) => zip_with(acc, s.getField("cv"), (a, b) => a + b)),
+            x => x / lit(nChunks.toDouble)))
+      pooled.select(col("vec_id"),
+          lit(nChunks).as("n_chunks"),
+          element_at(col("pooled"), 1).as("pooled_c0"),
+          Similarity.l2Norm(col("pooled")).as("pooled_norm"),
+          Similarity.cosineHof(col("pooled"), col("embedding")).as("cos_orig"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def cv(c: Int) =
+        s"[CAST(embedding[i] AS DOUBLE) * (1.0 + CAST((((i - 1) * ${c + 1}) % 7) - 3 AS DOUBLE) / 100.0) for i in generate_series(1, len(embedding))]"
+      s"""WITH d AS (SELECT vec_id, embedding,
+          ${cv(0)} AS c0, ${cv(1)} AS c1, ${cv(2)} AS c2, ${cv(3)} AS c3
+        FROM embeddings),
+      p AS (SELECT vec_id, embedding,
+          [((((0.0 + c0[i]) + c1[i]) + c2[i]) + c3[i]) / 4.0
+           for i in generate_series(1, len(c0))] AS pooled
+        FROM d),
+      m AS (SELECT vec_id, pooled, embedding,
+          sqrt(list_reduce([x * x for x in pooled], (a, b) -> a + b)) AS pn,
+          ${normSql("embedding")} AS en,
+          list_reduce([pooled[i] * CAST(embedding[i] AS DOUBLE)
+                       for i in generate_series(1, len(pooled))], (a, b) -> a + b) AS dp
+        FROM p)
+      SELECT vec_id, 4 AS n_chunks, pooled[1] AS pooled_c0, pn AS pooled_norm,
+        CASE WHEN pn > 0 AND en > 0 THEN dp / (pn * en) ELSE 0.0 END AS cos_orig
+      FROM m ORDER BY vec_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
     annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
     annMatryoshkaTopK, annRecall, quantizeEmbeddings, kmeansTrainOracle,
-    embeddingStatsQ, ivfProbeSweep, annBinaryTopK)
+    embeddingStatsQ, ivfProbeSweep, annBinaryTopK, embeddingPool)
 }

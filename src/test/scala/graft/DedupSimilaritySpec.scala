@@ -736,6 +736,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"binary-quantized recall $recall below floor")
   }
 
+  test("embedding_pool: pooling preserves direction and matches a driver-side ordered fold") {
+    val spark = TestSpark.spark
+    val out = graft.queries.SimilarityQueries.embeddingPool
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "pooled_c0", "pooled_norm", "cos_orig").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val raw = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, c0, nrm, cos) =>
+      val e = raw(id)
+      // driver-side ordered fold: chunks 0..3, zero-init, then /4
+      val pooled = Array.tabulate(64) { i =>
+        var acc = 0.0
+        (0 until 4).foreach { c =>
+          acc += e(i).toDouble * (1.0 + (((i * (c + 1)) % 7) - 3).toDouble / 100.0)
+        }
+        acc / 4.0
+      }
+      assert(c0 == pooled(0), s"vec $id c0")
+      assert(math.abs(nrm - math.sqrt(pooled.map(x => x * x).sum)) < 1e-9)
+      // perturbations are small and symmetric-ish: direction preserved
+      assert(cos > 0.99, s"vec $id cos_orig $cos")
+    }
+  }
+
   test("ivf_probe_sweep: recall is monotone in probe budget; full probe is exactly brute force") {
     val out = graft.queries.SimilarityQueries.ivfProbeSweep
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
