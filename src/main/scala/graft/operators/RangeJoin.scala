@@ -37,4 +37,28 @@ object RangeJoin {
       .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-OVERLAP join (sessions × sessions, genomic ranges): pairs
+    * where `[a.lo, a.hi]` and `[b.lo, b.hi]` intersect, as the same
+    * binned equi-join — both sides explode to covered bins — with the
+    * claim-ownership dedup: a qualifying pair is EMITTED only in the bin
+    * containing the overlap's START (`floor(max(lo_a, lo_b)/w)`), so
+    * each pair surfaces exactly once with no distinct pass. Columns from
+    * both sides survive with `_a`/`_b` suffixes on the bound columns.
+    * Same binWidth guidance as [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, binWidth: Double,
+                      loCol: String = "lo", hiCol: String = "hi"): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    def binned(df: DataFrame, tag: String) = df
+      .filter(col(loCol) <= col(hiCol))
+      .withColumnRenamed(loCol, s"${loCol}_$tag").withColumnRenamed(hiCol, s"${hiCol}_$tag")
+      .withColumn("_bin",
+        explode(sequence(bin(col(s"${loCol}_$tag")), bin(col(s"${hiCol}_$tag")))))
+    binned(left, "a").join(binned(right, "b"), "_bin")
+      .filter(col(s"${loCol}_a") <= col(s"${hiCol}_b") &&
+        col(s"${loCol}_b") <= col(s"${hiCol}_a"))
+      .filter(col("_bin") === bin(greatest(col(s"${loCol}_a"), col(s"${loCol}_b"))))
+      .drop("_bin")
+  }
 }

@@ -361,6 +361,53 @@ object RelationalQueries {
       ON l.l_extendedprice BETWEEN i.lo AND i.hi
       ORDER BY interval_id, l_orderkey, l_linenumber"""))
 
+  /** Interval-OVERLAP join ([[graft.operators.RangeJoin.intervalOverlap]])
+    * — the sessions×sessions / genomic-ranges join shape (pairs whose
+    * time spans intersect), distinct from join_range's point-in-interval:
+    * both sides bin-explode and the claim-ownership rule (emit only in
+    * the bin holding the overlap's start) surfaces each pair exactly once
+    * with NO distinct pass. Intervals here: even-event spans vs odd-event
+    * spans ([t, t + value·60 s]); output is the per-left-interval rollup
+    * (pair volume is quadratic-ish in density — 5.8M pairs at sf0.1 —
+    * and the rollup is what a sessions-overlap analysis reads anyway),
+    * left-joined back so zero-overlap intervals report. All-integer
+    * second arithmetic; the oracle is DuckDB's native inequality join. */
+  val joinIntervalOverlap = QueryDef("join_interval_overlap",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000000000").as("t"), col("value"))
+      def iv(parity: Int, idName: String) = ev.filter(col("event_id") % 2 === parity)
+        .select(col("event_id").as(idName), col("t").cast("double").as("lo"),
+          (col("t") + expr("CAST(FLOOR(value * 60) AS BIGINT)")).cast("double").as("hi"))
+      val a = iv(0, "ida")
+      val pairs = graft.operators.RangeJoin.intervalOverlap(a, iv(1, "idb"),
+          binWidth = 3600.0)
+        .select(col("ida"),
+          (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")))
+            .cast("long").as("ov"))
+      val g = pairs.groupBy("ida")
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("ov")).as("total_overlap_sec"))
+      a.select(col("ida")).join(g, Seq("ida"), "left")
+        .select(col("ida"), coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+          coalesce(col("total_overlap_sec"), lit(0L)).as("total_overlap_sec"))
+        .orderBy("ida")
+    },
+    Some("""WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS t, value FROM events),
+      a0 AS (SELECT event_id AS ida, t AS lo, t + CAST(FLOOR(value * 60) AS BIGINT) AS hi
+            FROM ev WHERE event_id % 2 = 0),
+      b0 AS (SELECT event_id AS idb, t AS lo, t + CAST(FLOOR(value * 60) AS BIGINT) AS hi
+            FROM ev WHERE event_id % 2 = 1),
+      -- degenerate intervals (hi < lo, from negative durations) are dropped
+      -- by the operator up front; mirror that here
+      a AS (SELECT * FROM a0 WHERE lo <= hi),
+      b AS (SELECT * FROM b0 WHERE lo <= hi),
+      p AS (SELECT a.ida, LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS ov
+            FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi),
+      g AS (SELECT ida, COUNT(*) AS n, CAST(SUM(ov) AS BIGINT) AS s FROM p GROUP BY ida)
+      SELECT a0.ida, COALESCE(g.n, 0) AS n_overlaps,
+        COALESCE(g.s, 0) AS total_overlap_sec
+      FROM a0 LEFT JOIN g USING (ida) ORDER BY a0.ida"""))
+
   /** Dead-letter left join: unmatched rows kept with status (F1 pattern). */
   val joinLeftStatus = QueryDef("join_left_status",
     (s, dir) => {
@@ -636,7 +683,7 @@ object RelationalQueries {
     explodeBoxes, gateResolution, filterCountRange, gateAreaRatio,
     filterScoreExact1, bandpassSim, frameScoreAggQ, top1PerBinQ, argmaxRef,
     iouExpr, zipWithIndexQ, projectRecord, assemblePrompt, normalizeBoxesQ,
-    sortSelected, joinBroadcast, joinRange, joinLeftStatus, scanCsv, scanJsonl,
+    sortSelected, joinBroadcast, joinRange, joinIntervalOverlap, joinLeftStatus, scanCsv, scanJsonl,
     scanOrc, dedupGreedy, dedupGreedyOracle, setOps, approxDistinct, distinctUsersExact,
     approxQuantiles, skewSaltedAgg, skewSaltedJoin)
 }

@@ -87,4 +87,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     // both verdict classes fire
     assert(rows.exists(_.getInt(2) == 0) && rows.exists(_.getInt(2) == 1))
   }
+
+  test("intervalOverlap equals the naive quadratic join; each pair emitted exactly once") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // deterministic mixed intervals: varied lengths, shared bins, exact-touch
+    // boundaries, degenerate (hi < lo) rows that must be dropped
+    val mk = (ids: Range, off: Int) => ids.map { i =>
+      val lo = (i * 37 + off) % 500
+      (i.toLong, lo.toDouble, (lo + (if (i % 11 == 0) -5 else i % 40)).toDouble)
+    }
+    val left = mk(0 until 80, 0).toDF("ida", "lo", "hi")
+    val right = mk(100 until 180, 13).toDF("idb", "lo", "hi")
+    val got = graft.operators.RangeJoin.intervalOverlap(left, right, binWidth = 16.0)
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+    // exactly-once: no duplicate pair rows from multi-bin co-coverage
+    assert(got.distinct.length == got.length, "claim-ownership dedup violated")
+    val l = left.as[(Long, Double, Double)].collect().filter(t => t._2 <= t._3)
+    val r = right.as[(Long, Double, Double)].collect().filter(t => t._2 <= t._3)
+    val naive = for {
+      (ia, la, ha) <- l; (ib, lb, hb) <- r if la <= hb && lb <= ha
+    } yield (ia, ib)
+    assert(got.toSet == naive.toSet, "overlap pair set diverges from the naive join")
+    assert(naive.nonEmpty)
+  }
 }
