@@ -41,28 +41,38 @@ object Bench {
       // debt of its predecessors (measured +/-30% run-to-run variance)
       System.gc()
       val t0 = System.nanoTime()
-      // noop write materializes EVERY output column (count() lets Catalyst
-      // prune projection work away, under-measuring expression-heavy
-      // queries) while still writing nothing. A failing query records -1
-      // (a fast wall-time would read as healthy) and logs to stderr.
-      val sec =
+      // BUILD and EXEC timed separately: builder-time driver actions
+      // (localCheckpoints, auto-depth counts, index saves) bill to
+      // `plan`, the noop write of the returned frame to `exec` — so
+      // round-over-round regression diffs can compare exec without the
+      // checkpoint-attribution noise (lsh_calibration reads 13 s plan /
+      // 0.2 s exec). noop materializes EVERY output column (count()
+      // lets Catalyst prune projection work away) while writing
+      // nothing. A failing query records -1 (a fast wall-time would
+      // read as healthy) and logs to stderr.
+      val (planSec, execSec) =
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.write.mode("overwrite").format("noop").save()
+          ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
         } catch {
           case e: Throwable =>
             System.err.println(
               s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-            -1.0
+            (-1.0, -1.0)
         }
-      name -> sec
+      name -> (planSec, execSec)
     }
-    val failed = results.count(_._2 < 0)
+    val failed = results.count(_._2._1 < 0)
     if (failed > 0) System.err.println(s"BENCH: $failed queries FAILED (recorded as -1)")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jmap(f: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = jmap { case (p, e) => if (p < 0) -1.0 else p + e }
+    val plans = jmap(_._1)
+    val execs = jmap(_._2)
+    val total = results.values.collect { case (p, e) if p >= 0 => p + e }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded stdout TAIL, which truncates the
     // per-query map past ~60 queries — ALSO write the complete line to a

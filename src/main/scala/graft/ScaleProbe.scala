@@ -377,6 +377,40 @@ object ScaleProbe {
         val caps = docs(m).select(col("doc_id"), col("lang"), col("text"))
         noop(graft.queries.ExtensionQueries.multimodalFunnel(caps.join(emb, "doc_id")))
       },
+      "interval_overlap" -> { m =>
+        // join_interval_overlap via the SHARED stage builder. Per-replica
+        // TIME SHIFT keeps per-bin interval density constant (the natural
+        // scale-up: longer history, same traffic) — an unshifted copy
+        // would square the pair count. Every 1000th interval stretches
+        // 100× to probe the long-interval bin fan-out (hub bins) the
+        // claim-ownership rule and AQE skew handling must absorb.
+        val ev0 = replicate(spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), expr("ts div 1000000000").as("t"), col("value")),
+          m, "event_id", saltText = false)
+        val rep = (col("event_id") / 100000000L).cast("long")
+        val ev = ev0.withColumn("t", col("t") + rep * 10000000L)
+          .withColumn("value",
+            when(col("event_id") % 1000 === 0, col("value") * 100).otherwise(col("value")))
+        noop(graft.queries.RelationalQueries.intervalOverlapRollup(ev))
+      },
+      "source_matrix" -> { m =>
+        // source_dedup_matrix via the SHARED stage builder: salted
+        // replicas are content-hash-disjoint, so per-source group counts
+        // scale linearly and the per-group #sources² self-join fan-out
+        // stays constant — the probe watches the content-hash shuffle.
+        noop(graft.queries.DatasetQueries.sourceMatrixFrom(
+          graft.ops.Parallelism.ensure(docs(m)).select(col("source"), col("text"))))
+      },
+      "hits" -> { m =>
+        // hits_scores via the SHARED round builder: node/edge count scales
+        // with m, structure constant (out-degree 2-3 + the planted hub
+        // whose IN-degree is n — the probe watches the per-iteration sum
+        // shuffles for a hub-reducer blowup; integer micro-unit sums let
+        // map-side combine absorb the hub key).
+        val n = 200000L * m
+        noop(graft.queries.MiscQueries.hitsScored(
+          spark.range(n).select(col("id").as("doc_id"))))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

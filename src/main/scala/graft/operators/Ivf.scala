@@ -269,6 +269,42 @@ object Ivf {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
+  /** Index-maintenance compaction — the counterpart to [[appendSave]]'s
+    * one-file-per-touched-partition-per-batch write pattern: after months
+    * of daily ingest a probed list directory is hundreds of KB-files, and
+    * every probe pays per-file open cost. Rewrite EACH `list_id=`
+    * partition into ≈`targetFileMB`-sized files sorted on the id column
+    * ([[graft.sources.Storage.compact]] per partition — so parquet footer
+    * min/max id stats also cluster), then swap the compacted files in
+    * place: write to a dot-prefixed sibling (invisible to partition
+    * discovery, so a crash mid-compact leaves the index readable), delete
+    * the original, rename. Row SET is untouched — a probe after
+    * compaction answers bit-identically to one before, which is what
+    * `ann_ivf_compact`'s shared oracle certifies hash-exactly. Returns
+    * (list_id, filesBefore, filesAfter) per partition. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileMB: Int = 128,
+              idCol: String = "vec_id"): Seq[(Int, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val assignedDir = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    val fs = assignedDir.getFileSystem(conf)
+    fs.listStatus(assignedDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val dir = st.getPath
+        val listId = dir.getName.stripPrefix("list_id=").toInt
+        val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+          s".compact_tmp_list_id=$listId")
+        val (before, after) =
+          graft.sources.Storage.compact(spark, dir.toString, tmp.toString,
+            targetFileMB, idCol)
+        fs.delete(dir, true)
+        fs.rename(tmp, dir)
+        (listId, before, after)
+      }
+  }
+
   /** Load a persisted index. The assigned frame reads lazily — a probe
     * query's `list_id` equi-join prunes unprobed list directories. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {

@@ -184,6 +184,27 @@ object Similarity {
     p
   }
 
+  /** Session-memoized exact corpus count for the auto-depth call sites:
+    * a composed pipeline invoking several [[autoPlanesExact]]-sized
+    * stages over the SAME frame (same canonicalized analyzed plan, same
+    * session) pays ONE count job instead of one per stage. Keyed by the
+    * canonicalized plan, so replicated/filtered variants still count
+    * separately (their n genuinely differs). INVARIANT: inputs are
+    * immutable within a session — a path whose files change after the
+    * first count would serve a stale n; call [[clearCountCache]] after
+    * external writes (the registered queries never count a frame they
+    * also rewrite). Bounded: one long per distinct counted frame. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+
+  def corpusCount(df: DataFrame): Long =
+    countCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      _ => df.count())
+
+  def clearCountCache(): Unit = countCache.clear()
+
   /** LSH bucket id: sign bit per hyperplane packed into a long. */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

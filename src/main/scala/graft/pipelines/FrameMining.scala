@@ -97,6 +97,11 @@ class FrameMining(person: () => Models.PersonDetector,
         }
       }
       .toDF("video_id", "frame_idx", "slot", "x1", "y1", "x2", "y2", "quality", "embedding")
+      // row-wise passthrough contract: every emitted candidate carries its
+      // source frame's (video_id, frame_idx) verbatim, so a gate written
+      // AFTER this barrier that reads only those columns hoists below it
+      // (graft.plans.GateHoist) and drops frames BEFORE the models run
+      .transform(graft.plans.GateHoist.declarePassthrough(_, "video_id", "frame_idx"))
   }
 
   /** Phase 1: per-video reference identities (greedy dedup fold), gated

@@ -66,6 +66,9 @@ object GraftFunctions {
       if (!spark.experimental.extraOptimizations.contains(IntersectCountRewrite))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ IntersectCountRewrite
+      if (!spark.experimental.extraOptimizations.contains(GateHoist))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ GateHoist
       true
     } catch { case _: Throwable => false }
 }
@@ -78,5 +81,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CosineSimilarity].getName, name), b))
     }
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
+    ext.injectOptimizerRule(_ => GateHoist)
   }
 }

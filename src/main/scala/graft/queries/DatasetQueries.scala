@@ -45,7 +45,8 @@ object DatasetQueries {
     * exact count → auto depth → md5 planes → LSH-bucketed candidate
     * pairs → exact-cosine edges (≥ 0.99) → connected components. */
   def semanticComponents(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val planes = Similarity.autoPlanesExact(corpus.count(), 64L, semPlanes, semMaxPlanes)
+    val planes = Similarity.autoPlanesExact(
+      Similarity.corpusCount(corpus), 64L, semPlanes, semMaxPlanes)
     val pm = Similarity.md5Planes(planes, semTables, 64, "graft-semdedup")
     val pairs = Similarity.lshNearDupPairs(corpus, threshold = 0.99, pm)
     Components.connectedComponents(
@@ -55,7 +56,7 @@ object DatasetQueries {
 
   private def semDedupOracleSql: String = {
     s"""WITH RECURSIVE
-      pt AS (SELECT vec_id + 1000000 AS vec_id,
+      pt AS (SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
                [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) AS FLOAT)
                 for i in generate_series(1, len(embedding))] AS embedding
              FROM embeddings WHERE vec_id % 5 = 0),
@@ -119,8 +120,12 @@ object DatasetQueries {
   val dedupSemantic = QueryDef("dedup_semantic",
     (s, dir) => {
       val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // Planted-twin ids start at max(vec_id)+1 so they can NEVER collide
+      // with real ids at any scale factor (a fixed constant would once the
+      // corpus outgrows it); the oracle replays the same scalar subquery.
+      val off = base.agg(max(col("vec_id")).cast("long")).head.getLong(0) + 1L
       val planted = base.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        .select((col("vec_id") + lit(off)).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
               .cast("float")).as("embedding"))
@@ -139,7 +144,7 @@ object DatasetQueries {
   private def deconOracleSql: String = {
     s"""WITH
       tst AS (SELECT vec_id AS tid, embedding AS tvec FROM embeddings WHERE vec_id % 7 = 3),
-      pt AS (SELECT tid + 2000000 AS vec_id,
+      pt AS (SELECT tid + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
                [CAST(CAST(tvec[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) AS FLOAT)
                 for i in generate_series(1, len(tvec))] AS embedding
              FROM tst),
@@ -211,12 +216,16 @@ object DatasetQueries {
   def decontaminationVerdicts(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val test = base.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id").as("tid"), col("embedding").as("tvec"))
-    val planted = test.select((col("tid") + lit(2000000L)).as("vec_id"),
+    // Twin ids start at max(vec_id)+1 — collision-proof at every scale
+    // factor (and under the ScaleProbe 100 M replica bands); replayed by
+    // the oracle as the same scalar subquery.
+    val off = base.agg(max(col("vec_id")).cast("long")).head.getLong(0) + 1L
+    val planted = test.select((col("tid") + lit(off)).as("vec_id"),
       transform(col("tvec"), (x, i) =>
         (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
           .cast("float")).as("embedding"))
     val train = base.filter(col("vec_id") % 7 =!= 3).unionByName(planted)
-    val planes = Similarity.autoPlanesExact(train.count(), 64L, 8, 24)
+    val planes = Similarity.autoPlanesExact(Similarity.corpusCount(train), 64L, 8, 24)
     val pm = Similarity.md5Planes(planes, 4, 64, "graft-decon")
     val pairs = Similarity.lshCrossPairs(train, test, pm)
     val best = pairs.groupBy("vec_id")
@@ -704,19 +713,23 @@ object DatasetQueries {
     * #sources², never corpus²; cross-pair counts are exact integer
     * products. Only pairs with ≥1 shared group emit (a 0-filled
     * #sources² grid would bury the signal). */
+  /** Shared provenance-matrix stages — the REGISTERED query and
+    * ScaleProbe both call this on a (source, text) frame. */
+  def sourceMatrixFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = docs.select(col("source"), md5(Dedup.bagOfWordsKey(col("text"))).as("ch"))
+    val bySrc = keyed.groupBy("ch", "source").agg(count(lit(1)).as("c"))
+    bySrc.select(col("ch"), col("source").as("src_a"), col("c").as("ca"))
+      .join(bySrc.select(col("ch"), col("source").as("src_b"), col("c").as("cb")), "ch")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("ca") * col("cb")).as("n_dup_pairs"),
+        count(lit(1)).as("n_shared_groups"))
+  }
+
   val sourceDedupMatrix = QueryDef("source_dedup_matrix",
-    (s, dir) => {
-      val keyed = table(s, dir, "documents")
-        .select(col("source"), md5(Dedup.bagOfWordsKey(col("text"))).as("ch"))
-      val bySrc = keyed.groupBy("ch", "source").agg(count(lit(1)).as("c"))
-      bySrc.select(col("ch"), col("source").as("src_a"), col("c").as("ca"))
-        .join(bySrc.select(col("ch"), col("source").as("src_b"), col("c").as("cb")), "ch")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(sum(col("ca") * col("cb")).as("n_dup_pairs"),
-          count(lit(1)).as("n_shared_groups"))
-        .orderBy("src_a", "src_b")
-    },
+    (s, dir) => sourceMatrixFrom(
+        table(s, dir, "documents").select(col("source"), col("text")))
+      .orderBy("src_a", "src_b"),
     Some(s"""WITH k AS (SELECT source,
         md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS ch
       FROM documents),

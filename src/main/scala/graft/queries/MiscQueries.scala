@@ -488,7 +488,10 @@ object MiscQueries {
         .withColumn("z", (col("value") - col("mu")) / col("sig"))
         .groupBy("event_type")
         .agg(max(col("n_ref")).as("n_ref"), count(lit(1)).as("n_scored"),
-          sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_flagged"),
+          // sig > 0 gate: a constant-valued reference slice (σ = 0) must
+          // flag nothing identically in both engines (Spark's non-ANSI
+          // divide yields NULL there; DuckDB yields ±inf).
+          sum(when(col("sig") > 0 && abs(col("z")) > 2, 1L).otherwise(0L)).as("n_flagged"),
           round(max(col("mu")), 6).as("ref_mean"),
           round(max(col("sig")), 6).as("ref_std"))
         .orderBy("event_type")
@@ -504,7 +507,7 @@ object MiscQueries {
                  (CAST(sv AS DOUBLE) / n_ref) * (CAST(sv AS DOUBLE) / n_ref)) AS sig
              FROM ref)
       SELECT e.event_type, MAX(st.n_ref) AS n_ref, COUNT(*) AS n_scored,
-        CAST(SUM(CASE WHEN ABS((e.value - st.mu) / st.sig) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        CAST(SUM(CASE WHEN st.sig > 0 AND ABS((e.value - st.mu) / st.sig) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         ROUND(MAX(st.mu), 6) AS ref_mean, ROUND(MAX(st.sig), 6) AS ref_std
       FROM ev e JOIN st USING (event_type) WHERE e.event_id % 2 = 1
       GROUP BY e.event_type ORDER BY e.event_type"""))

@@ -372,26 +372,32 @@ object RelationalQueries {
     * and the rollup is what a sessions-overlap analysis reads anyway),
     * left-joined back so zero-overlap intervals report. All-integer
     * second arithmetic; the oracle is DuckDB's native inequality join. */
+  /** Shared interval-overlap stages — the REGISTERED query and ScaleProbe
+    * both call this on an (event_id, t, value) frame: even/odd spans,
+    * bin-exploded overlap join under the claim-ownership rule, per-left
+    * rollup, zero-overlap left join back. */
+  def intervalOverlapRollup(ev: org.apache.spark.sql.DataFrame,
+                            binWidth: Double = 3600.0): org.apache.spark.sql.DataFrame = {
+    def iv(parity: Int, idName: String) = ev.filter(col("event_id") % 2 === parity)
+      .select(col("event_id").as(idName), col("t").cast("double").as("lo"),
+        (col("t") + expr("CAST(FLOOR(value * 60) AS BIGINT)")).cast("double").as("hi"))
+    val a = iv(0, "ida")
+    val pairs = graft.operators.RangeJoin.intervalOverlap(a, iv(1, "idb"), binWidth)
+      .select(col("ida"),
+        (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")))
+          .cast("long").as("ov"))
+    val g = pairs.groupBy("ida")
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("ov")).as("total_overlap_sec"))
+    a.select(col("ida")).join(g, Seq("ida"), "left")
+      .select(col("ida"), coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+        coalesce(col("total_overlap_sec"), lit(0L)).as("total_overlap_sec"))
+  }
+
   val joinIntervalOverlap = QueryDef("join_interval_overlap",
-    (s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(col("event_id"), expr("ts div 1000000000").as("t"), col("value"))
-      def iv(parity: Int, idName: String) = ev.filter(col("event_id") % 2 === parity)
-        .select(col("event_id").as(idName), col("t").cast("double").as("lo"),
-          (col("t") + expr("CAST(FLOOR(value * 60) AS BIGINT)")).cast("double").as("hi"))
-      val a = iv(0, "ida")
-      val pairs = graft.operators.RangeJoin.intervalOverlap(a, iv(1, "idb"),
-          binWidth = 3600.0)
-        .select(col("ida"),
-          (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")))
-            .cast("long").as("ov"))
-      val g = pairs.groupBy("ida")
-        .agg(count(lit(1)).as("n_overlaps"), sum(col("ov")).as("total_overlap_sec"))
-      a.select(col("ida")).join(g, Seq("ida"), "left")
-        .select(col("ida"), coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
-          coalesce(col("total_overlap_sec"), lit(0L)).as("total_overlap_sec"))
-        .orderBy("ida")
-    },
+    (s, dir) => intervalOverlapRollup(
+        table(s, dir, "events")
+          .select(col("event_id"), expr("ts div 1000000000").as("t"), col("value")))
+      .orderBy("ida"),
     Some("""WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS t, value FROM events),
       a0 AS (SELECT event_id AS ida, t AS lo, t + CAST(FLOOR(value * 60) AS BIGINT) AS hi
             FROM ev WHERE event_id % 2 = 0),

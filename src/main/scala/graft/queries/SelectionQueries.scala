@@ -690,17 +690,14 @@ object SelectionQueries {
           .add("source", "string", nullable = false)
           .add("off", LongType, nullable = false)
           .add("n_source", LongType, nullable = false))
-      // total-order sort key (doc_id unique) → deterministic global index
-      val sorted = scored.orderBy(col("source").asc, col("quality").desc,
-        col("doc_id").asc)
-      val schema = sorted.schema.add("gidx", LongType, nullable = false)
-      val ranked = s.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-        schema)
+      // total-order sort key (doc_id unique) → deterministic global index;
+      // the single-task-Window-avoidance invariant lives in Sharding.globalRank
+      val ranked = graft.operators.Sharding.globalRank(scored,
+        Seq(col("source").asc, col("quality").desc, col("doc_id").asc))
       ranked.join(broadcast(offDf), "source")
         .select(col("doc_id"), col("source"), col("quality"),
-          (col("gidx") - col("off") + 1L).as("rank_in_source"), col("n_source"),
-          when((col("gidx") - col("off") + 1L) * 5 <= col("n_source"), 1)
+          (col("rank") - col("off") + 1L).as("rank_in_source"), col("n_source"),
+          when((col("rank") - col("off") + 1L) * 5 <= col("n_source"), 1)
             .otherwise(0).as("keep"))
         .orderBy("doc_id")
     },

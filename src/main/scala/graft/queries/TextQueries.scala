@@ -1110,7 +1110,9 @@ object TextQueries {
       .crossJoin(broadcast(pool))
       .select(col("bands"), col("rpb"), col("n_candidates"), col("n_true"),
         expr("n_true * 1000000 div n_candidates").as("precision_ppm"),
-        expr("n_true * 1000000 div pool_n").as("recall_vs_pool_ppm"))
+        // greatest(pool_n, 1): a corpus with zero true pairs reports
+        // 0-recall rows instead of engine-divergent div-by-zero
+        expr("n_true * 1000000 div greatest(pool_n, 1)").as("recall_vs_pool_ppm"))
   }
 
   val lshCalibrationQ = QueryDef("lsh_calibration",
@@ -1157,7 +1159,7 @@ object TextQueries {
              FROM ac GROUP BY bands, rpb)
       SELECT bands, rpb, n_candidates, n_true,
         n_true * 1000000 // n_candidates AS precision_ppm,
-        n_true * 1000000 // pool_n AS recall_vs_pool_ppm
+        n_true * 1000000 // greatest(pool_n, 1) AS recall_vs_pool_ppm
       FROM sm CROSS JOIN pool ORDER BY bands"""
     })
 

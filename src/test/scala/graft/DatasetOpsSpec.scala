@@ -156,16 +156,22 @@ class DatasetOpsSpec extends AnyFunSuite {
   }
 
   test("dedup_semantic law on testdata: every planted twin loses to its original") {
+    // planted twins live at max(vec_id)+1 and up (the collision-proof
+    // offset the query derives — a fixed constant would collide once the
+    // corpus outgrows it)
+    val off = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head.getLong(0) + 1L
     val out = graft.queries.DatasetQueries.dedupSemantic
       .spark(TestSpark.spark, "/root/testdata/sf0.001")
       .select("vec_id", "comp", "keep").as[(Long, Long, Int)].collect()
-    val planted = out.filter(_._1 >= 1000000L)
+    val planted = out.filter(_._1 >= off)
     assert(planted.nonEmpty)
     planted.foreach { case (id, comp, keep) =>
-      assert(keep == 0 && comp == id - 1000000L,
-        s"twin $id: comp=$comp keep=$keep (want comp=${id - 1000000L} keep=0)")
+      assert(keep == 0 && comp == id - off,
+        s"twin $id: comp=$comp keep=$keep (want comp=${id - off} keep=0)")
     }
-    assert(out.filter(_._1 < 1000000L).forall(_._3 == 1))
+    assert(out.filter(_._1 < off).forall(_._3 == 1))
   }
 
   test("autoPlanes: depth grows with log2 of the row estimate, clamped to the floor") {

@@ -721,7 +721,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("ann_binary_topk: recall@5 vs brute force holds the 0.8 floor") {
+  test("ann_binary_topk: recall@5 vs brute force holds the 0.9 floor") {
     val spark = TestSpark.spark
     val emb = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -733,7 +733,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .spark(spark, "/root/testdata/sf0.001")
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (bf & got).size.toDouble / bf.size
-    assert(recall >= 0.8, s"binary-quantized recall $recall below floor")
+    // scaled shortlist (max(100, n/4)) holds the same 0.9 floor the
+    // hash-checked ann_recall_tiers row certifies
+    assert(recall >= 0.9, s"binary-quantized recall $recall below floor")
   }
 
   test("embedding_pool: pooling preserves direction and matches a driver-side ordered fold") {

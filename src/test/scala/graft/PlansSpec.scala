@@ -238,4 +238,41 @@ class PlansSpec extends AnyFunSuite {
       s"rrf_fusion arms should broadcast small sides:\n$rrf")
     assert(!rrf.contains("CartesianProduct"), s"cartesian in rrf_fusion:\n$rrf")
   }
+
+  test("GateHoist: a declared gate written after an opaque barrier slides below it") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+    def barrier(in: org.apache.spark.sql.DataFrame) =
+      in.as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) => (id, n, n * 2) })
+        .toDF("doc_id", "n_chars", "expensive")
+    val declared = graft.plans.GateHoist.declarePassthrough(barrier(docs), "doc_id")
+    // deliberately MIS-ORDERED chain: the gate is written after the stage
+    val q = declared.filter(col("doc_id") % 2 === 0)
+    val opt = q.queryExecution.optimizedPlan
+    val mp = opt.collectFirst { case m: MapPartitions => m }.get
+    assert(mp.collectFirst { case f: Filter => f }.isDefined,
+      s"gate not hoisted below the barrier:\n$opt")
+    // no residual filter remains ABOVE the barrier (a Filter whose
+    // subtree still contains the MapPartitions node)
+    assert(!opt.collect { case f: Filter => f }
+        .exists(_.collectFirst { case m: MapPartitions => m }.isDefined),
+      s"gate still above the barrier:\n$opt")
+    // identical rows to the well-ordered chain
+    assert(q.orderBy("doc_id").collect().toSeq ==
+      barrier(docs.filter(col("doc_id") % 2 === 0)).orderBy("doc_id").collect().toSeq)
+    // a gate on a NON-passthrough column must NOT hoist
+    val q2 = declared.filter(col("expensive") > 100)
+    val mp2 = q2.queryExecution.optimizedPlan.collectFirst { case m: MapPartitions => m }.get
+    assert(mp2.collectFirst { case f: Filter => f }.isEmpty,
+      "non-declared gate must stay above the barrier")
+    // an UNDECLARED barrier is untouched even for same-named columns
+    val q3 = barrier(docs).filter(col("doc_id") % 2 === 0)
+    val mp3 = q3.queryExecution.optimizedPlan.collectFirst { case m: MapPartitions => m }.get
+    assert(mp3.collectFirst { case f: Filter => f }.isEmpty,
+      "undeclared barrier must not be touched")
+  }
 }

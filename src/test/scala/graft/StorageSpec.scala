@@ -41,6 +41,43 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("Ivf.compact: per-list file count drops to ceil(bytes/target); probe bit-identical") {
+    import graft.operators.{Ivf, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val centers = Similarity.md5PlaneInts(8, 1, 64, "graft-ivf-oracle")(0)
+      .map(_.map(h => h.toDouble / (1L << 60).toDouble * 2.0 - 1.0))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString + "/ix"
+    Ivf.save(Ivf.fromCenters(emb.filter(col("vec_id") % 5 =!= 0), centers), path)
+    Ivf.appendSave(path, emb.filter(col("vec_id") % 10 === 0))
+    Ivf.appendSave(path, emb.filter(col("vec_id") % 10 === 5))
+    def filesPerList(): Map[Int, (Long, Long)] = {
+      val root = new java.io.File(s"$path/assigned")
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("list_id="))
+        .map { d =>
+          val fs = d.listFiles().filter(_.getName.endsWith(".parquet"))
+          d.getName.stripPrefix("list_id=").toInt -> (fs.length.toLong, fs.map(_.length).sum)
+        }.toMap
+    }
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe() = Ivf.topK(Ivf.load(spark, path), q, k = 5, nProbe = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    val beforeFiles = filesPerList()
+    val beforeRows = probe()
+    // append touched lists carry one extra file per batch
+    assert(beforeFiles.values.exists(_._1 >= 3),
+      s"expected appended small files, got $beforeFiles")
+    val report = Ivf.compact(spark, path, targetFileMB = 1)
+    val afterFiles = filesPerList()
+    afterFiles.foreach { case (list, (nf, bytes)) =>
+      val want = math.max(1L, (bytes + (1L << 20) - 1) / (1L << 20))
+      assert(nf == want, s"list $list: $nf files, want ceil($bytes/1MB)=$want")
+    }
+    assert(report.map(r => r._1 -> r._2).toMap == beforeFiles.map { case (k, v) => k -> v._1 })
+    assert(probe() == beforeRows, "probe results changed across compaction")
+  }
+
   test("zOrderKey: matches scalar Morton interleave; locality beats 1-D sort") {
     import spark.implicits._
     def morton(x: Long, y: Long): Long =
