@@ -384,7 +384,9 @@ object ScaleProbe {
         // would square the pair count. Every 1000th interval stretches
         // 100× to probe the long-interval bin fan-out (hub bins) the
         // claim-ownership rule and AQE skew handling must absorb.
-        val ev0 = replicate(spark.read.parquet(s"$dir/events.parquet")
+        // Tables.table normalizes ts to a nanosecond-epoch long (the raw
+        // parquet type has changed across testdata generations)
+        val ev0 = replicate(graft.queries.Tables.table(spark, dir, "events")
           .select(col("event_id"), expr("ts div 1000000000").as("t"), col("value")),
           m, "event_id", saltText = false)
         val rep = (col("event_id") / 100000000L).cast("long")

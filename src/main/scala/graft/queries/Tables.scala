@@ -11,7 +11,23 @@ import org.apache.spark.sql.functions._
   * parquet, so both sides see byte-identical inputs.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+
+  /** One DataFrame per (session, table path): every query reading a test
+    * table through [[table]] shares the SAME analyzed plan, so (a) file
+    * listing/schema inference runs once, and (b) the plan-keyed
+    * [[graft.operators.Similarity.corpusCount]] memo hits across queries
+    * — a Verify/Bench session invoking several auto-depth stages pays ONE
+    * count job for the shared corpus instead of one per stage. Safe for
+    * the read-only testdata contract; frames are immutable and the cache
+    * is bounded by #sessions × #tables. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    frameCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet has carried TIMESTAMP(NANOS) (readable only as a
     // nanosecond-epoch LongType under this legacy flag) and TIMESTAMP(MICROS)
     // (read natively as TIMESTAMP_NTZ) across testdata generations. Set the

@@ -721,6 +721,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("corpusCount memoizes per (session, plan): a second auto-depth stage runs zero count jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // the real call-site shape: queries read through Tables.table, which
+    // serves one shared frame per (session, path) — so a fresh table()
+    // call canonicalizes to the same memo key
+    def frame() = graft.queries.Tables
+      .table(TestSpark.spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n1 = Similarity.corpusCount(frame())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    TestSpark.spark.sparkContext.addSparkListener(listener)
+    try {
+      // a FRESH frame over the same source canonicalizes to the same key
+      // — the memoized count must run no job at all
+      val n2 = Similarity.corpusCount(frame())
+      assert(n2 == n1)
+      Thread.sleep(3000) // listener-bus delivery grace (events post in ms)
+      assert(jobs.get() == 0,
+        s"memoized corpusCount ran ${jobs.get()} job(s); expected zero")
+    } finally TestSpark.spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ann_binary_topk: recall@5 vs brute force holds the 0.9 floor") {
     val spark = TestSpark.spark
     val emb = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
