@@ -413,6 +413,28 @@ object ScaleProbe {
         noop(graft.queries.MiscQueries.hitsScored(
           spark.range(n).select(col("id").as("doc_id"))))
       },
+      "containment" -> { m =>
+        // dedup_containment via the SHARED stage builder: salted replicas
+        // are shingle-disjoint, so per-shingle document frequencies are
+        // per-replica constants and the rare-shingle index join's pair
+        // volume stays linear in m (the df <= 50 prune is the registered
+        // fan-out bound the probe exercises).
+        noop(graft.queries.TextQueries.containmentPairs(
+          graft.ops.Parallelism.ensure(docs(m)).select(col("doc_id"), col("text"))))
+      },
+      "bpe_train" -> { m =>
+        // canonical BPE training (operators/Bpe): per-round work is
+        // bounded by the DISTINCT vocabulary; salted replicas rotate the
+        // alphabet so vocab size scales ~m (each replica contributes its
+        // own word forms) while per-word windows stay word-length
+        // bounded. 4 rounds, constant across scales.
+        val vocab = graft.ops.Parallelism.ensure(docs(m))
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        val (_, encoded) = graft.operators.Bpe.train(vocab, 4)
+        noop(encoded.groupBy("w").agg(count(lit(1)).as("n_sym")))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

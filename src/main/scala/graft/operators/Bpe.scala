@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CANONICAL iterative BPE training (Sennrich et al., ACL 2016 — "Neural
+  * Machine Translation of Rare Words with Subword Units"), distributed:
+  * the true training loop in which adjacent-pair statistics are
+  * RECOMPUTED over the re-encoded vocabulary after every merge, so later
+  * merges see earlier merges' output symbols as first-class units (the
+  * one-shot ranked cut `bpe_encode` uses is a documented approximation;
+  * this is the algorithm SentencePiece/HF trainers run, usually on a
+  * single-node sample — here it runs exactly, over the full corpus).
+  *
+  * Representation: one ROW per (word, position, symbol) — no per-row
+  * loops, no opaque lambdas. Each merge round is:
+  *  1. dense re-index per word (row_number window — word-length bounded);
+  *  2. adjacency via lead(sym) (same bounded window);
+  *  3. frequency-weighted pair counts — a map-side-partial agg whose
+  *     output is bounded by the live symbol-pair space, never the corpus;
+  *  4. best pair under the (count desc, sym asc, nsym asc) TOTAL order —
+  *     a one-row driver collect (the kmeans-centroid class);
+  *  5. leftmost-first non-overlapping merge application, relationally:
+  *     matches chain into runs (gaps-and-islands on idx − match-rank) and
+  *     only ODD ranks within a run merge — exactly canonical BPE's scan
+  *     semantics in "aaaa" → "aa aa"; the merged row takes `sym‖nsym`,
+  *     its consumed neighbour drops via a lag(head) flag.
+  * Every step is integer counts, string concat, and bounded per-word
+  * windows — `bpe_train_oracle` replays all rounds bit-for-bit in SQL.
+  *
+  * Scale shape at 100 TB: the loop runs over the DISTINCT weighted
+  * vocabulary (bounded by the language, ~10⁷ words, not the corpus), so
+  * per-round work is vocab-sized; corpus size enters only through the
+  * one word-count agg that builds the vocab. Rounds localCheckpoint (the
+  * iterative-algorithm discipline — Components/HITS) so the lineage
+  * never stacks K rounds deep.
+  */
+object Bpe {
+
+  /** One learned merge: (left symbol, right symbol, weighted count). */
+  final case class Merge(left: String, right: String, n: Long)
+
+  /** Symbol rows (w, wc, pos, sym) from a weighted vocab (w, wc):
+    * one row per character position. substring-based (not split) so the
+    * SQL replay's `substring(w, i, 1)` is character-identical. */
+  def symbolRows(vocab: DataFrame): DataFrame =
+    vocab.select(col("w"), col("wc"),
+        posexplode(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as(Seq("p", "sym")))
+      .select(col("w"), col("wc"), (col("p") + 1).as("pos"), col("sym"))
+
+  /** Run `numMerges` canonical rounds; returns the learned merge table in
+    * rank order and the final symbol rows (w, wc, pos, sym). */
+  def train(vocab: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var rows = symbolRows(vocab).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val wWin = Window.partitionBy("w").orderBy("pos")
+      val dense = rows.withColumn("idx", row_number().over(wWin)).drop("pos")
+      val iWin = Window.partitionBy("w").orderBy("idx")
+      val adj = dense.withColumn("nsym", lead("sym", 1).over(iWin))
+      val best = adj.filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("sym").asc, col("nsym").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (ma, mb, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(ma, mb, n)
+        val kept = adj.filter(col("sym") === ma && col("nsym") === mb)
+          .withColumn("mrn", row_number().over(iWin))
+          .withColumn("grp", col("idx") - col("mrn"))
+          .withColumn("krn",
+            row_number().over(Window.partitionBy("w", "grp").orderBy("idx")))
+          .filter(col("krn") % 2 === 1)
+          .select(col("w"), col("idx"), lit(true).as("head"))
+        rows = adj.join(kept, Seq("w", "idx"), "left")
+          .withColumn("head", coalesce(col("head"), lit(false)))
+          .withColumn("prev_head", coalesce(lag("head", 1).over(iWin), lit(false)))
+          .filter(!col("prev_head"))
+          .select(col("w"), col("wc"), col("idx").as("pos"),
+            when(col("head"), concat(col("sym"), col("nsym")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    (merges.result(), rows)
+  }
+}

@@ -575,6 +575,141 @@ object SelectionQueries {
         SELECT doc_id, n_words, n_symbols, enc_first
         FROM cnt ORDER BY doc_id"""))
 
+  // ── bpe_train_oracle ────────────────────────────────────────────────────
+
+  private val bpeTrainRounds = 6
+
+  /** One canonical-BPE training round in SQL, given the previous symbol
+    * rows CTE `r(k-1)(w, wc, pos, sym)`: dense re-index, lead adjacency,
+    * best pair under the (count desc, sym asc, nsym asc) total order,
+    * leftmost-first non-overlapping merge via the gaps-and-islands odd-
+    * rank rule — the exact relational steps [[graft.operators.Bpe.train]]
+    * executes. */
+  private def bpeTrainRoundSql(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"r${k - 1}"
+    s"""d$k AS (SELECT w, wc, sym,
+          ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS idx FROM $prev),
+      a$k AS (SELECT w, wc, idx, sym,
+          LEAD(sym) OVER (PARTITION BY w ORDER BY idx) AS nsym FROM d$k),
+      b$k AS (SELECT sym AS ma, nsym AS mb, CAST(n AS BIGINT) AS n FROM (
+            SELECT sym, nsym, SUM(wc) AS n,
+              ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, sym ASC, nsym ASC) AS rn
+            FROM a$k WHERE nsym IS NOT NULL GROUP BY sym, nsym) WHERE rn = 1),
+      k$k AS (SELECT w, idx FROM (
+            SELECT w, idx, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY idx) AS krn
+            FROM (SELECT a$k.w, a$k.idx,
+                    a$k.idx - ROW_NUMBER() OVER (PARTITION BY a$k.w ORDER BY a$k.idx) AS grp
+                  FROM a$k, b$k WHERE a$k.sym = b$k.ma AND a$k.nsym = b$k.mb))
+          WHERE krn % 2 = 1),
+      r$k AS (SELECT w, wc, idx AS pos,
+            CASE WHEN head THEN sym || nsym ELSE sym END AS sym
+          FROM (SELECT a$k.w, a$k.wc, a$k.idx, a$k.sym, a$k.nsym,
+                  k$k.idx IS NOT NULL AS head,
+                  COALESCE(LAG(k$k.idx IS NOT NULL)
+                    OVER (PARTITION BY a$k.w ORDER BY a$k.idx), FALSE) AS prev_head
+                FROM a$k LEFT JOIN k$k ON a$k.w = k$k.w AND a$k.idx = k$k.idx)
+          WHERE NOT prev_head)"""
+  }
+
+  /** CANONICAL iterative BPE training, hash-certified — the second
+    * classic TRAINING LOOP under the oracle (Lloyd k-means was the
+    * first, `kmeans_train_oracle`): [[graft.operators.Bpe.train]] runs
+    * $bpeTrainRounds true Sennrich rounds over the frequency-weighted
+    * corpus vocabulary — pair statistics RECOMPUTED after every merge,
+    * so later merges consume earlier merges' output symbols (the
+    * property the one-shot ranked cut of `bpe_encode` approximates
+    * away) — and the oracle replays every round: re-index, adjacency,
+    * weighted pair counts, the total-order argmax, and the
+    * leftmost-first non-overlapping rewrite (odd ranks within
+    * consecutive-match runs — "aaaa" merges to "aa aa", exactly
+    * canonical scan semantics). Output = the learned merge table
+    * (rank, pair, weighted count). Scale: per-round work is bounded by
+    * the DISTINCT vocabulary (per-word windows, map-side pair agg, a
+    * one-row driver collect per round), not the corpus. */
+  val bpeTrainOracle = QueryDef("bpe_train_oracle",
+    (s, dir) => {
+      val vocab = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        // regex-safe merge alphabet, as bpe_encode: keeps both engines'
+        // character handling trivially identical (single-byte ASCII)
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (merges, _) = graft.operators.Bpe.train(vocab, bpeTrainRounds)
+      require(merges.length == bpeTrainRounds,
+        s"corpus exhausted after ${merges.length} merges (< $bpeTrainRounds)")
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.left + m.right, m.n) }
+        .toDF("rank", "pair", "n").orderBy("rank")
+    },
+    Some {
+      val rounds = (1 to bpeTrainRounds).map(bpeTrainRoundSql).mkString(",\n      ")
+      val sel = (1 to bpeTrainRounds)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS rank, ma || mb AS pair, n FROM b$k")
+        .mkString("\n      UNION ALL ")
+      s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wcv AS (SELECT w, COUNT(*) AS wc FROM tok
+              WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+      r0 AS (SELECT w, wc,
+               UNNEST([i for i in generate_series(1, length(w))]) AS pos,
+               UNNEST([substring(w, i, 1) for i in generate_series(1, length(w))]) AS sym
+             FROM wcv),
+      $rounds
+      $sel ORDER BY rank"""
+    })
+
+  /** TRAIN → APPLY under the canonical trainer — tokenize the corpus
+    * with the [[bpeTrainOracle]] merge table, via the 100 TB apply
+    * trick: the trainer's final symbol rows ARE the encoded vocabulary,
+    * so applying the tokenizer is one `group rows by word → symbols per
+    * word` agg plus an equi-join from exploded documents to the distinct
+    * vocab — each distinct word is encoded ONCE no matter how often it
+    * occurs (at corpus scale the vocab is ~10⁷ rows against ~10¹²
+    * tokens, and the join broadcasts). Output = per-language fertility
+    * under the TRUE iteratively-trained tokenizer (`bpe_fertility`
+    * reports the same metric under the one-shot-cut encode — the pair
+    * quantifies what canonical training buys). Oracle replays the full
+    * train chain, the vocab rollup, and the join. */
+  val bpeTrainFertility = QueryDef("bpe_train_fertility",
+    (s, dir) => {
+      val vocab = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (_, encoded) = graft.operators.Bpe.train(vocab, bpeTrainRounds)
+      val wsym = encoded.groupBy("w").agg(count(lit(1)).as("n_sym"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .join(wsym, "w")
+        .groupBy("lang").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("lang")
+    },
+    Some {
+      val rounds = (1 to bpeTrainRounds).map(bpeTrainRoundSql).mkString(",\n      ")
+      s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wcv AS (SELECT w, COUNT(*) AS wc FROM tok
+              WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+      r0 AS (SELECT w, wc,
+               UNNEST([i for i in generate_series(1, length(w))]) AS pos,
+               UNNEST([substring(w, i, 1) for i in generate_series(1, length(w))]) AS sym
+             FROM wcv),
+      $rounds,
+      ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+             FROM r$bpeTrainRounds GROUP BY w),
+      dw AS (SELECT doc_id, lang, UNNEST($toksSql) AS w FROM documents),
+      dwf AS (SELECT doc_id, lang, w FROM dw WHERE regexp_matches(w, '^[a-z0-9]+$$'))
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+        CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+        ROUND(CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+      FROM dwf JOIN ws USING (w) GROUP BY lang ORDER BY lang"""
+    })
+
   /** Tokenizer fertility per language — THE tokenizer-evaluation metric
     * (symbols emitted per word; multilingual tokenizer papers report it
     * per language because a vocabulary tuned to one language fragments
@@ -1319,7 +1454,8 @@ object SelectionQueries {
 
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
-      bpePairCounts, bpeEncode, bpeFertility, pipelineSelect, pipelinePretrain,
+      bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
+      pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
       clusterBalance, curriculumOrder, qualityClassifier)
 }

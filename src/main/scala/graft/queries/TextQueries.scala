@@ -123,6 +123,76 @@ object TextQueries {
       FROM p WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6
       ORDER BY id_a, id_b"""))
 
+  /** CONTAINMENT near-dup pairs (Broder, SEQUENCES'97 — the asymmetric
+    * complement of resemblance): C(A,B) = |A∩B| / |A| over 2-gram word
+    * shingles flags a document that is (almost) a SUBSET of a bigger one
+    * (quoted posts, expanded revisions, the v1-inside-v2 problem) —
+    * exactly the dup class resemblance misses: when |B| ≫ |A|, Jaccard
+    * ≈ |A|/|B| stays tiny while containment ≈ 1, so neither the LSH
+    * bands nor the jaccard verify ever surface the pair. Candidates come
+    * from an inverted shingle index PRUNED to rare shingles (df ≤ 50):
+    * the index join's fan-out is Σ df² over KEPT shingles — bounded by
+    * maxDf · occurrences, linear in the corpus — while a stop-shingle
+    * ("of the") never generates pairs. The pruning is part of the
+    * REGISTERED semantics (a pair sharing only ubiquitous shingles is
+    * noise by construction) and the oracle replays it. Orientation:
+    * A = the smaller shingle set (ties to the lower id), each pair
+    * emitted once; integer-ppm containment. */
+  /** Shared containment stages — the REGISTERED query and ScaleProbe
+    * both call this on a (doc_id, text) frame. */
+  def containmentPairs(docs: org.apache.spark.sql.DataFrame,
+                       maxDf: Int = 50): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .localCheckpoint() // read by the index explode and both verify joins
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+    val rare = ex.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("t")
+    val kept = ex.join(rare, "t")
+    val cand = kept.select(col("t"), col("doc_id").as("id_a"))
+      .join(kept.select(col("t"), col("doc_id").as("id_b")), Seq("t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), "id_b")
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("id_a") < col("id_b")))
+      .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("containment_ppm", expr("inter * 1000000 div n_a"))
+      .filter(col("containment_ppm") >= 800000)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("inter"), col("containment_ppm"))
+  }
+
+  val dedupContainment = QueryDef("dedup_containment",
+    (s, dir) => containmentPairs(
+        table(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM d),
+      gn AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n FROM g),
+      ex AS (SELECT doc_id, UNNEST(sh) AS t FROM g),
+      rare AS (SELECT t FROM (SELECT t, COUNT(*) AS df FROM ex GROUP BY t) WHERE df <= 50),
+      kept AS (SELECT ex.doc_id, ex.t FROM ex JOIN rare USING (t)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id <> b.doc_id),
+      o AS (SELECT c.id_a, c.id_b, ga.sh AS sh_a, ga.n AS n_a, gb.sh AS sh_b, gb.n AS n_b
+            FROM cand c JOIN gn ga ON ga.doc_id = c.id_a JOIN gn gb ON gb.doc_id = c.id_b
+            WHERE ga.n < gb.n OR (ga.n = gb.n AND c.id_a < c.id_b)),
+      v AS (SELECT id_a, id_b, n_a, n_b,
+              CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter
+            FROM o)
+      SELECT id_a, id_b, n_a, n_b, inter, inter * 1000000 // n_a AS containment_ppm
+      FROM v WHERE inter * 1000000 // n_a >= 800000 ORDER BY id_a, id_b"""))
+
   /** DuckDB replay of the md5-keyed MinHash+LSH pipeline: shingle →
     * double-hashed 32-slot signature → 8×4 banding → candidate pairs →
     * true-Jaccard verification. Generated (k=32 MIN aggregates, 8 band
@@ -1167,7 +1237,8 @@ object TextQueries {
     codeExtractQ, dupNgramFractionQ, vocabCoverageQ, scriptDetectQ,
     lshCalibrationQ,
     tokenCountQ, langIdQ, qualityScoreQ, docFingerprintQ,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupSpans,
+    dedupExact, dedupNgramJaccard, dedupContainment, dedupMinhashLsh,
+    dedupSimhash, dedupSpans,
     dedupLinesQ, vocabTopK, dedupComponents, lmScoreQ, tfidfTopTermsQ,
     heavyHittersQ, dedupIncrementalQ, mineContrastivePairs,
     perplexityBucketsQ)

@@ -478,4 +478,34 @@ class SelectionSpec extends AnyFunSuite {
     assert(sizes.length == 3 && sizes.max - sizes.min <= 1)
     byRank.foreach { case (_, _, r, p) => assert(p == 3 * (r - 1) / n + 1) }
   }
+
+  test("Bpe.train: canonical rounds match a hand-computed trace; leftmost-first overlap rule") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // vocab {aaab: 2, ab: 3}; round 1 pairs: (a,a)=4, (a,b)=5 → merge ab;
+    // round 2: (a,a)=2 ties (a,ab)=2 → (a,a) wins the (sym, nsym) order;
+    // round 3: only (aa,ab)=2 remains → the word reassembles
+    val vocab = Seq(("aaab", 2L), ("ab", 3L)).toDF("w", "wc")
+    val (merges, rows) = Bpe.train(vocab, 3)
+    assert(merges.map(m => (m.left, m.right, m.n)) ==
+      Seq(("a", "b", 5L), ("a", "a", 2L), ("aa", "ab", 2L)))
+    val fin = rows.orderBy("w", "pos").select("w", "sym")
+      .as[(String, String)].collect().toSeq
+    assert(fin == Seq(("aaab", "aaab"), ("ab", "ab")))
+    // canonical scan semantics: "aaaa" under merge (a,a) → [aa, aa]
+    // (odd-rank matches within a run), never [aa, a, a]
+    val (m2, rows2) = Bpe.train(Seq(("aaaa", 1L)).toDF("w", "wc"), 1)
+    assert(m2.head.left == "a" && m2.head.right == "a" && m2.head.n == 3L)
+    assert(rows2.orderBy("pos").select("sym").as[String].collect().toSeq ==
+      Seq("aa", "aa"))
+    // determinism: the corpus-learned table is identical across runs
+    def corpusMerges() = {
+      val v = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      Bpe.train(v, 4)._1
+    }
+    assert(corpusMerges() == corpusMerges())
+  }
 }
