@@ -352,7 +352,140 @@ object AlignmentQueries {
       FROM g LEFT JOIN v ON g.doc_id = v.doc_id LEFT JOIN sh ON g.doc_id = sh.doc_id
       ORDER BY g.doc_id"""))
 
+  // ── bt_rating ───────────────────────────────────────────────────────────
+
+  private val btRounds = 3
+
+  /** Bradley–Terry strength ratings from pairwise outcomes — the model
+    * behind Chatbot-Arena-style leaderboards and RM-data win-rate
+    * analysis (Bradley & Terry 1952; MM fit per Hunter, Annals of
+    * Statistics 2004). Matches are derived deterministically from
+    * `events`: per user, consecutive events (ts, event_id order) of
+    * DIFFERENT types face off and the higher `value` wins (tie → the
+    * lexicographically smaller type) — the replayable stand-in for "two
+    * models answered the same prompt; a human picked one". The MM update
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j) runs $btRounds rounds entirely in
+    * integer micro-units (ratings sum to K·10⁶ after each round's
+    * normalization; every step is BIGINT mul + floor-div, so the oracle
+    * replays each round bit-for-bit — the third classic training loop
+    * under the hash oracle, after Lloyd k-means and canonical BPE).
+    *
+    * Scale: the corpus-sized work is ONE per-user lag window (the
+    * sessionize shape) plus ONE map-side-partial match aggregate; the
+    * fit itself iterates over the #player² pair table (#event_types is
+    * bounded by the schema, not the corpus), so 100 TB of events enters
+    * only through the first aggregation. Windows inside the fit run on
+    * ≤ #player-row frames. */
+  /** Shared BT chain — the REGISTERED query and the spec's hand-traced
+    * fixture both call this on an (user_id, ts, event_id, event_type,
+    * value) frame. */
+  def btRatings(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val uw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val matches = events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("nt", lead("event_type", 1).over(uw))
+        .withColumn("nv", lead("value", 1).over(uw))
+        .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+        .withColumn("a_wins",
+          col("value") > col("nv") ||
+            (col("value") === col("nv") && col("event_type") < col("nt")))
+        .select(
+          when(col("a_wins"), col("event_type")).otherwise(col("nt")).as("winner"),
+          when(col("a_wins"), col("nt")).otherwise(col("event_type")).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // the single corpus-sized pass; the fit below is #player²
+      val pairs = matches.select(col("winner").as("a"), col("loser").as("b"), col("n"))
+        .union(matches.select(col("loser").as("a"), col("winner").as("b"), col("n")))
+        .groupBy("a", "b").agg(sum(col("n")).as("n"))
+      val wins = matches.groupBy("winner").agg(sum(col("n")).as("w"))
+      val players = pairs.select(col("a")).distinct()
+        .join(wins.withColumnRenamed("winner", "a"), Seq("a"), "left")
+        .select(col("a"), coalesce(col("w"), lit(0L)).as("w"))
+      val kFrame = players.agg(count(lit(1)).as("k")) // one row, broadcast below
+      var p = players.withColumn("p", lit(1000000L))
+      for (_ <- 1 to btRounds) {
+        val denom = pairs
+          .join(p.select(col("a"), col("p").as("pa")), "a")
+          .join(p.select(col("a").as("b"), col("p").as("pb")), "b")
+          .withColumn("t", expr("n * 1000000000000 div greatest(pa + pb, 1)"))
+          .groupBy("a").agg(sum(col("t")).as("denom"))
+        val praw = p.join(denom, "a")
+          .withColumn("praw", expr("w * 1000000000000 div greatest(denom, 1)"))
+        val sFrame = praw.agg(sum(col("praw")).as("s"))
+        p = praw.crossJoin(broadcast(sFrame)).crossJoin(broadcast(kFrame))
+          .withColumn("p", expr("praw * (k * 1000000) div greatest(s, 1)"))
+          .select("a", "w", "p")
+          .localCheckpoint()
+      }
+      val losses = matches.groupBy("loser").agg(sum(col("n")).as("l"))
+      val nm = pairs.groupBy("a").agg(sum(col("n")).as("n_matches"))
+      p.join(losses.withColumnRenamed("loser", "a"), Seq("a"), "left")
+        .join(nm, "a")
+        .select(col("a").as("event_type"), col("n_matches"),
+          col("w").as("wins"), coalesce(col("l"), lit(0L)).as("losses"),
+          col("p").as("rating"))
+        // #player-row frame: the unpartitioned window is bounded by the
+        // event-type vocabulary, never the corpus
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rating").desc, col("event_type").asc))
+            .cast("long"))
+        .orderBy("rank")
+  }
+
+  val btRatingQ = QueryDef("bt_rating",
+    (s, dir) => btRatings(table(s, dir, "events")),
+    Some {
+      def round(k: Int): String = {
+        val prev = s"r${k - 1}"
+        s"""t$k AS (SELECT pr.a,
+              CAST(SUM(pr.n * 1000000000000 // GREATEST(pa.p + pb.p, 1)) AS BIGINT) AS denom
+            FROM pr JOIN $prev pa ON pr.a = pa.a JOIN $prev pb ON pr.b = pb.a
+            GROUP BY pr.a),
+      u$k AS (SELECT $prev.a, $prev.w,
+              $prev.w * 1000000000000 // GREATEST(t$k.denom, 1) AS praw
+            FROM $prev JOIN t$k ON $prev.a = t$k.a),
+      s$k AS (SELECT CAST(SUM(praw) AS BIGINT) AS s FROM u$k),
+      r$k AS (SELECT u$k.a, u$k.w,
+              CAST(praw * (kk.k * 1000000) // GREATEST(s$k.s, 1) AS BIGINT) AS p
+            FROM u$k, s$k, kk)"""
+      }
+      val rounds = (1 to btRounds).map(round).mkString(",\n      ")
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type, value
+             FROM events),
+      nx AS (SELECT event_type, value,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS nt,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS nv
+             FROM ev),
+      mt AS (SELECT
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                    THEN event_type ELSE nt END AS winner,
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                    THEN nt ELSE event_type END AS loser,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM nx WHERE nt IS NOT NULL AND nt <> event_type GROUP BY 1, 2),
+      pr AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS n FROM (
+               SELECT winner AS a, loser AS b, n FROM mt
+               UNION ALL SELECT loser AS a, winner AS b, n FROM mt)
+             GROUP BY a, b),
+      wn AS (SELECT winner AS a, CAST(SUM(n) AS BIGINT) AS w FROM mt GROUP BY winner),
+      pl AS (SELECT d.a, COALESCE(wn.w, 0) AS w
+             FROM (SELECT DISTINCT a FROM pr) d LEFT JOIN wn ON d.a = wn.a),
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pl),
+      r0 AS (SELECT a, w, CAST(1000000 AS BIGINT) AS p FROM pl),
+      $rounds,
+      ls AS (SELECT loser AS a, CAST(SUM(n) AS BIGINT) AS l FROM mt GROUP BY loser),
+      nm AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n_matches FROM pr GROUP BY a)
+      SELECT fin.a AS event_type, nm.n_matches, fin.w AS wins,
+        COALESCE(ls.l, 0) AS losses, fin.p AS rating,
+        ROW_NUMBER() OVER (ORDER BY fin.p DESC, fin.a ASC) AS rank
+      FROM r$btRounds fin
+      LEFT JOIN ls ON fin.a = ls.a
+      JOIN nm ON fin.a = nm.a
+      ORDER BY rank"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     chatTemplateQ, preferencePairsQ, lengthBucketsQ, epochShuffleQ, oovRateQ,
-    pipelineSftQ)
+    btRatingQ, pipelineSftQ)
 }

@@ -111,7 +111,15 @@ object SimilarityQueries {
     * buckets, candidate-join on (table, bucket), then exact cosine +
     * rank over the candidate set — the same math
     * [[Similarity.lshTopKPlanes]] executes at the same auto depth. */
-  private def lshOracleSql: String = {
+  private def lshOracleSql: String =
+    s"""${lshRankCtes("vec_id % 50 = 0")}
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+
+  /** The WITH-chain through ranked LSH candidates (CTE `r`), shared by
+    * [[annLshTopK]]'s oracle and [[knnGraphQ]]'s — `qFilter` selects
+    * which bucketed points act as queries. */
+  private def lshRankCtes(qFilter: String): String = {
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
       depth AS (SELECT LEAST($lshMaxPlanes, GREATEST($lshPlanes,
           (SELECT MIN(p) FROM generate_series(0, 40) g(p)
@@ -137,7 +145,7 @@ object SimilarityQueries {
       bk AS (SELECT vec_id, t,
                SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS bucket
              FROM dots GROUP BY vec_id, t),
-      qb AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE vec_id % 50 = 0),
+      qb AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE $qFilter),
       cand AS (SELECT DISTINCT q.qid, c.vec_id
                FROM qb q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
                WHERE c.vec_id <> q.qid),
@@ -150,9 +158,7 @@ object SimilarityQueries {
         JOIN d a ON a.vec_id = cand.qid),
       r AS (SELECT qid, vec_id, sim,
               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
-            FROM pairs)
-      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
-      FROM r WHERE rank <= $annK ORDER BY qid, rank"""
+            FROM pairs)"""
   }
 
   /** LSH-bucketed approximate top-5 — md5-derived replayable hyperplanes
@@ -167,6 +173,120 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
     Some(lshOracleSql))
+
+  /** Mutual k-NN graph over the WHOLE corpus — the graph-construction
+    * primitive under k-NN clustering, manifold methods (UMAP/spectral),
+    * SemDeDup-style cluster pruning, and label propagation: every point
+    * queries the LSH index ([[lshAutoMatrix]] — same auto-depth
+    * discipline as `ann_lsh_topk`, so candidate volume stays ~n·log n,
+    * never n²), takes its cosine top-$annK, and an EDGE exists iff the
+    * relation is MUTUAL (each endpoint in the other's top-k — the
+    * standard symmetrization that kills hub artifacts: a hub appears in
+    * thousands of lists, but its own list has only k slots, so one-way
+    * fans collapse). Each edge emits once (src < dst) with the cosine
+    * and both directed ranks. Scale: the all-points query set is the
+    * index's own bucketed corpus — one (table, bucket) self-equi-join,
+    * map-side-partial rank agg, then an edge-on-edge equi-join on
+    * (src, dst); no stage is ever all-pairs. */
+  val knnGraphQ = QueryDef("knn_graph",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val topk = Similarity.lshTopKPlanes(emb,
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = annK, lshAutoMatrix(emb))
+      val fwd = topk.filter(col("qid") < col("vec_id"))
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("sim"), col("rank").as("rank_fwd"))
+      val back = topk.filter(col("qid") > col("vec_id"))
+        .select(col("vec_id").as("src"), col("qid").as("dst"),
+          col("rank").as("rank_back"))
+      fwd.join(back, Seq("src", "dst"))
+        .select(col("src"), col("dst"), col("sim"),
+          col("rank_fwd").cast("long").as("rank_fwd"),
+          col("rank_back").cast("long").as("rank_back"))
+        .orderBy("src", "dst")
+    },
+    Some(s"""${lshRankCtes("TRUE")},
+      e AS (SELECT qid, vec_id, sim, rank FROM r WHERE rank <= $annK)
+      SELECT f.qid AS src, f.vec_id AS dst, f.sim,
+        CAST(f.rank AS BIGINT) AS rank_fwd, CAST(b.rank AS BIGINT) AS rank_back
+      FROM e f JOIN e b ON b.qid = f.vec_id AND b.vec_id = f.qid
+      WHERE f.qid < f.vec_id
+      ORDER BY src, dst"""))
+
+  // ── coreset_kcenter ─────────────────────────────────────────────────────
+
+  private val kCenters = 8
+
+  /** Greedy k-center coreset selection (Gonzalez, TCS 1985 — the 2-approx
+    * farthest-point heuristic; the geometric selection rule behind
+    * diversity-driven data pruning): seed at the lowest vec_id, then
+    * $kCenters−1 rounds of "add the point FARTHEST from every chosen
+    * center" in cosine distance (1 − the documented left-fold cosine).
+    * Each selection's `radius` is its min-distance at pick time — the
+    * coverage radius, non-increasing by construction (pinned in spec) —
+    * so the output is simultaneously the selected subset AND the
+    * coverage-vs-budget curve a pruning run reads to choose k. The whole
+    * trajectory (seed, every argmax with vec_id tie-break, every
+    * min-dist fold) replays in the oracle round-by-round — the fourth
+    * training-style loop under the hash gate (Lloyd, BPE, BT, this).
+    *
+    * Scale: each round is one narrow broadcast pass (corpus × the ONE
+    * new center — min-dist is maintained incrementally, never recomputed
+    * against all centers) plus a global top-1 (TakeOrdered: per-partition
+    * max then a k-sized driver merge, no sort shuffle); k bounded rounds
+    * of O(n) work, the textbook cost of greedy k-center, with
+    * localCheckpoint pinning each round's min-dist state. */
+  val coresetKcenterQ = QueryDef("coreset_kcenter",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val seed = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      var d = emb.crossJoin(broadcast(seed))
+        .withColumn("dist", lit(1.0) - Similarity.cosine(col("embedding"), col("ce")))
+        .select(col("vec_id"), col("embedding"), col("dist"))
+        .localCheckpoint()
+      var out = seed.select(lit(1L).as("round"), col("cid").as("center_id"),
+        lit(null).cast("double").as("radius"))
+      for (r <- 2 to kCenters) {
+        val next = d.orderBy(col("dist").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("dist").as("radius"))
+          .localCheckpoint() // 1 row: selected once, read by update + output
+        out = out.union(next.select(lit(r.toLong).as("round"),
+          col("cid").as("center_id"), col("radius")))
+        d = d.crossJoin(broadcast(next.select(col("cid"), col("ce"))))
+          .withColumn("nd", lit(1.0) - Similarity.cosine(col("embedding"), col("ce")))
+          .select(col("vec_id"), col("embedding"),
+            least(col("dist"), col("nd")).as("dist"))
+          .localCheckpoint()
+      }
+      out.orderBy("round")
+    },
+    Some {
+      val cosSql = (a: String, anrm: String, b: String, bnrm: String) =>
+        s"CASE WHEN $anrm > 0 AND $bnrm > 0 THEN ${dotSql(a, b)} / ($anrm * $bnrm) ELSE 0.0 END"
+      def round(k: Int): String = {
+        val prev = s"d${k - 1}"
+        s"""c$k AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm, dist AS radius
+            FROM $prev ORDER BY dist DESC, vec_id ASC LIMIT 1),
+      d$k AS (SELECT p.vec_id, p.embedding, p.nrm,
+              LEAST(p.dist, 1.0 - ${cosSql("p.embedding", "p.nrm", "c.ce", "c.cnrm")}) AS dist
+            FROM $prev p, c$k c)"""
+      }
+      val rounds = (2 to kCenters).map(round).mkString(",\n      ")
+      val sel = (2 to kCenters)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS round, cid AS center_id, radius FROM c$k")
+        .mkString("\n      UNION ALL ")
+      s"""WITH d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      c1 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM d ORDER BY vec_id LIMIT 1),
+      d1 AS (SELECT d.vec_id, d.embedding, d.nrm,
+               1.0 - ${cosSql("d.embedding", "d.nrm", "c.ce", "c.cnrm")} AS dist
+             FROM d, c1 c),
+      $rounds
+      SELECT CAST(1 AS BIGINT) AS round, cid AS center_id, CAST(NULL AS DOUBLE) AS radius FROM c1
+      UNION ALL $sel ORDER BY round"""
+    })
 
   /** IVF coarse-quantized approximate top-5 (k-means inverted lists,
     * engine-trained centroids → rows-only check + recall spec +
@@ -1430,7 +1550,8 @@ object SimilarityQueries {
     },
     Some(tiersOracleSql))
 
-  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK,
+  val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK, knnGraphQ,
+    coresetKcenterQ,
     annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
     annIvfCompact,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,

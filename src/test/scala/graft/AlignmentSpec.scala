@@ -153,4 +153,46 @@ class AlignmentSpec extends AnyFunSuite {
       assert(oov > 0 && oov < n)
     }
   }
+
+  test("bt_rating: match accounting balances, normalization holds, ratings track win rate") {
+    val out = AlignmentQueries.btRatingQ.spark(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val k = rows.length.toLong
+    rows.foreach { r =>
+      val (nm, w, l) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w + l == nm, s"${r.getString(0)}: wins+losses != n_matches")
+      assert(r.getLong(4) >= 0)
+    }
+    // total wins = total losses = total matches / 2 (every match has one of each)
+    assert(rows.map(_.getLong(2)).sum == rows.map(_.getLong(3)).sum)
+    // each round renormalizes to K * 1e6 micro-units; floor-div loses < 1
+    // micro-unit per player
+    val s = rows.map(_.getLong(4)).sum
+    assert(s <= k * 1000000L && s > k * 1000000L - k)
+    // ranks are 1..K in rating order
+    val byRank = rows.sortBy(_.getLong(5))
+    assert(byRank.map(_.getLong(5)).toSeq == (1L to k).toSeq)
+    assert(byRank.map(_.getLong(4)).toSeq == byRank.map(_.getLong(4)).sortBy(-_).toSeq)
+    // hand-traced 2-player fixed point: A beats B 3-1 => ratings settle at
+    // exactly 3:1 (1,500,000 / 500,000 micro-units) after round 1 and stay
+    import spark.implicits._
+    // one user, alternating A/B events; A's value higher in 3 of 4 pairs.
+    // 8 events -> 7 consecutive pairs, but same-type pairs are filtered;
+    // build explicit alternation so every pair is an A-vs-B match:
+    // values: A10 B1 (A wins) A10 B1 (B? no A wins) ... choose 4 matches,
+    // 3 A-wins + 1 B-win via values, using disjoint users per match so
+    // pairing is exactly one match per user
+    val ev = Seq(
+      (1L, 1L, 1L, "A", 10.0), (1L, 2L, 2L, "B", 1.0),   // A wins
+      (2L, 1L, 3L, "A", 10.0), (2L, 2L, 4L, "B", 1.0),   // A wins
+      (3L, 1L, 5L, "A", 10.0), (3L, 2L, 6L, "B", 1.0),   // A wins
+      (4L, 1L, 7L, "A", 1.0),  (4L, 2L, 8L, "B", 10.0)   // B wins
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val fit = AlignmentQueries.btRatings(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(fit("A") == ((4L, 3L, 1L, 1500000L)))
+    assert(fit("B") == ((4L, 1L, 3L, 500000L)))
+  }
 }

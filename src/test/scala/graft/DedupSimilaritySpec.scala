@@ -803,4 +803,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the curve is non-trivial: the 1-probe row misses something
     assert(out.head._3 < 1000000L)
   }
+
+  test("knn_graph: edges are mutual, once each, with true cosine and in-range ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.queries.SimilarityQueries.knnGraphQ.spark(TestSpark.spark, sf).cache()
+    val rows = edges.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "each edge emits once, src < dst")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 5)
+      assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001)
+    }
+    // the reported sim IS the exact cosine of the two endpoint vectors
+    val emb = graft.queries.Tables.table(TestSpark.spark, sf, "embeddings")
+    val checked = edges
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("eb")), "dst")
+      .withColumn("truth", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("truth") =!= col("sim"))
+      .count()
+    assert(checked == 0L, s"$checked edges carry a sim != exact cosine")
+  }
+
+  test("coreset_kcenter: seed is min id, centers distinct, radius non-increasing") {
+    val out = graft.queries.SimilarityQueries.coresetKcenterQ
+      .spark(TestSpark.spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L))
+    // seed = lowest vec_id in the table (0 in the testdata)
+    assert(out.head.getLong(1) == 0L)
+    assert(out.head.isNullAt(2))
+    assert(out.map(_.getLong(1)).distinct.length == 8, "centers must be distinct")
+    val radii = out.drop(1).map(_.getDouble(2))
+    radii.foreach(r => assert(r >= 0.0 && r <= 2.0))
+    // greedy farthest-point: each pick's coverage radius can only shrink
+    radii.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12); case _ => }
+    // non-degenerate: the selection actually covers (radius drops below the first pick)
+    assert(radii.last < radii.head)
+  }
 }
