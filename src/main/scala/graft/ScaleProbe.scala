@@ -435,6 +435,50 @@ object ScaleProbe {
         val (_, encoded) = graft.operators.Bpe.train(vocab, 4)
         noop(encoded.groupBy("w").agg(count(lit(1)).as("n_sym")))
       },
+      "bt_rating" -> { m =>
+        // Bradley-Terry fit via the SHARED chain: replicas shift user_id
+        // into disjoint bands, so per-user windows stay the same length
+        // and match volume scales linearly; the #event_type player set —
+        // and with it the MM-loop cost — is constant across scales (the
+        // structural claim: 100 TB of events enters only through the one
+        // match aggregation)
+        val ev0 = replicate(graft.queries.Tables.table(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value")), m, "event_id", saltText = false)
+        val rep = (col("event_id") / 100000000L).cast("long")
+        noop(graft.queries.AlignmentQueries.btRatings(
+          ev0.withColumn("user_id", col("user_id") + rep * 100000000L)))
+      },
+      "knn_graph" -> { m =>
+        // mutual-kNN graph via the SHARED chain, on the semantic_dedup
+        // direction-salted replicas (cross-replica cosine ≲ 0.95 keeps
+        // neighborhoods within a replica — a naive copy would alias all
+        // replicas into the same buckets); auto LSH depth grows with the
+        // corpus so candidate volume stays ~n·occupancy·tables
+        require(m <= 23, s"knn_graph direction salt has period 23, got $m")
+        val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val rep = (col("vec_id") / 100000000L).cast("int")
+        val corpus = emb0.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+        noop(graft.queries.SimilarityQueries.knnGraphEdges(corpus))
+      },
+      "coreset_kcenter" -> { m =>
+        // greedy k-center via the SHARED chain: k bounded rounds of one
+        // narrow broadcast pass + a TakeOrdered top-1 — cost is k·O(n)
+        // by construction; same direction salt as knn_graph
+        require(m <= 23, s"coreset salt has period 23, got $m")
+        val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val rep = (col("vec_id") / 100000000L).cast("int")
+        val corpus = emb0.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+        noop(graft.queries.SimilarityQueries.coresetCenters(corpus))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

@@ -257,17 +257,27 @@ object Similarity {
                     planeMatrix: Array[Array[Array[Double]]],
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // ship-arrays-late (the lshNearDupPairs lesson): the bucket join and
+    // the cross-table pair dedup move BARE IDS only; the two float
+    // vectors attach AFTER dedup, so each surviving pair ships them
+    // exactly once. With queries ≈ the corpus itself (knn_graph) the old
+    // vectors-through-dedup shape moved ~2 orders of magnitude more
+    // shuffle bytes. No broadcast hints: AQE picks broadcast when the
+    // query side is genuinely small (the ann_*_topk probes) and falls
+    // back to a shuffle join when it is the corpus.
     val cb = candidates
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         posexplode(tableBuckets(col(vecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
     val qb = queries
-      .select(col(qidCol), col(qvecCol),
+      .select(col(qidCol),
         posexplode(tableBuckets(col(qvecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
-    val candidatePairs = cb.join(broadcast(qb), Seq("table_idx", "bucket"))
+    val candidatePairs = cb.join(qb, Seq("table_idx", "bucket"))
       .filter(col(idCol) =!= col(qidCol))
-      .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+      .select(col(qidCol), col(idCol))
       .dropDuplicates(qidCol, idCol)
     val paired = candidatePairs
+      .join(candidates.select(col(idCol), col(vecCol)), idCol)
+      .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
     rankTopK(paired, k, qidCol, idCol)
   }

@@ -188,9 +188,9 @@ object SimilarityQueries {
     * index's own bucketed corpus — one (table, bucket) self-equi-join,
     * map-side-partial rank agg, then an edge-on-edge equi-join on
     * (src, dst); no stage is ever all-pairs. */
-  val knnGraphQ = QueryDef("knn_graph",
-    (s, dir) => {
-      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  /** Shared mutual-kNN chain — the REGISTERED query and ScaleProbe both
+    * call this on a (vec_id, embedding) frame. */
+  def knnGraphEdges(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val topk = Similarity.lshTopKPlanes(emb,
         emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         k = annK, lshAutoMatrix(emb))
@@ -205,7 +205,11 @@ object SimilarityQueries {
           col("rank_fwd").cast("long").as("rank_fwd"),
           col("rank_back").cast("long").as("rank_back"))
         .orderBy("src", "dst")
-    },
+  }
+
+  val knnGraphQ = QueryDef("knn_graph",
+    (s, dir) => knnGraphEdges(
+      table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
     Some(s"""${lshRankCtes("TRUE")},
       e AS (SELECT qid, vec_id, sim, rank FROM r WHERE rank <= $annK)
       SELECT f.qid AS src, f.vec_id AS dst, f.sim,
@@ -237,9 +241,9 @@ object SimilarityQueries {
     * max then a k-sized driver merge, no sort shuffle); k bounded rounds
     * of O(n) work, the textbook cost of greedy k-center, with
     * localCheckpoint pinning each round's min-dist state. */
-  val coresetKcenterQ = QueryDef("coreset_kcenter",
-    (s, dir) => {
-      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  /** Shared greedy chain — the REGISTERED query and ScaleProbe both call
+    * this on a (vec_id, embedding) frame. */
+  def coresetCenters(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val seed = emb.orderBy("vec_id").limit(1)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       var d = emb.crossJoin(broadcast(seed))
@@ -262,7 +266,11 @@ object SimilarityQueries {
           .localCheckpoint()
       }
       out.orderBy("round")
-    },
+  }
+
+  val coresetKcenterQ = QueryDef("coreset_kcenter",
+    (s, dir) => coresetCenters(
+      table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
     Some {
       val cosSql = (a: String, anrm: String, b: String, bnrm: String) =>
         s"CASE WHEN $anrm > 0 AND $bnrm > 0 THEN ${dotSql(a, b)} / ($anrm * $bnrm) ELSE 0.0 END"
