@@ -904,9 +904,68 @@ object MiscQueries {
         CASE WHEN rank * 10 <= n * 9 THEN 'train' ELSE 'eval' END AS split
       FROM r CROSS JOIN tot ORDER BY event_id"""))
 
+  // ── validate_expectations ───────────────────────────────────────────────
+
+  /** Declarative data-quality expectations (the Great-Expectations /
+    * dbt-test pattern): a suite of named row-level constraints evaluates
+    * in ONE aggregate pass — each expectation is a `sum(violation)`
+    * counter riding the same scan, so checking 7 constraints over 100 TB
+    * costs one map-side-partial aggregate producing ONE row, fanned out
+    * to a row per expectation only after the aggregate (a stack over a
+    * 1-row frame, not 7 scans — the difference between a nightly gate
+    * that reads the table once and one that reads it 7 times). Output:
+    * expectation name, rows checked, failures, integer-ppm pass rate —
+    * the table a data-quality dashboard ingests and a CI gate thresholds
+    * on. Constraints target the TPC-H lineitem invariants (key
+    * non-null, quantity 1..50, discount 0..0.1, tax ≥ 0, flag domain,
+    * positive price, linenumber 1..7). */
+  val validateExpectationsQ = QueryDef("validate_expectations",
+    (s, dir) => {
+      val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "not_null_orderkey" -> col("l_orderkey").isNull,
+        "quantity_1_50" -> !col("l_quantity").between(1.0, 50.0),
+        "discount_0_01" -> !col("l_discount").between(0.0, 0.1),
+        "tax_nonnegative" -> (col("l_tax") < 0.0),
+        "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+        "extendedprice_positive" -> (col("l_extendedprice") <= 0.0),
+        "linenumber_1_7" -> !col("l_linenumber").between(1, 7))
+      val aggd = table(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        checks.map { case (nm, bad) =>
+          sum(when(bad, 1L).otherwise(0L)).as(s"f_$nm")
+        }: _*)
+      aggd.select(explode(array(checks.map { case (nm, _) =>
+          struct(lit(nm).as("expectation"), col(s"f_$nm").as("n_failed"))
+        }: _*)).as("e"), col("n_rows"))
+        .select(col("e.expectation").as("expectation"), col("n_rows"),
+          col("e.n_failed").as("n_failed"),
+          expr("(n_rows - e.n_failed) * 1000000 div n_rows").as("pass_ppm"))
+        .orderBy("expectation")
+    },
+    Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        CAST(SUM(CASE WHEN l_tax < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+        CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS f6,
+        CAST(SUM(CASE WHEN NOT (l_linenumber BETWEEN 1 AND 7) THEN 1 ELSE 0 END) AS BIGINT) AS f7
+      FROM lineitem),
+      x AS (
+        SELECT 'not_null_orderkey' AS expectation, n_rows, f1 AS n_failed FROM a
+        UNION ALL SELECT 'quantity_1_50', n_rows, f2 FROM a
+        UNION ALL SELECT 'discount_0_01', n_rows, f3 FROM a
+        UNION ALL SELECT 'tax_nonnegative', n_rows, f4 FROM a
+        UNION ALL SELECT 'returnflag_domain', n_rows, f5 FROM a
+        UNION ALL SELECT 'extendedprice_positive', n_rows, f6 FROM a
+        UNION ALL SELECT 'linenumber_1_7', n_rows, f7 FROM a)
+      SELECT expectation, n_rows, n_failed,
+        (n_rows - n_failed) * 1000000 // n_rows AS pass_ppm
+      FROM x ORDER BY expectation"""))
+
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
     timeSplitQ, hitsScores, winsorizeQ, skewReport, dataloaderManifest,
-    funnelSteps, cubeCounts, anomalyZscore, snapshotDiff)
+    funnelSteps, cubeCounts, anomalyZscore, snapshotDiff, validateExpectationsQ)
 }

@@ -804,6 +804,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.head._3 < 1000000L)
   }
 
+  test("dedup_containment: catches a subset pair that Jaccard misses; unrelated docs stay out") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta trailing content here extra"),
+      (3L, "totally unrelated text body with different words")
+    ).toDF("doc_id", "text")
+    val pairs = graft.queries.TextQueries.containmentPairs(docs).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    // orientation: A = the smaller shingle set
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    val (na, nb, inter) = (p.getLong(2), p.getLong(3), p.getLong(4))
+    assert(na == 3L && nb == 9L && inter == 3L)
+    assert(p.getLong(5) == 1000000L, "full subset => containment 1.0")
+    // the same pair under resemblance: J = 3/9 = 0.33, far below the 0.6
+    // near-dup gate — exactly the dup class containment exists to catch
+    assert(inter.toDouble / (na + nb - inter) < 0.6)
+  }
+
   test("knn_graph: edges are mutual, once each, with true cosine and in-range ranks") {
     val sf = "/root/testdata/sf0.001"
     val edges = graft.queries.SimilarityQueries.knnGraphQ.spark(TestSpark.spark, sf).cache()

@@ -133,4 +133,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the planted nav line is boilerplate everywhere it appears
     assert(rows.forall { case (id, n, c) => id % 4 != 0 || (n >= 1 && !c.contains(nav)) })
   }
+
+  test("validate_expectations: one row per constraint, accounting exact, clean TPC-H passes") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.MiscQueries.validateExpectationsQ.spark(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 7)
+    assert(rows.map(_._1).distinct.length == 7)
+    val n = graft.queries.Tables.table(spark, sf, "lineitem").count()
+    rows.foreach { case (name, nRows, nFailed, ppm) =>
+      assert(nRows == n, s"$name checked $nRows of $n rows")
+      assert(nFailed >= 0 && nFailed <= nRows)
+      assert(ppm == (nRows - nFailed) * 1000000L / nRows, s"$name ppm accounting")
+    }
+    // synthesized TPC-H testdata satisfies the lineitem invariants
+    assert(rows.forall(_._3 == 0L), s"clean corpus must pass: ${rows.filter(_._3 > 0).mkString(",")}")
+  }
 }
