@@ -741,8 +741,47 @@ object DatasetQueries {
         COUNT(*) AS n_shared_groups
       FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
 
+  // ── dataset_fingerprint ─────────────────────────────────────────────────
+
+  /** Per-source dataset fingerprint — the reproducibility receipt a
+    * pipeline run publishes so a re-run (or a consumer on another
+    * cluster) can certify "same bytes in" WITHOUT re-reading the data:
+    * doc count, char mass, and an ORDER-FREE content checksum (sum of
+    * per-doc md5-60bit ints, reduced mod the Mersenne prime 2⁶¹−1).
+    * Order-free matters: a distributed scan returns rows in arbitrary
+    * order, so any positional hash (hash-of-concat) is nondeterministic
+    * across runs, while a modular SUM commutes — same multiset of docs ⇒
+    * same fingerprint, any partitioning, any executor count. The sum
+    * accumulates in DECIMAL(38,0) (exact, no ANSI overflow at any corpus
+    * size) and reduces to BIGINT only after the mod. ONE map-side-partial
+    * aggregate on #source keys; doc identity = (doc_id, text) so both id
+    * remaps and content drift move the checksum. */
+  /** Shared fingerprint chain — the REGISTERED query and the spec's
+    * permutation/perturbation laws both call this on a (doc_id, source,
+    * n_chars, text) frame. */
+  def datasetFingerprint(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      docs
+        .select(col("source"), col("n_chars"),
+          Dedup.md5Hash60(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+            .as("h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          (sum(col("h").cast(DecimalType(38, 0))) % lit(2305843009213693951L))
+            .cast("long").as("checksum"))
+        .orderBy("source")
+  }
+
+  val datasetFingerprintQ = QueryDef("dataset_fingerprint",
+    (s, dir) => datasetFingerprint(table(s, dir, "documents")),
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        CAST(SUM(CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS checksum
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(dedupSemantic, decontaminateSemantic, dedupRepresentative,
       dedupSoftWeights, corpusOverlap, shardAssign, corpusDrift, dataCardQ,
-      sourceDedupMatrix)
+      sourceDedupMatrix, datasetFingerprintQ)
 }

@@ -1452,10 +1452,60 @@ object SelectionQueries {
         (3 * rank0) // n + 1 AS phase
       FROM r CROSS JOIN tot ORDER BY doc_id"""))
 
+  // ── quality_topk_per_source ─────────────────────────────────────────────
+
+  /** Per-SOURCE top-30% quality gate — the FineWeb/RefinedWeb recipe of
+    * filtering each domain against its own distribution rather than one
+    * global threshold (a global cut empties clean-but-plain sources and
+    * keeps the best of a spammy one; per-source percentiles keep every
+    * source's head). Score = integer-ppm lexical diversity (distinct
+    * tokens / tokens). The within-source rank uses the house
+    * no-per-group-Window shape (`quality_percentile`/
+    * `perplexity_buckets`): ONE corpus-wide distributed sort on (source,
+    * score desc, doc_id) via [[graft.operators.Sharding.globalRank]],
+    * then per-source offsets from a #source-row broadcast — a
+    * low-cardinality `Window.partitionBy(source)` would funnel each
+    * domain through one task at 100 TB. Keep rule is pure integer
+    * arithmetic (rank·10 ≤ n·3), replayed exactly by the oracle. */
+  val qualityTopkPerSource = QueryDef("quality_topk_per_source",
+    (s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("score",
+          expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div n_tok"))
+        .select("doc_id", "source", "score")
+      val ranked = graft.operators.Sharding.globalRank(scored,
+        Seq(col("source").asc, col("score").desc, col("doc_id").asc))
+      val offs = ranked.groupBy("source")
+        .agg(min(col("rank")).as("off"), count(lit(1)).as("n_source"))
+      ranked.join(broadcast(offs), "source")
+        .withColumn("rank_in_source", col("rank") - col("off") + lit(1L))
+        .filter(col("rank_in_source") * 10 <= col("n_source") * 3)
+        .select(col("doc_id"), col("source"), col("score"),
+          col("rank_in_source"), col("n_source"))
+        .orderBy("source", "rank_in_source")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_dis
+            FROM t WHERE len(toks) > 0),
+      sc AS (SELECT doc_id, source, n_dis * 1000000 // n_tok AS score FROM m),
+      r AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rank_in_source,
+              COUNT(*) OVER (PARTITION BY source) AS n_source
+            FROM sc)
+      SELECT doc_id, source, score,
+        CAST(rank_in_source AS BIGINT) AS rank_in_source,
+        CAST(n_source AS BIGINT) AS n_source
+      FROM r WHERE rank_in_source * 10 <= n_source * 3
+      ORDER BY source, rank_in_source"""))
+
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
       pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
-      clusterBalance, curriculumOrder, qualityClassifier)
+      clusterBalance, curriculumOrder, qualityClassifier, qualityTopkPerSource)
 }

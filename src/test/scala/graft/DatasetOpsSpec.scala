@@ -302,4 +302,45 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
     assert(out == expect.toMap)
   }
+
+  test("dataset_fingerprint: order-free (partitioning invariant), content- and id-sensitive") {
+    val docs = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars", "text")
+    def fp(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+      graft.queries.DatasetQueries.datasetFingerprint(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = fp(docs)
+    assert(base.nonEmpty)
+    // same multiset of docs, any partitioning/order => identical receipt
+    assert(fp(docs.repartition(7, col("doc_id"))) == base)
+    assert(fp(docs.orderBy(col("text"))) == base)
+    // flipping one document's text moves exactly that source's checksum
+    val victim = docs.orderBy("doc_id").limit(1).collect().head
+    val (vid, vsrc) = (victim.getLong(0), victim.getString(1))
+    val mutated = fp(docs.withColumn("text",
+      when(col("doc_id") === vid, concat(col("text"), lit(" x"))).otherwise(col("text"))))
+    assert(mutated(vsrc)._3 != base(vsrc)._3, "content change must move the checksum")
+    assert((mutated - vsrc) == (base - vsrc), "other sources untouched")
+    // remapping one doc_id (same text) also moves it — identity is (id, text)
+    val remapped = fp(docs.withColumn("doc_id",
+      when(col("doc_id") === vid, lit(10000000L)).otherwise(col("doc_id"))))
+    assert(remapped(vsrc)._3 != base(vsrc)._3, "id remap must move the checksum")
+  }
+
+  test("quality_topk_per_source: per-source kept = floor(3n/10), ranks contiguous, scores sorted") {
+    val out = graft.queries.SelectionQueries.qualityTopkPerSource
+      .spark(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val n = rows.head._4
+      assert(rows.forall(_._4 == n))
+      assert(rows.length == (3 * n / 10).toInt, s"$src kept ${rows.length} of $n")
+      val ranks = rows.map(_._3).sorted
+      assert(ranks.toSeq == (1L to rows.length.toLong), s"$src ranks not contiguous")
+      // scores non-increasing in rank order
+      val byRank = rows.sortBy(_._3).map(_._2)
+      byRank.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+    }
+  }
 }
