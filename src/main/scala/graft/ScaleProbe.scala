@@ -450,19 +450,25 @@ object ScaleProbe {
           ev0.withColumn("user_id", col("user_id") + rep * 100000000L)))
       },
       "knn_graph" -> { m =>
-        // mutual-kNN graph via the SHARED chain, on the semantic_dedup
-        // direction-salted replicas (cross-replica cosine ≲ 0.95 keeps
-        // neighborhoods within a replica — a naive copy would alias all
-        // replicas into the same buckets); auto LSH depth grows with the
-        // corpus so candidate volume stays ~n·occupancy·tables
-        require(m <= 23, s"knn_graph direction salt has period 23, got $m")
+        // mutual-kNN graph via the SHARED chain. Replica salt here must be
+        // a PER-REPLICA COORDINATE PERMUTATION, not the 0.07 direction
+        // salt: permutation is orthogonal (within-replica geometry is
+        // bit-preserved) while cross-replica cosine collapses to ~0 — the
+        // amplitude salt leaves cross-replica cosine ≈ 0.95, which still
+        // agrees per hyperplane with p ≈ 0.9, so at depth 10 every
+        // replica's clusters alias into the same buckets (p ≈ 0.35/table
+        // × 96 tables) and candidate volume goes quadratic in replicas —
+        // the first 20× run measured exactly that artifact (wall 260×),
+        // an adversarial corpus of near-copies, not scale. j = (i·(2r+1)
+        // + r) mod 64 is a bijection for every r (odd multiplier, 2^k
+        // modulus); replica 0 is the identity.
         val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
         val rep = (col("vec_id") / 100000000L).cast("int")
         val corpus = emb0.withColumn("embedding",
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+          transform(col("embedding"), (_, i) =>
+            element_at(col("embedding"),
+              ((i * (rep * 2 + 1) + rep) % 64) + 1)))
         noop(graft.queries.SimilarityQueries.knnGraphEdges(corpus))
       },
       "coreset_kcenter" -> { m =>

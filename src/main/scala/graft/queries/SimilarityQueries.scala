@@ -189,7 +189,18 @@ object SimilarityQueries {
     * map-side-partial rank agg, then an edge-on-edge equi-join on
     * (src, dst); no stage is ever all-pairs. */
   /** Shared mutual-kNN chain — the REGISTERED query and ScaleProbe both
-    * call this on a (vec_id, embedding) frame. */
+    * call this on a (vec_id, embedding) frame.
+    *
+    * Candidate-volume bound: auto depth holds EXPECTED bucket occupancy
+    * at ~64, so candidate pairs ≈ n·occupancy·tables ~ n·log n. The
+    * worst case is a corpus of near-copies (pairwise cosine ≳ 0.95): no
+    * hyperplane depth separates them, a dense region pays occupancy²
+    * inside its buckets, and candidate volume degrades toward n² — the
+    * same exposure every LSH self-join in this repo carries, surfaced
+    * and quantified by the probe's first (amplitude-salted) 20× run.
+    * The mitigation at 100 TB is upstream, not in the graph: run
+    * exact/near dedup first (the pipeline_dedup_corpus ordering), since
+    * a near-copy set's mutual-kNN graph is degenerate anyway. */
   def knnGraphEdges(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val topk = Similarity.lshTopKPlanes(emb,
         emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
