@@ -282,6 +282,40 @@ object Similarity {
     rankTopK(paired, k, qidCol, idCol)
   }
 
+  /** One NN-descent refinement round (Dong, Moses & Li, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures", WWW 2011): from a current top-k table, propose each
+    * point's neighbors-of-neighbors over the UNDIRECTED adjacency
+    * (forward edges plus reverse edges CAPPED at k per node by (rank,
+    * id) — the reverse cap is what bounds a hub's fan-out: without it a
+    * node appearing in d lists contributes d² proposals), score
+    * proposals with exact cosine, and keep the best k of old ∪ new.
+    * Per-round work is n·(2k)² proposals — LINEAR in the corpus with a
+    * k²-sized constant — and recall strictly never decreases (the old
+    * list is always in the candidate union). Deterministic and
+    * SQL-replayable end to end. */
+  def nnDescentRound(topk: DataFrame, emb: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val fwd = topk.select(col("qid").as("a"), col(idCol).as("b"))
+    val rev = topk
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("rank").asc, col("qid").asc)))
+      .filter(col("rr") <= k)
+      .select(col(idCol).as("a"), col("qid").as("b"))
+    val adj = fwd.union(rev).distinct()
+    val cand = adj.select(col("a").as("q"), col("b").as("u"))
+      .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
+      .filter(col("q") =!= col("w"))
+      .select(col("q").as("qid"), col("w").as(idCol))
+      .union(topk.select(col("qid"), col(idCol)))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(emb.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid")
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    rankTopK(scored, k, "qid", idCol)
+  }
+
   /** SemDeDup-shaped near-duplicate pairs at corpus scale (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): candidates are vectors sharing any LSH

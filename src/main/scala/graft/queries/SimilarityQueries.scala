@@ -118,14 +118,18 @@ object SimilarityQueries {
 
   /** The WITH-chain through ranked LSH candidates (CTE `r`), shared by
     * [[annLshTopK]]'s oracle and [[knnGraphQ]]'s — `qFilter` selects
-    * which bucketed points act as queries. */
-  private def lshRankCtes(qFilter: String): String = {
+    * which bucketed points act as queries; `tablesSql` the OR-table
+    * count (default: the depth-coupled growth rule; knn_graph pins a
+    * constant because NN-descent, not table growth, carries its
+    * recall). */
+  private def lshRankCtes(qFilter: String,
+                          tablesSql: String =
+                            s"$lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes)"): String = {
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
       depth AS (SELECT LEAST($lshMaxPlanes, GREATEST($lshPlanes,
           (SELECT MIN(p) FROM generate_series(0, 40) g(p)
            WHERE (CAST(64 AS BIGINT) << p) >= (SELECT n FROM nn)))) AS planes),
-      dt AS (SELECT planes,
-               $lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes) AS tables
+      dt AS (SELECT planes, $tablesSql AS tables
              FROM depth),
       pl AS (SELECT tt.t AS t, tj.j AS j,
                list(CAST(('0x' || substring(md5('graft-lsh:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -188,27 +192,46 @@ object SimilarityQueries {
     * index's own bucketed corpus — one (table, bucket) self-equi-join,
     * map-side-partial rank agg, then an edge-on-edge equi-join on
     * (src, dst); no stage is ever all-pairs. */
+  private val knnSeedTables = 16
+  private val knnDescentRounds = 3
+  // NN-descent refines a WIDER internal list than the output k: a k=5
+  // graph is too sparse for neighbor-of-neighbor propagation to converge
+  // (measured at sf0.1: rounds 2→3 moved recall 0.747→0.748 — a local
+  // optimum; k'=10 lifted it to 0.824; k'=20 over a 16-table seed holds
+  // the 0.9 floor). The test embeddings are nearly unclustered (cross
+  // cosine p95 ≈ 0.21) — the hardest regime for graph propagation, so
+  // these constants are sized for it; all of them are SCALE-INDEPENDENT,
+  // which is the point: work stays linear in n
+  private val knnInternalK = 4 * annK
+
   /** Shared mutual-kNN chain — the REGISTERED query and ScaleProbe both
     * call this on a (vec_id, embedding) frame.
     *
-    * Candidate-volume bound: auto depth holds EXPECTED bucket occupancy
-    * at ~64, so candidate pairs ≈ n·occupancy·tables ~ n·log n. The
-    * worst case is a corpus of near-copies (pairwise cosine ≳ 0.95): no
-    * hyperplane depth separates them, a dense region pays occupancy²
-    * inside its buckets, and candidate volume degrades toward n² — the
-    * same exposure every LSH self-join in this repo carries, surfaced
-    * and quantified by the probe's first (amplitude-salted) 20× run.
-    * The mitigation at 100 TB is upstream, not in the graph: run
-    * exact/near dedup first (the pipeline_dedup_corpus ordering), since
-    * a near-copy set's mutual-kNN graph is degenerate anyway. */
+    * Work bound — why NN-descent and not more LSH: an all-points LSH
+    * kNN pays ~n·occupancy·L candidates, and holding recall as n grows
+    * needs L to grow with depth (the ann_lsh_topk rule), so graph cost
+    * is n·log n with a large constant — the 20× probe measured exactly
+    * that (cpu 131× on the depth-coupled config). Here the seed instead
+    * pins L = $knnSeedTables CONSTANT (auto depth still bounds expected
+    * occupancy at ~64, so the seed is plain linear) and the recall the
+    * weaker seed gives up is recovered by $knnDescentRounds NN-descent
+    * rounds ([[Similarity.nnDescentRound]]) — n·(2k)² proposals per
+    * round, linear with a k²-constant, monotone in recall. A dense
+    * near-copy region (pairwise cosine ≳ 0.95, which no depth splits)
+    * still pays occupancy² inside the seed's buckets — that corpus is
+    * what pipeline_dedup_corpus removes BEFORE graph construction. */
   def knnGraphEdges(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val topk = Similarity.lshTopKPlanes(emb,
+      val (planes, _) = lshDepth(Similarity.corpusCount(emb))
+      var topk = Similarity.lshTopKPlanes(emb,
         emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        k = annK, lshAutoMatrix(emb))
-      val fwd = topk.filter(col("qid") < col("vec_id"))
+        k = knnInternalK, Similarity.md5Planes(planes, knnSeedTables, 64))
+        .localCheckpoint() // each round reads the previous once
+      for (_ <- 1 to knnDescentRounds)
+        topk = Similarity.nnDescentRound(topk, emb, knnInternalK).localCheckpoint()
+      val fwd = topk.filter(col("qid") < col("vec_id") && col("rank") <= annK)
         .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("sim"), col("rank").as("rank_fwd"))
-      val back = topk.filter(col("qid") > col("vec_id"))
+      val back = topk.filter(col("qid") > col("vec_id") && col("rank") <= annK)
         .select(col("vec_id").as("src"), col("qid").as("dst"),
           col("rank").as("rank_back"))
       fwd.join(back, Seq("src", "dst"))
@@ -221,13 +244,42 @@ object SimilarityQueries {
   val knnGraphQ = QueryDef("knn_graph",
     (s, dir) => knnGraphEdges(
       table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
-    Some(s"""${lshRankCtes("TRUE")},
-      e AS (SELECT qid, vec_id, sim, rank FROM r WHERE rank <= $annK)
+    Some {
+      def round(i: Int): String = {
+        val prev = s"e${i - 1}"
+        s"""f$i AS (SELECT qid AS a, vec_id AS b FROM $prev),
+      v$i AS (SELECT vec_id AS a, qid AS b FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rank ASC, qid ASC) AS rr
+               FROM $prev) WHERE rr <= $knnInternalK),
+      a$i AS (SELECT DISTINCT a, b FROM (
+               SELECT a, b FROM f$i UNION ALL SELECT a, b FROM v$i)),
+      c$i AS (SELECT x.a AS qid, y.b AS vec_id
+              FROM a$i x JOIN a$i y ON x.b = y.a WHERE x.a <> y.b
+              UNION SELECT qid, vec_id FROM $prev),
+      s$i AS (SELECT c.qid, c.vec_id,
+                CASE WHEN da.nrm > 0 AND db.nrm > 0
+                     THEN ${dotSql("da.embedding", "db.embedding")} / (da.nrm * db.nrm)
+                     ELSE 0.0 END AS sim
+              FROM c$i c
+              JOIN d db ON db.vec_id = c.vec_id
+              JOIN d da ON da.vec_id = c.qid),
+      e$i AS (SELECT qid, vec_id, sim, rank FROM (
+               SELECT qid, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+               FROM s$i) WHERE rank <= $knnInternalK)"""
+      }
+      val rounds = (1 to knnDescentRounds).map(round).mkString(",\n      ")
+      s"""${lshRankCtes("TRUE", knnSeedTables.toString)},
+      e0 AS (SELECT qid, vec_id, sim, rank FROM r WHERE rank <= $knnInternalK),
+      $rounds
       SELECT f.qid AS src, f.vec_id AS dst, f.sim,
         CAST(f.rank AS BIGINT) AS rank_fwd, CAST(b.rank AS BIGINT) AS rank_back
-      FROM e f JOIN e b ON b.qid = f.vec_id AND b.vec_id = f.qid
-      WHERE f.qid < f.vec_id
-      ORDER BY src, dst"""))
+      FROM e$knnDescentRounds f
+      JOIN e$knnDescentRounds b ON b.qid = f.vec_id AND b.vec_id = f.qid
+      WHERE f.qid < f.vec_id AND f.rank <= $annK AND b.rank <= $annK
+      ORDER BY src, dst"""
+    })
 
   // ── coreset_kcenter ─────────────────────────────────────────────────────
 
