@@ -58,8 +58,13 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // A real cluster sizes shuffle partitions to the data (the SCALE.md
+    // partition-sizing discipline); a probe that pins 32 partitions while
+    // multiplying the input 20× measures spill, not the operator. Override
+    // for payload-heavy families whose per-partition bytes outgrow memory.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The shipped queries always run with the native kernels registered
