@@ -72,7 +72,12 @@ object Bench {
     val plans = jmap(_._1)
     val execs = jmap(_._2)
     val total = results.values.collect { case (p, e) if p >= 0 => p + e }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"sf":"$sfDir"}"""
+    // `value` (combined) keeps the historical headline; `value_exec` is
+    // the number round-over-round comparisons should quote — the combined
+    // total conflates checkpoint-at-build plan time (driver actions during
+    // frame construction) with execution of the returned frame.
+    val totalExec = results.values.collect { case (p, e) if p >= 0 => e }.sum
+    val line = s"""{"metric":"total","value":$total,"value_exec":$totalExec,"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded stdout TAIL, which truncates the
     // per-query map past ~60 queries — ALSO write the complete line to a

@@ -233,6 +233,9 @@ object Ivf {
   def save(index: Index, path: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
+    // files under `path` change on disk — a corpus count memoized from a
+    // previous load of this path would be stale after the overwrite
+    graft.operators.Similarity.clearCountCache()
     index.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "center")
@@ -264,6 +267,7 @@ object Ivf {
     * `ann_ivf_incremental`'s oracle certifies hash-exactly. */
   def appendSave(path: String, newVectors: DataFrame,
                  vecCol: String = "embedding"): Unit = {
+    graft.operators.Similarity.clearCountCache() // path gains files on disk
     val centers = load(newVectors.sparkSession, path).centers
     newVectors.withColumn("list_id", nearestList(col(vecCol), centers))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
@@ -276,18 +280,43 @@ object Ivf {
     * partition into ≈`targetFileMB`-sized files sorted on the id column
     * ([[graft.sources.Storage.compact]] per partition — so parquet footer
     * min/max id stats also cluster), then swap the compacted files in
-    * place: write to a dot-prefixed sibling (invisible to partition
-    * discovery, so a crash mid-compact leaves the index readable), delete
-    * the original, rename. Row SET is untouched — a probe after
-    * compaction answers bit-identically to one before, which is what
-    * `ann_ivf_compact`'s shared oracle certifies hash-exactly. Returns
-    * (list_id, filesBefore, filesAfter) per partition. */
+    * place. Swap protocol (no crash point loses data): compacted files
+    * are written to a dot-prefixed `.compact_tmp_` sibling (invisible to
+    * partition discovery), the live dir is renamed aside to a
+    * dot-prefixed `.compact_old_` sibling, tmp renames into the live
+    * name, and only then is the old copy deleted — so every crash point
+    * leaves EITHER the old or the new row set on disk (never a
+    * delete-before-rename hole), and the next compact() run self-heals:
+    * a leftover `.compact_old_` with no live dir renames back (crash
+    * between the two renames), one WITH a live dir is a completed swap
+    * whose delete didn't run, and stale `.compact_tmp_` dirs are
+    * discarded. Renames are atomic on HDFS-like filesystems; on object
+    * stores (s3a) a "rename" is copy+delete, so the swap window is
+    * wider there and a Hive/Iceberg-style metadata commit is the real
+    * production answer — this protocol is still crash-SAFE (no data
+    * loss), just not crash-INVISIBLE. Row SET is untouched — a probe
+    * after compaction answers bit-identically to one before, which is
+    * what `ann_ivf_compact`'s shared oracle certifies hash-exactly.
+    * Returns (list_id, filesBefore, filesAfter) per partition. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileMB: Int = 128,
               idCol: String = "vec_id"): Seq[(Int, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val assignedDir = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val fs = assignedDir.getFileSystem(conf)
+    // self-heal from a previous crashed compact before listing live dirs
+    fs.listStatus(assignedDir).toSeq.foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(".compact_old_")) {
+        val live = new org.apache.hadoop.fs.Path(assignedDir,
+          nm.stripPrefix(".compact_old_"))
+        if (fs.exists(live)) fs.delete(st.getPath, true) // swap done, delete skipped
+        else fs.rename(st.getPath, live)                 // crashed between renames
+      } else if (nm.startsWith(".compact_tmp_")) {
+        fs.delete(st.getPath, true) // incomplete compacted copy — old dir is live
+      }
+    }
+    graft.operators.Similarity.clearCountCache() // index files change on disk
     fs.listStatus(assignedDir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
       .sortBy(_.getPath.getName)
@@ -296,11 +325,14 @@ object Ivf {
         val listId = dir.getName.stripPrefix("list_id=").toInt
         val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
           s".compact_tmp_list_id=$listId")
+        val old = new org.apache.hadoop.fs.Path(dir.getParent,
+          s".compact_old_list_id=$listId")
         val (before, after) =
           graft.sources.Storage.compact(spark, dir.toString, tmp.toString,
             targetFileMB, idCol)
-        fs.delete(dir, true)
+        fs.rename(dir, old)
         fs.rename(tmp, dir)
+        fs.delete(old, true)
         (listId, before, after)
       }
   }

@@ -198,10 +198,14 @@ object Similarity {
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
 
-  def corpusCount(df: DataFrame): Long =
+  def corpusCount(df: DataFrame): Long = {
+    graft.ops.SessionCaches.onSessionStop(df.sparkSession, countCache) { s =>
+      countCache.keySet.removeIf(_._1 eq s)
+    }
     countCache.computeIfAbsent(
       (df.sparkSession, df.queryExecution.analyzed.canonicalized),
       _ => df.count())
+  }
 
   def clearCountCache(): Unit = countCache.clear()
 

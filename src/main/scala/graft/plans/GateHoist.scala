@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -78,16 +78,24 @@ object GateHoist extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond,
-        s @ SerializeFromObject(_,
-          mp @ MapPartitions(_, _, d @ DeserializeToObject(_, _, child))))
-        if cond.deterministic && s.getTagValue(passthroughTag).isDefined =>
+  /** Hoist `cond` (expressed over `s`'s output attributes) below the
+    * barrier, or None when the contract doesn't cover it. Refuses when a
+    * mapped below-barrier name is AMBIGUOUS in the child output (e.g.
+    * after a self-join duplicates a column name): name-based rebinding
+    * would silently pick one of the twins, so ambiguity means no hoist,
+    * never a guess. */
+  private def hoisted(cond: Expression, s: SerializeFromObject)
+      : Option[SerializeFromObject] = s match {
+    case SerializeFromObject(_,
+        mp @ MapPartitions(_, _, d @ DeserializeToObject(_, _, child)))
+        if s.getTagValue(passthroughTag).isDefined =>
       val mapping = s.getTagValue(passthroughTag).get
+      val dupNames = child.output.groupBy(_.name)
+        .collect { case (n, as) if as.size > 1 => n }.toSet
       val byName = child.output.map(a => a.name -> a).toMap
       val hoistable = cond.references.forall(r =>
-        mapping.get(r.name).exists(byName.contains))
-      if (!hoistable) f
+        mapping.get(r.name).exists(t => byName.contains(t) && !dupNames(t)))
+      if (!hoistable) None
       else {
         val rewritten = cond.transform {
           case a: Attribute if mapping.contains(a.name) => byName(mapping(a.name))
@@ -95,7 +103,37 @@ object GateHoist extends Rule[LogicalPlan] {
         val newS = s.copy(child = mp.copy(child =
           d.copy(child = Filter(rewritten, child))))
         newS.copyTagsFrom(s)
-        newS
+        Some(newS)
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, s: SerializeFromObject) if cond.deterministic =>
+      hoisted(cond, s).getOrElse(f)
+    // The common real shape: a pipeline author derives columns between
+    // the model stage and the gate (`stage.withColumn(...).filter(gate)`
+    // analyzes as Filter(Project(Serialize(...)))). The gate still hoists
+    // when every attribute it references passes through the Project
+    // UNCOMPUTED — a bare attribute or a rename Alias of one — by
+    // resolving those refs (by exprId, so duplicate display names can't
+    // cross wires) down to the serialize node's own outputs. Gates over
+    // columns the Project COMPUTES don't exist below the barrier and are
+    // left where they are.
+    case f @ Filter(cond, p @ Project(projList, s: SerializeFromObject))
+        if cond.deterministic =>
+      val resolve: Map[ExprId, Attribute] = projList.collect {
+        case a: Attribute => a.exprId -> a
+        case al @ Alias(attr: Attribute, _) => al.exprId -> attr
+      }.toMap
+      if (!cond.references.forall(r => resolve.contains(r.exprId))) f
+      else {
+        val overSerialize = cond.transform {
+          case a: Attribute if resolve.contains(a.exprId) => resolve(a.exprId)
+        }
+        hoisted(overSerialize, s)
+          .map(newS => p.copy(child = newS))
+          .getOrElse(f)
       }
   }
 }

@@ -404,17 +404,36 @@ object AlignmentQueries {
         .select(col("a"), coalesce(col("w"), lit(0L)).as("w"))
       val kFrame = players.agg(count(lit(1)).as("k")) // one row, broadcast below
       var p = players.withColumn("p", lit(1000000L))
+      // Micro-unit numerators accumulate in DECIMAL(38,0), never BIGINT:
+      // n·10¹² and w·10¹² overflow signed 64-bit once any pair logs
+      // ~9.2e6 matches — Spark (non-ANSI) would wrap silently while the
+      // DuckDB oracle errors, i.e. the engines diverge exactly in the
+      // 100 TB regime. `decFloorDiv` keeps the quotient exact: Spark's
+      // `div` casts decimal quotients to LONG, which t = n·10¹²/(pa+pb)
+      // can itself overflow when a rating collapses toward 1, so floor
+      // division is spelled (a − a % b) / b — remainder-free, hence the
+      // decimal divide is exact and the result stays DECIMAL(38,0). The
+      // oracle mirrors with HUGEINT `//`. Ratings p remain LONG: the
+      // mean-10⁶ renormalization bounds them by k·10⁶.
+      def decFloorDiv(a: String, b: String): String =
+        s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
       for (_ <- 1 to btRounds) {
         val denom = pairs
           .join(p.select(col("a"), col("p").as("pa")), "a")
           .join(p.select(col("a").as("b"), col("p").as("pb")), "b")
-          .withColumn("t", expr("n * 1000000000000 div greatest(pa + pb, 1)"))
+          .withColumn("t", expr(decFloorDiv(
+            "CAST(n AS DECIMAL(38,0)) * 1000000000000",
+            "CAST(greatest(pa + pb, 1) AS DECIMAL(38,0))")))
           .groupBy("a").agg(sum(col("t")).as("denom"))
         val praw = p.join(denom, "a")
-          .withColumn("praw", expr("w * 1000000000000 div greatest(denom, 1)"))
+          .withColumn("praw", expr(decFloorDiv(
+            "CAST(w AS DECIMAL(38,0)) * 1000000000000",
+            "greatest(denom, CAST(1 AS DECIMAL(38,0)))")))
         val sFrame = praw.agg(sum(col("praw")).as("s"))
         p = praw.crossJoin(broadcast(sFrame)).crossJoin(broadcast(kFrame))
-          .withColumn("p", expr("praw * (k * 1000000) div greatest(s, 1)"))
+          .withColumn("p", expr(decFloorDiv(
+            "praw * CAST(k AS DECIMAL(38,0)) * 1000000",
+            "greatest(s, CAST(1 AS DECIMAL(38,0)))")).cast("long"))
           .select("a", "w", "p")
           .localCheckpoint()
       }
@@ -438,16 +457,18 @@ object AlignmentQueries {
     Some {
       def round(k: Int): String = {
         val prev = s"r${k - 1}"
+        // HUGEINT numerators mirror the engine's DECIMAL(38,0): BIGINT
+        // n·10¹² would raise an overflow error here past ~9.2e6 matches
         s"""t$k AS (SELECT pr.a,
-              CAST(SUM(pr.n * 1000000000000 // GREATEST(pa.p + pb.p, 1)) AS BIGINT) AS denom
+              SUM(CAST(pr.n AS HUGEINT) * 1000000000000 // GREATEST(CAST(pa.p AS HUGEINT) + pb.p, 1)) AS denom
             FROM pr JOIN $prev pa ON pr.a = pa.a JOIN $prev pb ON pr.b = pb.a
             GROUP BY pr.a),
       u$k AS (SELECT $prev.a, $prev.w,
-              $prev.w * 1000000000000 // GREATEST(t$k.denom, 1) AS praw
+              CAST($prev.w AS HUGEINT) * 1000000000000 // GREATEST(t$k.denom, 1) AS praw
             FROM $prev JOIN t$k ON $prev.a = t$k.a),
-      s$k AS (SELECT CAST(SUM(praw) AS BIGINT) AS s FROM u$k),
+      s$k AS (SELECT SUM(praw) AS s FROM u$k),
       r$k AS (SELECT u$k.a, u$k.w,
-              CAST(praw * (kk.k * 1000000) // GREATEST(s$k.s, 1) AS BIGINT) AS p
+              CAST(praw * (CAST(kk.k AS HUGEINT) * 1000000) // GREATEST(s$k.s, 1) AS BIGINT) AS p
             FROM u$k, s$k, kk)"""
       }
       val rounds = (1 to btRounds).map(round).mkString(",\n      ")

@@ -346,8 +346,33 @@ object DatasetQueries {
     * exact-group `keep_id`, and every survivor with its near-dup `comp`.
     * Used by `dedup_representative` (keep-best selection) and
     * `dedup_soft_weights` (down-weighting) — one calibration, two
-    * policies. */
-  private def nearDupClusters(s: org.apache.spark.sql.SparkSession, dir: String)
+    * policies.
+    *
+    * MEMOIZED per (session, corpus dir) — the [[Tables]] frame-cache
+    * precedent, one level up: the chain's checkpointed builds (exact
+    * groups, shingles, signatures, band joins, connected components) are
+    * the expensive part of BOTH consumers, and a Verify/Bench session
+    * running the pair was measured paying the clustering twice (~14 s +
+    * ~6 s combined at sf0.1). The memo returns the SAME checkpointed
+    * frames, so the second policy query reruns only its own narrow
+    * policy layer. Safe under the read-only testdata contract (inputs
+    * immutable within a session); entries drop with the session via
+    * [[graft.ops.SessionCaches]]. */
+  private[queries] def nearDupClusters(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.ops.SessionCaches.onSessionStop(s, clusterCache) { sess =>
+      clusterCache.keySet.removeIf(_._1 eq sess)
+    }
+    clusterCache.computeIfAbsent((s, dir), _ => buildNearDupClusters(s, dir))
+  }
+
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def buildNearDupClusters(
+      s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
       .select(col("doc_id"), col("text"))

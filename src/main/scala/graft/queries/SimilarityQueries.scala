@@ -496,12 +496,22 @@ object SimilarityQueries {
     * Under the md5 codebook the loaded search is bit-identical to the
     * in-memory [[annIvfTopKOracle]], so the same SQL hash-checks the
     * entire save → load → probe path. */
+  /** Scratch path for the index-lifecycle queries. Discriminated by the
+    * Spark applicationId as well as the sf dir: two concurrent processes
+    * over the same scale factor (bench + verify, parallel CI) would
+    * otherwise interleave one process's overwrite/compact swap with the
+    * other's probe — spurious failures at best, wrong rows at worst. */
+  private def indexScratchPath(s: org.apache.spark.sql.SparkSession,
+                               dir: String, kind: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${kind}_${s.sparkContext.applicationId}_" +
+        java.nio.file.Paths.get(dir).getFileName.toString).toString
+
   val annIvfPersisted = QueryDef("ann_ivf_persisted",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_persisted_${java.nio.file.Paths.get(dir).getFileName}").toString
+      val path = indexScratchPath(s, dir, "persisted")
       graft.operators.Ivf.save(graft.operators.Ivf.fromCenters(emb, ivfOracleCenters), path)
       val loaded = graft.operators.Ivf.load(s, path)
       graft.operators.Ivf.topK(loaded, annQueries(emb), k = annK,
@@ -525,9 +535,7 @@ object SimilarityQueries {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val base = emb.filter(col("vec_id") % 5 =!= 0)
       val batch = emb.filter(col("vec_id") % 5 === 0)
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_incr_${java.nio.file.Paths.get(dir).getFileName}").toString
+      val path = indexScratchPath(s, dir, "incr")
       // save = mode(overwrite), so a rerun rebuilds the base layout
       // before appending — the append can never double-ingest
       graft.operators.Ivf.save(graft.operators.Ivf.fromCenters(base, ivfOracleCenters), path)
@@ -553,9 +561,7 @@ object SimilarityQueries {
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val base = emb.filter(col("vec_id") % 5 =!= 0)
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_compact_${java.nio.file.Paths.get(dir).getFileName}").toString
+      val path = indexScratchPath(s, dir, "compact")
       // save = mode(overwrite) → reruns rebuild before appending
       graft.operators.Ivf.save(graft.operators.Ivf.fromCenters(base, ivfOracleCenters), path)
       graft.operators.Ivf.appendSave(path, emb.filter(col("vec_id") % 10 === 0))

@@ -19,13 +19,18 @@ object Tables {
     * — a Verify/Bench session invoking several auto-depth stages pays ONE
     * count job for the shared corpus instead of one per stage. Safe for
     * the read-only testdata contract; frames are immutable and the cache
-    * is bounded by #sessions × #tables. */
+    * is bounded by #LIVE sessions × #tables — entries for a stopped
+    * session are dropped by the [[graft.ops.SessionCaches]] hook. */
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.ops.SessionCaches.onSessionStop(spark, frameCache) { s =>
+      frameCache.keySet.removeIf(_._1 eq s)
+    }
     frameCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       _ => load(spark, sfDir, name))
+  }
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet has carried TIMESTAMP(NANOS) (readable only as a
