@@ -358,7 +358,7 @@ object DatasetQueries {
     * policy layer. Safe under the read-only testdata contract (inputs
     * immutable within a session); entries drop with the session via
     * [[graft.ops.SessionCaches]]. */
-  private[queries] def nearDupClusters(
+  private[graft] def nearDupClusters(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     graft.ops.SessionCaches.onSessionStop(s, clusterCache) { sess =>

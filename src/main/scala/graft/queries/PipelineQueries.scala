@@ -180,6 +180,37 @@ object PipelineQueries {
     },
     Some(frameMiningOracleSql))
 
+  /** The SAME frame-mining pipeline with its video gate deliberately
+    * MIS-ORDERED: the manifest enters WIDER (video_id % 100 — twice the
+    * videos) and the author writes the `% 200` gate at the very END,
+    * after every model stage, join, aggregation, and window. The plan
+    * still collapses to the well-ordered one: Catalyst's own pushdown
+    * carries the gate through the sort, the n_refs join, the top-1
+    * window, and the score aggregate (video_id keys every one of them),
+    * and [[graft.plans.GateHoist]] takes the final step through the
+    * opaque model barrier that Catalyst cannot cross — so phase-2
+    * inference never runs for gated-out videos (phase-1 ref mining sits
+    * behind its own localCheckpoint and still pays the wide manifest;
+    * the checkpoint is a lineage cut by design). Output hash-matches
+    * `pipeline_frame_mining_oracle`'s SQL EXACTLY — the same oracle
+    * certifies both orderings; PlansSpec pins the plan shape and the
+    * job-count profile. */
+  val pipelineFrameMiningMisordered = QueryDef("pipeline_frame_mining_misordered",
+    (s, dir) => {
+      val manifest = Tables.table(s, dir, "events")
+        .select(col("event_id").as("video_id"))
+        .filter(col("video_id") % 100 === 0)
+        .withColumn("total_frames", lit(3010L))
+      new FrameMining(
+        () => new Models.Md5PersonDetector, () => new Models.Md5FaceDetector,
+        () => new Models.Md5FaceQualityScorer,
+        () => new Models.Md5FaceEmbedder(refMaxFrame = 300L),
+        modelKeyPrefix = "graft-md5")
+        .run(manifest)
+        .filter(col("video_id") % 200 === 0) // the mis-ordered gate
+    },
+    Some(frameMiningOracleSql))
+
   private def bgPipeline() = new graft.pipelines.BackgroundCuration(
     () => new Models.FakePersonDetector,
     () => new Models.FakeFaceDetector,
@@ -553,6 +584,6 @@ object PipelineQueries {
     Some(bgCurationOracleSql))
 
   val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
-    pipelineFrameMiningOracle, pipelineBgCuration, bgSavePaths, pipelineCuration,
-    pipelineDedupCorpus, pipelineBgCurationOracle)
+    pipelineFrameMiningOracle, pipelineFrameMiningMisordered, pipelineBgCuration,
+    bgSavePaths, pipelineCuration, pipelineDedupCorpus, pipelineBgCurationOracle)
 }

@@ -275,4 +275,110 @@ class PlansSpec extends AnyFunSuite {
     assert(mp3.collectFirst { case f: Filter => f }.isEmpty,
       "undeclared barrier must not be touched")
   }
+
+  test("GateHoist: the gate still hoists through an interposed Project (withColumn)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+    def barrier(in: org.apache.spark.sql.DataFrame) =
+      in.as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) => (id, n, n * 2) })
+        .toDF("doc_id", "n_chars", "expensive")
+    val declared = graft.plans.GateHoist.declarePassthrough(barrier(docs), "doc_id")
+    // the real-world mis-ordered shape: a derived column BETWEEN the model
+    // stage and the gate — analyzes as Filter(Project(Serialize(...)))
+    val q = declared.withColumn("flag", col("expensive") > 50)
+      .filter(col("doc_id") % 2 === 0)
+    val opt = q.queryExecution.optimizedPlan
+    val mp = opt.collectFirst { case m: MapPartitions => m }.get
+    assert(mp.collectFirst { case f: Filter => f }.isDefined,
+      s"gate behind a Project not hoisted below the barrier:\n$opt")
+    assert(!opt.collect { case f: Filter => f }
+        .exists(_.collectFirst { case m: MapPartitions => m }.isDefined),
+      s"gate still above the barrier:\n$opt")
+    // identical rows to the well-ordered chain
+    assert(q.orderBy("doc_id").collect().toSeq ==
+      barrier(docs.filter(col("doc_id") % 2 === 0))
+        .withColumn("flag", col("expensive") > 50)
+        .orderBy("doc_id").collect().toSeq)
+    // a derived gate that still references a BARRIER-COMPUTED column must
+    // NOT hoist (Catalyst inlines the alias, so the condition reads
+    // `expensive > 100` — an undeclared column). A derived gate over a
+    // DECLARED column (e.g. flag = doc_id % 2 = 0) does hoist after the
+    // same inlining — that is correct, not a leak: the inlined predicate
+    // references only passthrough columns.
+    val q2 = declared.withColumn("flag", col("expensive") > 100).filter(col("flag"))
+    val mp2 = q2.queryExecution.optimizedPlan
+      .collectFirst { case m: MapPartitions => m }.get
+    assert(mp2.collectFirst { case f: Filter => f }.isEmpty,
+      "barrier-computed gate must stay above the barrier")
+  }
+
+  test("misordered pipeline gate: plan collapses to the well-ordered shape, same job profile") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    def jobsDuring(f: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1000) } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    // building the frames executes phase 1 (localCheckpoint) — count that too.
+    // One untimed warm run first: session-shared memo jobs (table load,
+    // parallelism count) otherwise bill to whichever side runs first.
+    graft.queries.PipelineQueries.pipelineFrameMiningOracle.spark(spark, sf).collect()
+    var misDf: org.apache.spark.sql.DataFrame = null
+    var ordDf: org.apache.spark.sql.DataFrame = null
+    val ordJobs = jobsDuring {
+      ordDf = graft.queries.PipelineQueries.pipelineFrameMiningOracle.spark(spark, sf)
+      ordDf.collect()
+    }
+    val misJobs = jobsDuring {
+      misDf = graft.queries.PipelineQueries.pipelineFrameMiningMisordered.spark(spark, sf)
+      misDf.collect()
+    }
+    // identical rows...
+    assert(misDf.collect().toSeq == ordDf.collect().toSeq,
+      "misordered gate changed the pipeline output")
+    // ...same job profile (phase structure identical; only phase-1 bytes differ)
+    assert(misJobs == ordJobs, s"job profile diverged: misordered=$misJobs ordered=$ordJobs")
+    // ...and the end-written gate sits BELOW the phase-2 model barrier in
+    // the optimized plan: some MapPartitions subtree contains a Filter on
+    // the gate's modulus, and no Filter above any barrier remains
+    val opt = misDf.queryExecution.optimizedPlan
+    val hoisted = opt.collect { case m: MapPartitions => m }
+      .exists(_.collectFirst { case f: Filter if f.condition.sql.contains("% 200") => f }.isDefined)
+    assert(hoisted, s"end-written gate not hoisted below the model barrier:\n$opt")
+    assert(!opt.collect { case f: Filter if f.condition.sql.contains("% 200") => f }
+        .exists(_.collectFirst { case m: MapPartitions => m }.isDefined),
+      s"gate still above a model barrier:\n$opt")
+  }
+
+  test("nearDupClusters memo: the second policy query launches zero chain-build jobs") {
+    // dedup_representative and dedup_soft_weights share one clustering
+    // build per (session, dir): the memoized chain is fully checkpointed,
+    // so the SECOND invocation must return without launching a job.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val (wk1, cp1) = graft.queries.DatasetQueries.nearDupClusters(spark, sf) // warm the memo
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(1000) // drain straggling listener events from the warm build
+      val before = jobs.get()
+      val (wk2, cp2) = graft.queries.DatasetQueries.nearDupClusters(spark, sf)
+      assert((wk2: AnyRef).eq(wk1) && (cp2: AnyRef).eq(cp1),
+        "memo must return the same frames")
+      Thread.sleep(1000)
+      assert(jobs.get() == before,
+        s"memoized chain launched ${jobs.get() - before} jobs on the second call")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -76,6 +76,27 @@ class StorageSpec extends AnyFunSuite {
     }
     assert(report.map(r => r._1 -> r._2).toMap == beforeFiles.map { case (k, v) => k -> v._1 })
     assert(probe() == beforeRows, "probe results changed across compaction")
+
+    // crash-recovery protocol: every interruption point of the swap
+    // (tmp written; live renamed aside; old delete skipped) must leave a
+    // state the NEXT compact() self-heals — no data loss, probe identical.
+    val root = new java.io.File(s"$path/assigned")
+    val anyList = root.listFiles().filter(_.getName.startsWith("list_id=")).head
+    val lid = anyList.getName.stripPrefix("list_id=")
+    // crash between the two renames: live dir moved aside, tmp missing
+    assert(anyList.renameTo(new java.io.File(root, s".compact_old_list_id=$lid")))
+    Ivf.compact(spark, path, targetFileMB = 1)
+    assert(probe() == beforeRows, "rows lost after rename-aside crash recovery")
+    // crash after the swap, before the old copy's delete: both dirs exist
+    val live = new java.io.File(root, s"list_id=$lid")
+    val oldCopy = new java.io.File(root, s".compact_old_list_id=$lid")
+    org.apache.commons.io.FileUtils.copyDirectory(live, oldCopy)
+    // and a stale tmp from an incomplete compacted copy
+    val staleTmp = new java.io.File(root, s".compact_tmp_list_id=$lid")
+    org.apache.commons.io.FileUtils.copyDirectory(live, staleTmp)
+    Ivf.compact(spark, path, targetFileMB = 1)
+    assert(!oldCopy.exists() && !staleTmp.exists(), "leftover swap dirs not healed")
+    assert(probe() == beforeRows, "rows changed after completed-swap recovery")
   }
 
   test("zOrderKey: matches scalar Morton interleave; locality beats 1-D sort") {
