@@ -214,7 +214,7 @@ object Pq {
     * per-list residual encodings (finer quantization, but codes must be
     * re-derived against each list centroid). The exact re-rank absorbs
     * the precision difference; the recall floor is certified by
-    * `ann_recall` on the registered parameters either way. */
+    * the trained-config recall floor (DedupSimilaritySpec) on the registered parameters either way. */
   def ivfPqTopK(index: Ivf.Index, cb: Codebooks, queries: DataFrame, k: Int,
                 nProbe: Int, shortlist: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding",

@@ -125,7 +125,7 @@ object Similarity {
     * conversion and the division by a power of two are IEEE-identical in
     * any engine. Uniform symmetric components are a valid sign-random-
     * projection family (the recall floor is certified empirically by
-    * `ann_recall` either way). */
+    * `ann_recall_tiers` either way). */
   def md5PlaneInts(nPlanes: Int, nTables: Int, dim: Int,
                    salt: String = "graft-lsh"): Array[Array[Array[Long]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -919,53 +919,119 @@ object MiscQueries {
     * on. Constraints target the TPC-H lineitem invariants (key
     * non-null, quantity 1..50, discount 0..0.1, tax ≥ 0, flag domain,
     * positive price, linenumber 1..7). */
-  val validateExpectationsQ = QueryDef("validate_expectations",
-    (s, dir) => {
-      val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-        "not_null_orderkey" -> col("l_orderkey").isNull,
-        "quantity_1_50" -> !col("l_quantity").between(1.0, 50.0),
-        "discount_0_01" -> !col("l_discount").between(0.0, 0.1),
-        "tax_nonnegative" -> (col("l_tax") < 0.0),
-        "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
-        "extendedprice_positive" -> (col("l_extendedprice") <= 0.0),
-        "linenumber_1_7" -> !col("l_linenumber").between(1, 7))
-      val aggd = table(s, dir, "lineitem").agg(
-        count(lit(1)).as("n_rows"),
-        checks.map { case (nm, bad) =>
-          sum(when(bad, 1L).otherwise(0L)).as(s"f_$nm")
-        }: _*)
-      aggd.select(explode(array(checks.map { case (nm, _) =>
-          struct(lit(nm).as("expectation"), col(s"f_$nm").as("n_failed"))
-        }: _*)).as("e"), col("n_rows"))
-        .select(col("e.expectation").as("expectation"), col("n_rows"),
-          col("e.n_failed").as("n_failed"),
-          expr("(n_rows - e.n_failed) * 1000000 div n_rows").as("pass_ppm"))
-        .orderBy("expectation")
-    },
-    Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-        CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS f2,
-        CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS f3,
-        CAST(SUM(CASE WHEN l_tax < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
-        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS f5,
-        CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS f6,
-        CAST(SUM(CASE WHEN NOT (l_linenumber BETWEEN 1 AND 7) THEN 1 ELSE 0 END) AS BIGINT) AS f7
-      FROM lineitem),
+  /** One-aggregate-pass expectation report: every named row-level
+    * violation counter rides ONE scan (a map-side-partial aggregate
+    * producing a single row), fanned out to a row per expectation only
+    * after the aggregate. Shared by the lineitem/documents/embeddings
+    * suites. */
+  private def expectationReport(df: org.apache.spark.sql.DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.DataFrame = {
+    val aggd = df.agg(
+      count(lit(1)).as("n_rows"),
+      checks.map { case (nm, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"f_$nm")
+      }: _*)
+    aggd.select(explode(array(checks.map { case (nm, _) =>
+        struct(lit(nm).as("expectation"), col(s"f_$nm").as("n_failed"))
+      }: _*)).as("e"), col("n_rows"))
+      .select(col("e.expectation").as("expectation"), col("n_rows"),
+        col("e.n_failed").as("n_failed"),
+        expr("(n_rows - e.n_failed) * 1000000 div n_rows").as("pass_ppm"))
+      .orderBy("expectation")
+  }
+
+  /** The matching DuckDB oracle: same one-pass aggregate over named
+    * violation conditions (SQL text), same fan-out. */
+  private def expectationSql(tbl: String, checks: Seq[(String, String)]): String = {
+    val sums = checks.zipWithIndex.map { case ((_, cond), i) =>
+      s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS f$i"
+    }.mkString(",\n        ")
+    val fans = checks.zipWithIndex.map { case ((nm, _), i) =>
+      if (i == 0) s"SELECT '$nm' AS expectation, n_rows, f$i AS n_failed FROM a"
+      else s"UNION ALL SELECT '$nm', n_rows, f$i FROM a"
+    }.mkString("\n        ")
+    s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        $sums
+      FROM $tbl),
       x AS (
-        SELECT 'not_null_orderkey' AS expectation, n_rows, f1 AS n_failed FROM a
-        UNION ALL SELECT 'quantity_1_50', n_rows, f2 FROM a
-        UNION ALL SELECT 'discount_0_01', n_rows, f3 FROM a
-        UNION ALL SELECT 'tax_nonnegative', n_rows, f4 FROM a
-        UNION ALL SELECT 'returnflag_domain', n_rows, f5 FROM a
-        UNION ALL SELECT 'extendedprice_positive', n_rows, f6 FROM a
-        UNION ALL SELECT 'linenumber_1_7', n_rows, f7 FROM a)
+        $fans)
       SELECT expectation, n_rows, n_failed,
         (n_rows - n_failed) * 1000000 // n_rows AS pass_ppm
-      FROM x ORDER BY expectation"""))
+      FROM x ORDER BY expectation"""
+  }
+
+  val validateExpectationsQ = QueryDef("validate_expectations",
+    (s, dir) => expectationReport(table(s, dir, "lineitem"), Seq(
+      "not_null_orderkey" -> col("l_orderkey").isNull,
+      "quantity_1_50" -> !col("l_quantity").between(1.0, 50.0),
+      "discount_0_01" -> !col("l_discount").between(0.0, 0.1),
+      "tax_nonnegative" -> (col("l_tax") < 0.0),
+      "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+      "extendedprice_positive" -> (col("l_extendedprice") <= 0.0),
+      "linenumber_1_7" -> !col("l_linenumber").between(1, 7))),
+    Some(expectationSql("lineitem", Seq(
+      "not_null_orderkey" -> "l_orderkey IS NULL",
+      "quantity_1_50" -> "NOT (l_quantity BETWEEN 1.0 AND 50.0)",
+      "discount_0_01" -> "NOT (l_discount BETWEEN 0.0 AND 0.1)",
+      "tax_nonnegative" -> "l_tax < 0.0",
+      "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+      "extendedprice_positive" -> "l_extendedprice <= 0.0",
+      "linenumber_1_7" -> "NOT (l_linenumber BETWEEN 1 AND 7)"))))
+
+  /** The expectation suite a text-curation run actually gates on:
+    * `documents` invariants (key present, text non-empty, the stored
+    * n_chars consistent with the text, language/source tags present,
+    * non-negative char count). Same one-scan shape; Spark `length` and
+    * DuckDB `length` both count Unicode code points, so the consistency
+    * check replays exactly. */
+  val validateExpectationsDocs = QueryDef("validate_expectations_docs",
+    (s, dir) => expectationReport(table(s, dir, "documents"), Seq(
+      "not_null_doc_id" -> col("doc_id").isNull,
+      "nonempty_text" -> (col("text").isNull || length(col("text")) === 0),
+      "n_chars_consistent" ->
+        coalesce(col("n_chars") =!= length(col("text")), lit(true)),
+      "lang_present" -> (col("lang").isNull || length(col("lang")) === 0),
+      "source_present" -> (col("source").isNull || length(col("source")) === 0),
+      "n_chars_nonnegative" -> (col("n_chars") < 0))),
+    Some(expectationSql("documents", Seq(
+      "not_null_doc_id" -> "doc_id IS NULL",
+      "nonempty_text" -> "text IS NULL OR length(text) = 0",
+      "n_chars_consistent" ->
+        "COALESCE(n_chars <> length(text), TRUE)",
+      "lang_present" -> "lang IS NULL OR length(lang) = 0",
+      "source_present" -> "source IS NULL OR length(source) = 0",
+      "n_chars_nonnegative" -> "n_chars < 0"))))
+
+  /** The `embeddings` gate an ANN/dedup run needs before trusting a
+    * vector column: key present, vector present, dimension uniform at
+    * the corpus contract (64), every component finite (a single NaN
+    * poisons every cosine it touches), and no degenerate all-zero
+    * vectors (the embedding_stats check folded into the suite). The
+    * finiteness/degeneracy predicates are higher-order EXISTS over the
+    * array — still a narrow map riding the same single scan. */
+  val validateExpectationsEmb = QueryDef("validate_expectations_embeddings",
+    (s, dir) => expectationReport(table(s, dir, "embeddings"), Seq(
+      "not_null_vec_id" -> col("vec_id").isNull,
+      "vector_present" -> (col("embedding").isNull || size(col("embedding")) === 0),
+      "dim_uniform_64" -> coalesce(size(col("embedding")) =!= 64, lit(true)),
+      "components_finite" -> coalesce(exists(col("embedding"), x =>
+        isnan(x) || abs(x.cast("double")) === lit(Double.PositiveInfinity)), lit(true)),
+      "nonzero_vector" -> coalesce(!exists(col("embedding"),
+        x => x =!= 0.0f), lit(true)))),
+    Some(expectationSql("embeddings", Seq(
+      "not_null_vec_id" -> "vec_id IS NULL",
+      "vector_present" -> "embedding IS NULL OR len(embedding) = 0",
+      "dim_uniform_64" -> "COALESCE(len(embedding) <> 64, TRUE)",
+      "components_finite" ->
+        "COALESCE(len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0, TRUE)",
+      "nonzero_vector" ->
+        "COALESCE(len(list_filter(embedding, x -> x <> 0.0)) = 0, TRUE)"))))
 
   val defs: Seq[QueryDef] = Seq(linkPagerank, slidingAvg, pivotCounts, monthlyRollup,
     dedupLevenshtein, mergeUpsert, zorderCluster, joinBloomPrune,
     componentsStar, deletePropagate, scd2History, blocklistFilter, outlierIqr,
     timeSplitQ, hitsScores, winsorizeQ, skewReport, dataloaderManifest,
-    funnelSteps, cubeCounts, anomalyZscore, snapshotDiff, validateExpectationsQ)
+    funnelSteps, cubeCounts, anomalyZscore, snapshotDiff, validateExpectationsQ,
+    validateExpectationsDocs, validateExpectationsEmb)
 }

@@ -56,7 +56,7 @@ object SimilarityQueries {
 
   /** Shared ANN tuning, recall-calibrated against the embeddings table's
     * structure: the SAME parameters drive the headline queries and the
-    * `ann_recall` evidence row, so the certified recall is the recall of
+    * `ann_recall_tiers` evidence row, so the certified recall is the recall of
     * the registered queries, not of a friendlier configuration. The test
     * embeddings are 10 heavily-overlapping Gaussian clusters — a measured
     * recall ≈ probed-fraction relationship (grid-swept nLists ∈ {8..32} ×
@@ -83,7 +83,7 @@ object SimilarityQueries {
     * `lshTablesPerExtraPlane` per extra plane to hold the recall floor
     * (per-plane agreement probability is fixed by the similarity, so
     * deeper AND-conjunctions need more OR-tables — the standard (k, L)
-    * LSH tradeoff; `ann_recall` certifies the floor at whatever depth
+    * LSH tradeoff; `ann_recall_tiers` certifies the floor at whatever depth
     * the corpus selects). 12 tables per extra plane is recall-measured
     * on the overlapping-cluster test embeddings: at sf0.1 (depth 5)
     * 24 tables gave 0.89 — under the floor — 36 gave 0.97. Candidate
@@ -98,7 +98,7 @@ object SimilarityQueries {
   }
 
   /** The md5-derived replayable hyperplanes shared by `ann_lsh_topk` and
-    * `ann_recall`, at the corpus-sized depth (one bounded count pass). */
+    * `ann_recall_tiers`, at the corpus-sized depth (one bounded count pass). */
   private def lshAutoMatrix(emb: org.apache.spark.sql.DataFrame): Array[Array[Array[Double]]] = {
     val (planes, tables) = lshDepth(Similarity.corpusCount(emb))
     Similarity.md5Planes(planes, tables, 64)
@@ -169,7 +169,7 @@ object SimilarityQueries {
     * at the corpus-sized auto depth ([[lshDepth]]), so the ENTIRE
     * approximate pipeline (depth choice → plane generation → sign
     * buckets → candidate join → exact re-rank) is hash-checked by the
-    * oracle; the `ann_recall` floor certifies its quality separately. */
+    * oracle; the `ann_recall_tiers` floor certifies its quality separately. */
   val annLshTopK = QueryDef("ann_lsh_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -361,7 +361,7 @@ object SimilarityQueries {
 
   /** IVF coarse-quantized approximate top-5 (k-means inverted lists,
     * engine-trained centroids → rows-only check + recall spec +
-    * `ann_recall` floor). */
+    * `ann_recall_tiers` floor). */
   val annIvfTopK = QueryDef("ann_ivf_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -451,7 +451,7 @@ object SimilarityQueries {
     * centers, so DuckDB replays assignment, probes, candidates and ranks
     * bit-for-bit. Lloyd training (data-dependent driver state) remains
     * the ONLY unverifiable piece of the IVF path; its quality is certified
-    * separately by the `ann_recall` floor. */
+    * separately by the `ann_recall_tiers` floor. */
   val annIvfTopKOracle = QueryDef("ann_ivf_topk_oracle",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -647,7 +647,7 @@ object SimilarityQueries {
     * partition, and the oracle replays `list(ld ORDER BY s)` — identical
     * left folds, so even the float sums hash-match. Lloyd codebook
     * training remains the only unverifiable piece of the PQ path
-    * (quality certified by the ann_recall floor). */
+    * (quality certified by the ann_recall_tiers floor). */
   val annPqTopKOracle = QueryDef("ann_pq_topk_oracle",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -678,7 +678,7 @@ object SimilarityQueries {
     * candidates from 4-byte codes, floats fetched for the exact re-rank
     * only — the billion-vector architecture assembled from the two
     * registered pieces. Engine-trained centroids+codebooks → rows-only
-    * check + the `ann_recall` floor. */
+    * check + the `ann_recall_tiers` floor. */
   val annIvfPqTopK = QueryDef("ann_ivfpq_topk",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -689,16 +689,19 @@ object SimilarityQueries {
     },
     None)
 
-  /** ANN recall@k vs in-engine brute force, registered as evidence: one
-    * row per approximate method (ivf, ivfpq, lsh, pq) with (method, k,
-    * n_queries, hits, recall) — and each row is EMITTED ONLY IF
-    * recall ≥ 0.9, so the driver's rows-only smoke check (rows > 0, here
-    * exactly 4) certifies the recall floor instead of a bare row count:
-    * a missing row IS a recall regression. Deterministic end-to-end
-    * (seeded planes/centroids/codebooks, exact tie-break ordering), so
-    * reruns emit identical rows. */
-  val annRecall = QueryDef("ann_recall",
-    (s, dir) => {
+  /** ANN recall@k of the ENGINE-TRAINED production configs (Lloyd
+    * centroids, trained PQ codebooks) vs in-engine brute force: one row
+    * per method (ivf, ivfpq, lsh, pq), EMITTED ONLY IF recall ≥ 0.9 — a
+    * missing row IS a recall regression. NOT a registered query: the
+    * hash-certified `ann_recall_tiers` supersedes the registered floor
+    * (six tiers, SQL-replayable configs, every stage hash-checked);
+    * trained configs are inherently oracle-free, so this floor lives as
+    * sbt-test evidence (DedupSimilaritySpec) instead of a rows-only
+    * correctness row. Deterministic end-to-end (seeded planes/centroids/
+    * codebooks, exact tie-break ordering), so reruns emit identical
+    * rows. */
+  private[graft] val trainedRecallFloor =
+    (s: org.apache.spark.sql.SparkSession, dir: String) => {
       val k = annK
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val queries = annQueries(emb)
@@ -731,13 +734,13 @@ object SimilarityQueries {
       recallOf("ivf", ivf).unionByName(recallOf("ivfpq", ivfpq))
         .unionByName(recallOf("lsh", lsh)).unionByName(recallOf("pq", pq))
         .orderBy("method")
-    },
-    None)
+    }
 
   /** Matryoshka funnel parameters: 16 of 64 dims for the coarse pass
     * (4× flop/byte reduction), shortlist 4×k for the exact re-rank.
     *
-    * NOT in the `ann_recall` floor, deliberately: dimension-pruning's
+    * NOT in the `ann_recall_tiers` floor on flat vectors, deliberately:
+    * dimension-pruning's
     * recall rests on the MRL PROPERTY (information front-loaded into the
     * prefix by matryoshka training). The synthetic test embeddings are
     * information-FLAT random Gaussians — every dimension carries equal
@@ -905,7 +908,7 @@ object SimilarityQueries {
     * machinery), exact-cosine re-rank. DuckDB replays every stage —
     * with this row all three ANN index shapes (IVF, PQ, IVF-PQ) have
     * their search machinery hash-checked, and ONLY Lloyd training
-    * remains rows-only evidence (ann_recall certifies its quality). */
+    * remains rows-only evidence (the trained-config recall floor in DedupSimilaritySpec certifies its quality). */
   val annIvfPqTopKOracle = QueryDef("ann_ivfpq_topk_oracle",
     (s, dir) => {
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1007,8 +1010,8 @@ object SimilarityQueries {
     * every trained center coordinate, every point's final cluster and
     * every cluster size. After this row, ONLY the k-means++ seeding draw
     * (scala.util.Random — inherently engine-private) remains outside the
-    * oracle, and its quality is already certified by the `ann_recall`
-    * floor. (Replay precondition, vacuously true on md5-spread data: the
+    * oracle, and its quality is already certified by the trained-config recall
+    * floor (DedupSimilaritySpec). (Replay precondition, vacuously true on md5-spread data: the
     * first round must assign at least one point away from center 0,
     * else the JVM's `moved` short-circuit would skip round 2.) */
   val kmeansTrainOracle = QueryDef("kmeans_train_oracle",
@@ -1553,15 +1556,15 @@ object SimilarityQueries {
   }
 
   /** The six-tier hash-certified recall floor — the completion of
-    * `ann_recall`'s rows-only floor: EVERY registered retrieval tier
+    * the retired rows-only `ann_recall` floor: EVERY registered retrieval tier
     * (binary, ivf, ivfpq, lsh, mrl, pq) under a fully SQL-replayable
     * configuration, scored against in-engine brute-force truth, one row
     * per method EMITTED ONLY IF recall_ppm ≥ 900000 — six rows present
     * certifies every tier, and the whole computation (codes, candidates,
     * ranks, truth, hit counts, the ppm floor itself) is hash-checked, so
-    * the floor can never drift from the shipped machinery. `ann_recall`
-    * keeps its role for the Lloyd-TRAINED production configs (inherently
-    * rows-only). Replayable configs: lsh = the registered corpus-sized
+    * the floor can never drift from the shipped machinery. The Lloyd-TRAINED
+    * production configs (inherently oracle-free) keep their own floor as
+    * sbt-test evidence: [[trainedRecallFloor]] in DedupSimilaritySpec. Replayable configs: lsh = the registered corpus-sized
     * auto-depth; ivf = the md5 codebook at nProbe 4 of 8 lists (half the
     * index — not brute force); pq / ivfpq = [[sampledPqCb]] codebooks
     * with the [[scaledShortlist]] re-rank; binary = the registered
@@ -1632,7 +1635,7 @@ object SimilarityQueries {
     annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
     annIvfCompact,
     annPqTopK, annPqTopKOracle, annIvfPqTopK, annIvfPqTopKOracle,
-    annMatryoshkaTopK, annRecall, annRecallTiers, quantizeEmbeddings,
+    annMatryoshkaTopK, annRecallTiers, quantizeEmbeddings,
     kmeansTrainOracle, embeddingStatsQ, ivfProbeSweep, annBinaryTopK,
     embeddingPool)
 }

@@ -228,11 +228,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("registered ann_recall query certifies recall >= 0.9 for ALL FOUR methods") {
-    // The query filters on recall >= 0.9 before emitting, so four rows ⟺
+  test("trained-config recall floor: >= 0.9 for ALL FOUR Lloyd/trained methods") {
+    // The retired ann_recall query's machinery, kept as sbt evidence: the
+    // ENGINE-TRAINED production configs (Lloyd centroids, trained PQ
+    // codebooks) are inherently oracle-free, so their floor lives here
+    // while the registered hash-certified floor is ann_recall_tiers. The
+    // builder filters on recall >= 0.9 before emitting, so four rows ⟺
     // all headline ANN queries (ivf, ivfpq, lsh, pq) hold the floor on
     // the real embeddings table with their registered parameters.
-    val out = graft.SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+    val out = graft.queries.SimilarityQueries.trainedRecallFloor(spark, "/root/testdata/sf0.001")
       .select("method", "k", "recall")
       .as[(String, Long, Double)].collect().sortBy(_._1)
     assert(out.map(_._1).toSeq == Seq("ivf", "ivfpq", "lsh", "pq"), s"missing method row: ${out.mkString(",")}")
