@@ -286,6 +286,98 @@ object Similarity {
     rankTopK(paired, k, qidCol, idCol)
   }
 
+  /** 63-bit sign-pattern code (dims 1..63 — 63 keeps every partial sum
+    * below 2^63 so the bit-build folds identically in engines with
+    * checked int64 overflow): the compact-code representation the
+    * Hamming prefilter stages score against. 8 bytes per vector vs 512
+    * for the 64-dim double array — the shuffle-payload ratio that makes
+    * corpus-sized candidate scoring memory-hierarchy-friendly. */
+  def signCode63(vec: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(63)), i =>
+        when(element_at(vec, i) >= 0,
+          call_function("shiftleft", lit(1L), i - 1)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** Hamming similarity of two sign codes (affine flip of popcount so
+    * higher = more similar, matching cosine's direction). */
+  def hammingSim(codeA: Column, codeB: Column): Column =
+    lit(64.0) - call_function("bit_count", codeA.bitwiseXOR(codeB)).cast("double")
+
+  /** Multi-word sign-projection code: `planeMatrix` tables each pack
+    * their plane-sign bits into one long (the [[tableBuckets]] kernel),
+    * so 4 tables x 63 planes = a 252-bit code in 32 bytes. More bits
+    * than [[signCode63]] is what a NEAR-ORTHOGONAL corpus needs: for
+    * neighbor cosine s the per-bit agreement is 1 - acos(s)/pi (only
+    * ~0.61 at s = 0.35 vs 0.5 random), so ranking SNR grows as sqrt(bits)
+    * - 63 coordinate signs separate true neighbors by ~1.8 sigma (recall
+    * 0.79 measured), 252 projection bits by ~3.6 sigma (floor holds). */
+  def projectionCodes(vec: Column, planeMatrix: Array[Array[Array[Double]]]): Column =
+    tableBuckets(vec, planeMatrix)
+
+  /** Hamming similarity over multi-word codes — element_at + xor +
+    * popcount per word, all codegen-friendly scalar expressions (a
+    * zip_with/aggregate HOF form evaluates interpreted, the measured
+    * ~40x-per-pair trap SCALE.md documents). */
+  def hammingSimWords(a: Column, b: Column, words: Int, bitsPerWord: Int): Column =
+    lit((words * bitsPerWord).toDouble) - (0 until words).map(t =>
+      call_function("bit_count",
+        element_at(a, t + 1).bitwiseXOR(element_at(b, t + 1))).cast("double"))
+      .reduce(_ + _)
+
+  /** Compact-code candidate scoring — the two-stage kernel behind every
+    * corpus-sized candidate set (ann_binary_topk's shape, factored for
+    * reuse): rank BARE-ID candidate pairs by sign-code Hamming
+    * similarity (ties by id — one xor+popcount per pair, 8-byte codes
+    * through the join instead of 512-byte vectors), keep `shortlist`
+    * per query, fetch float vectors for the survivors ONLY and
+    * exact-cosine re-rank, folding in `preScored` rows (pairs whose
+    * exact sim is already known — e.g. the previous NN-descent list,
+    * which therefore never pays a second cosine) before the final
+    * top-k. Both stages replay in SQL (codes, xor, popcount, both
+    * ranks, the documented-fold cosine). */
+  def hammingShortlistTopK(candPairs: DataFrame, emb: DataFrame, codes: DataFrame,
+                           k: Int, shortlist: Int,
+                           preScored: Option[DataFrame] = None,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           codeSim: (Column, Column) => Column = hammingSim): DataFrame = {
+    val ham = candPairs
+      .join(codes.select(col(idCol), col("code")), idCol)
+      .join(codes.select(col(idCol).as("qid"), col("code").as("qcode")), "qid")
+      .select(col("qid"), col(idCol), codeSim(col("code"), col("qcode")).as("sim"))
+    val short = rankTopK(ham, shortlist, "qid", idCol).select(col("qid"), col(idCol))
+    val exact = short
+      .join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(emb.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid")
+      .select(col("qid"), col(idCol), cosine(col(vecCol), col("qvec")).as("sim"))
+    // duplicates across exact/preScored carry bit-identical sims (same
+    // documented-fold cosine), so distinct() is a safe dedup
+    val all = preScored.fold(exact)(p =>
+      exact.unionByName(p.select(col("qid"), col(idCol), col("sim"))).distinct())
+    rankTopK(all, k, "qid", idCol)
+  }
+
+  /** Bare-id LSH candidate pairs: rows sharing any (table, bucket) key,
+    * deduplicated across tables — the candidate-generation half of
+    * [[lshTopKPlanes]], exposed for callers that score candidates
+    * through a compact-code prefilter instead of immediately attaching
+    * float vectors. */
+  def lshCandidatePairsPlanes(candidates: DataFrame, queries: DataFrame,
+                              planeMatrix: Array[Array[Array[Double]]],
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cb = candidates
+      .select(col(idCol),
+        posexplode(tableBuckets(col(vecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
+    val qb = queries
+      .select(col(qidCol),
+        posexplode(tableBuckets(col(qvecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
+    cb.join(qb, Seq("table_idx", "bucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol))
+      .dropDuplicates(qidCol, idCol)
+  }
+
   /** One NN-descent refinement round (Dong, Moses & Li, "Efficient
     * k-nearest neighbor graph construction for generic similarity
     * measures", WWW 2011): from a current top-k table, propose each
@@ -293,13 +385,20 @@ object Similarity {
     * (forward edges plus reverse edges CAPPED at k per node by (rank,
     * id) — the reverse cap is what bounds a hub's fan-out: without it a
     * node appearing in d lists contributes d² proposals), score
-    * proposals with exact cosine, and keep the best k of old ∪ new.
-    * Per-round work is n·(2k)² proposals — LINEAR in the corpus with a
-    * k²-sized constant — and recall strictly never decreases (the old
-    * list is always in the candidate union). Deterministic and
-    * SQL-replayable end to end. */
-  def nnDescentRound(topk: DataFrame, emb: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    * proposals through the compact-code prefilter
+    * ([[hammingShortlistTopK]]: Hamming shortlist of `shortlist` per
+    * point, exact cosine for survivors only — the previous round's list
+    * keeps its known sims and is never re-scored), and keep the best k
+    * of old ∪ new. Per-round work is n·(2k)² PROPOSALS but only
+    * n·shortlist COSINES and n·(2k)² 8-byte code rows through the
+    * shuffle — the constant that kept the 20× probe's scored join from
+    * fitting cache when proposals carried full vectors. Recall strictly
+    * never decreases (the old list is always in the candidate union).
+    * Deterministic and SQL-replayable end to end. */
+  def nnDescentRound(topk: DataFrame, emb: DataFrame, codes: DataFrame,
+                     k: Int, shortlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     codeSim: (Column, Column) => Column = hammingSim): DataFrame = {
     val fwd = topk.select(col("qid").as("a"), col(idCol).as("b"))
     val rev = topk
       .withColumn("rr", row_number().over(
@@ -311,13 +410,10 @@ object Similarity {
       .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
       .filter(col("q") =!= col("w"))
       .select(col("q").as("qid"), col("w").as(idCol))
-      .union(topk.select(col("qid"), col(idCol)))
       .distinct()
-    val scored = cand
-      .join(emb.select(col(idCol), col(vecCol)), idCol)
-      .join(emb.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid")
-      .withColumn("sim", cosine(col(vecCol), col("qvec")))
-    rankTopK(scored, k, "qid", idCol)
+    hammingShortlistTopK(cand, emb, codes, k, shortlist,
+      preScored = Some(topk.select(col("qid"), col(idCol), col("sim"))),
+      idCol = idCol, vecCol = vecCol, codeSim = codeSim)
   }
 
   /** SemDeDup-shaped near-duplicate pairs at corpus scale (Abbas et al.,

@@ -124,7 +124,24 @@ object SimilarityQueries {
     * recall). */
   private def lshRankCtes(qFilter: String,
                           tablesSql: String =
-                            s"$lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes)"): String = {
+                            s"$lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes)"): String =
+    s"""${lshCandCtes(qFilter, tablesSql)},
+      pairs AS (SELECT cand.qid, cand.vec_id,
+          CASE WHEN a.nrm > 0 AND b.nrm > 0
+               THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+               ELSE 0.0 END AS sim
+        FROM cand
+        JOIN d b ON b.vec_id = cand.vec_id
+        JOIN d a ON a.vec_id = cand.qid),
+      r AS (SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM pairs)"""
+
+  /** The candidate-generation half of [[lshRankCtes]] (auto depth, plane
+    * regeneration, buckets, deduped bare-id pairs) — callers that score
+    * candidates through a compact-code prefilter (knn_graph) append
+    * their own scoring CTEs after `cand`. */
+  private def lshCandCtes(qFilter: String, tablesSql: String): String = {
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
       depth AS (SELECT LEAST($lshMaxPlanes, GREATEST($lshPlanes,
           (SELECT MIN(p) FROM generate_series(0, 40) g(p)
@@ -152,17 +169,7 @@ object SimilarityQueries {
       qb AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE $qFilter),
       cand AS (SELECT DISTINCT q.qid, c.vec_id
                FROM qb q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
-               WHERE c.vec_id <> q.qid),
-      pairs AS (SELECT cand.qid, cand.vec_id,
-          CASE WHEN a.nrm > 0 AND b.nrm > 0
-               THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-               ELSE 0.0 END AS sim
-        FROM cand
-        JOIN d b ON b.vec_id = cand.vec_id
-        JOIN d a ON a.vec_id = cand.qid),
-      r AS (SELECT qid, vec_id, sim,
-              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
-            FROM pairs)"""
+               WHERE c.vec_id <> q.qid)"""
   }
 
   /** LSH-bucketed approximate top-5 — md5-derived replayable hyperplanes
@@ -203,6 +210,23 @@ object SimilarityQueries {
   // these constants are sized for it; all of them are SCALE-INDEPENDENT,
   // which is the point: work stays linear in n
   private val knnInternalK = 4 * annK
+  // Hamming-shortlist width for the compact-code candidate scoring: of
+  // the ≤ (2k')² proposals per point per round, only the best
+  // `knnShortlist` by 252-bit projection-code Hamming pay an exact
+  // cosine (the old list's exact sims are always kept, so a Hamming
+  // miss can only delay — not lose — a neighbor the graph would find).
+  // Swept on the near-orthogonal test corpus: 3k' held 0.9 at sf0.001
+  // but read 0.885 at sf0.1; 5k' holds the floor at both scales while
+  // still cutting exact cosines 16× vs scoring every proposal.
+  private val knnShortlist = 5 * knnInternalK
+  // 4 words × 63 md5-projection bits: the 252-bit code the shortlist
+  // ranks by. 63 coordinate-sign bits alone were measured at 0.79 edge
+  // recall on the near-orthogonal test corpus (SNR ~1.8σ per neighbor);
+  // 4× the bits doubles the ranking SNR and restores the 0.9 floor.
+  private val knnCodeWords = 4
+  private val knnCodeBitsPerWord = 63
+  private lazy val knnCodePlanes =
+    Similarity.md5Planes(knnCodeBitsPerWord, knnCodeWords, 64, "graft-knn-code")
 
   /** Shared mutual-kNN chain — the REGISTERED query and ScaleProbe both
     * call this on a (vec_id, embedding) frame.
@@ -216,18 +240,40 @@ object SimilarityQueries {
     * occupancy at ~64, so the seed is plain linear) and the recall the
     * weaker seed gives up is recovered by $knnDescentRounds NN-descent
     * rounds ([[Similarity.nnDescentRound]]) — n·(2k)² proposals per
-    * round, linear with a k²-constant, monotone in recall. A dense
-    * near-copy region (pairwise cosine ≳ 0.95, which no depth splits)
-    * still pays occupancy² inside the seed's buckets — that corpus is
-    * what pipeline_dedup_corpus removes BEFORE graph construction. */
+    * round, linear with a k²-constant, monotone in recall.
+    *
+    * Memory-hierarchy bound — why candidates score against CODES: the
+    * 20× probe's residual superlinearity (cpu 55.6× vs linear 20) was
+    * the proposal-scoring join shipping two 512-byte float arrays per
+    * proposal (~1 GB/partition at data-scaled partitioning — spill
+    * territory at any partitioning as n grows). Every corpus-sized
+    * candidate set (seed buckets AND descent proposals) now ranks by
+    * 8-byte sign-code Hamming first ([[Similarity.hammingShortlistTopK]]);
+    * float vectors are fetched for `knnShortlist` survivors per point
+    * only, and the previous round's list keeps its exact sims without
+    * re-scoring. A dense near-copy region (pairwise cosine ≳ 0.95,
+    * which no depth splits) still pays occupancy² inside the seed's
+    * buckets — that corpus is what pipeline_dedup_corpus removes BEFORE
+    * graph construction. */
   def knnGraphEdges(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val (planes, _) = lshDepth(Similarity.corpusCount(emb))
-      var topk = Similarity.lshTopKPlanes(emb,
+      // 32 bytes per vector: the compact representation every candidate
+      // stage scores against (tiny — checkpoint so all 4 stages share it)
+      val codes = emb.select(col("vec_id"),
+        Similarity.projectionCodes(col("embedding"), knnCodePlanes).as("code"))
+        .localCheckpoint()
+      val codeSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        Similarity.hammingSimWords(a, b, knnCodeWords, knnCodeBitsPerWord)
+      val seedPairs = Similarity.lshCandidatePairsPlanes(emb,
         emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        k = knnInternalK, Similarity.md5Planes(planes, knnSeedTables, 64))
+        Similarity.md5Planes(planes, knnSeedTables, 64))
+      var topk = Similarity.hammingShortlistTopK(seedPairs, emb, codes,
+          k = knnInternalK, shortlist = knnShortlist, codeSim = codeSim)
         .localCheckpoint() // each round reads the previous once
       for (_ <- 1 to knnDescentRounds)
-        topk = Similarity.nnDescentRound(topk, emb, knnInternalK).localCheckpoint()
+        topk = Similarity.nnDescentRound(topk, emb, codes, knnInternalK, knnShortlist,
+            codeSim = codeSim)
+          .localCheckpoint()
       val fwd = topk.filter(col("qid") < col("vec_id") && col("rank") <= annK)
         .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("sim"), col("rank").as("rank_fwd"))
@@ -245,6 +291,31 @@ object SimilarityQueries {
     (s, dir) => knnGraphEdges(
       table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
     Some {
+      // the two-stage compact-code scoring, replayed per candidate CTE:
+      // Hamming shortlist over sign codes, exact cosine for survivors
+      val totalBits = knnCodeWords * knnCodeBitsPerWord
+      // bit_count returns TINYINT in DuckDB — widen each term before the
+      // 4-word sum (98 + 33 already overflows INT1)
+      val hamSumSql = (1 to knnCodeWords)
+        .map(w => s"CAST(bit_count(xor(qc.code[$w], cc.code[$w])) AS INTEGER)")
+        .mkString(" + ")
+      def hammingStage(i: Int, candCte: String): String =
+        s"""h$i AS (SELECT c.qid, c.vec_id,
+                $totalBits.0 - CAST($hamSumSql AS DOUBLE) AS hsim
+              FROM $candCte c
+              JOIN cd qc ON qc.vec_id = c.qid
+              JOIN cd cc ON cc.vec_id = c.vec_id),
+      g$i AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hsim DESC, vec_id ASC) AS hr
+               FROM h$i) WHERE hr <= $knnShortlist),
+      x$i AS (SELECT g.qid, g.vec_id,
+                CASE WHEN da.nrm > 0 AND db.nrm > 0
+                     THEN ${dotSql("da.embedding", "db.embedding")} / (da.nrm * db.nrm)
+                     ELSE 0.0 END AS sim
+              FROM g$i g
+              JOIN d db ON db.vec_id = g.vec_id
+              JOIN d da ON da.vec_id = g.qid)"""
       def round(i: Int): String = {
         val prev = s"e${i - 1}"
         s"""f$i AS (SELECT qid AS a, vec_id AS b FROM $prev),
@@ -254,24 +325,41 @@ object SimilarityQueries {
                FROM $prev) WHERE rr <= $knnInternalK),
       a$i AS (SELECT DISTINCT a, b FROM (
                SELECT a, b FROM f$i UNION ALL SELECT a, b FROM v$i)),
-      c$i AS (SELECT x.a AS qid, y.b AS vec_id
-              FROM a$i x JOIN a$i y ON x.b = y.a WHERE x.a <> y.b
-              UNION SELECT qid, vec_id FROM $prev),
-      s$i AS (SELECT c.qid, c.vec_id,
-                CASE WHEN da.nrm > 0 AND db.nrm > 0
-                     THEN ${dotSql("da.embedding", "db.embedding")} / (da.nrm * db.nrm)
-                     ELSE 0.0 END AS sim
-              FROM c$i c
-              JOIN d db ON db.vec_id = c.vec_id
-              JOIN d da ON da.vec_id = c.qid),
+      c$i AS (SELECT DISTINCT x.a AS qid, y.b AS vec_id
+              FROM a$i x JOIN a$i y ON x.b = y.a WHERE x.a <> y.b),
+      ${hammingStage(i, s"c$i")},
+      u$i AS (SELECT qid, vec_id, sim FROM x$i
+              UNION SELECT qid, vec_id, sim FROM $prev),
       e$i AS (SELECT qid, vec_id, sim, rank FROM (
                SELECT qid, vec_id, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
-               FROM s$i) WHERE rank <= $knnInternalK)"""
+               FROM u$i) WHERE rank <= $knnInternalK)"""
       }
       val rounds = (1 to knnDescentRounds).map(round).mkString(",\n      ")
-      s"""${lshRankCtes("TRUE", knnSeedTables.toString)},
-      e0 AS (SELECT qid, vec_id, sim, rank FROM r WHERE rank <= $knnInternalK),
+      s"""${lshCandCtes("TRUE", knnSeedTables.toString)},
+      kpl AS (SELECT tt.t AS t, tj.j AS j,
+               list(CAST(('0x' || substring(md5('graft-knn-code:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    ORDER BY ti.i) AS hs
+             FROM generate_series(0, ${knnCodeWords - 1}) tt(t),
+                  generate_series(0, ${knnCodeBitsPerWord - 1}) tj(j),
+                  generate_series(0, 63) ti(i)
+             GROUP BY tt.t, tj.j),
+      kpu AS (SELECT t, j,
+               [CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 for h in hs] AS u
+             FROM kpl),
+      kdots AS (SELECT d.vec_id, kpu.t, kpu.j,
+          ${dotSql("d.embedding", "kpu.u")} AS dp
+        FROM d, kpu),
+      cd AS (SELECT vec_id, list(w ORDER BY t) AS code FROM (
+               SELECT vec_id, t,
+                 SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS w
+               FROM kdots GROUP BY vec_id, t)
+             GROUP BY vec_id),
+      ${hammingStage(0, "cand")},
+      e0 AS (SELECT qid, vec_id, sim, rank FROM (
+               SELECT qid, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+               FROM x0) WHERE rank <= $knnInternalK),
       $rounds
       SELECT f.qid AS src, f.vec_id AS dst, f.sim,
         CAST(f.rank AS BIGINT) AS rank_fwd, CAST(b.rank AS BIGINT) AS rank_back
@@ -1181,11 +1269,7 @@ object SimilarityQueries {
     * checked int64 overflow). Shared by `ann_binary_topk` and the
     * `ann_recall_tiers` floor. */
   private def signCode63(vec: org.apache.spark.sql.Column) =
-    aggregate(
-      transform(sequence(lit(1), lit(63)), i =>
-        when(element_at(vec, i) >= 0,
-          call_function("shiftleft", lit(1L), i - 1)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a + b)
+    Similarity.signCode63(vec)
 
   /** Hamming-shortlist binary search: sign codes, one xor+popcount per
     * candidate, exact-cosine re-rank of the `shortlist` rows only.
