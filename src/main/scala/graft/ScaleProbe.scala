@@ -36,23 +36,33 @@ object ScaleProbe {
   private def replicate(df: DataFrame, mult: Int, idCol: String,
                         saltText: Boolean): DataFrame = {
     if (mult <= 1) return df
-    // the rotation salt has 26 distinct values: replica 26 would rotate
-    // back to the identity and share every shingle with replica 0,
-    // silently inflating pair counts — the probe would then measure an
-    // adversarial corpus, not scale
-    require(!saltText || mult <= 26,
-      s"text-salted replication supports at most 26 replicas, got $mult")
+    // per-replica alphabet permutation from the AFFINE family
+    // x → a·x + b (mod 26) with a coprime to 26: 12 multipliers × 26
+    // shifts = 312 distinct permutations, so up to 312 replicas are
+    // pairwise shingle-disjoint (two replicas share a shingle only if
+    // their permutations coincide). A plain rotation family has only 26
+    // members — replica 26 would alias replica 0 and the probe would
+    // measure an adversarial near-copy corpus, not scale.
+    val coprime = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(!saltText || mult <= coprime.length * 26,
+      s"text-salted replication supports at most ${coprime.length * 26} replicas, got $mult")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def affine(r: Int): String = {
+      // enumerate shifts first: replicas 0..25 are exactly the rotation
+      // family earlier probe rows were measured with (r = 0 identity)
+      val a = coprime(r / 26)
+      val b = r % 26
+      alpha.indices.map(x => alpha((a * x + b) % 26)).mkString
+    }
     val reps = df.withColumn("_rep", explode(lit((0 until mult).toArray)))
     val shifted = reps.withColumn(idCol, col(idCol) + col("_rep").cast("long") * 100000000L)
     val salted =
       if (!saltText) shifted
       else shifted.withColumn("text",
-        // rep r maps the alphabet to a rotation by r — deterministic,
-        // length-preserving, and distinct replicas share no shingles
+        // deterministic, length-preserving, token-statistics-isomorphic
         (0 until mult).foldLeft(col("text")) { (c, r) =>
           when(col("_rep") === r,
-            translate(col("text"), alpha, alpha.drop(r) + alpha.take(r))).otherwise(c)
+            translate(col("text"), alpha, affine(r))).otherwise(c)
         })
     salted.drop("_rep")
   }

@@ -1138,9 +1138,22 @@ object TextQueries {
   def lshCalibrationReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = docs
       .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-      .localCheckpoint() // read by the signature build and the one verify join
+      .localCheckpoint() // read by the signature build and the hash projection
     val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
       .select("doc_id", "sig").localCheckpoint()
+    // 60-bit-hashed shingle sets for the verify join — the one stage that
+    // ships arrays per candidate pair moves 8-byte longs, never 8-word
+    // strings (the dup_ngrams discipline). Measured: the string-array
+    // verify spilled its 20×-probe sort (cpu ~80× vs linear 20 — the
+    // candidate count itself is exactly linear, 21.4× at 20×); the hashed
+    // form is ~3× lighter through the join and compares longs in the
+    // intersect. distinct-AFTER-hash keeps both engines identical even if
+    // md5-60 ever collided within a doc (both sides dedupe the same way);
+    // tj values are unchanged — md5 is replayed exactly in the oracle. */
+    val shh = sh.select(col("doc_id"),
+        array_sort(array_distinct(transform(col("sh"), t => Dedup.md5Hash60(t))))
+          .as("sh"))
+      .localCheckpoint() // read by both verify-join sides
     // bare-id candidate pairs per config (no signature attach -- the
     // calibration never reads them). The configs NEST (strict subset of
     // permissive, spec'd), so pairs are tagged per config and the
@@ -1164,8 +1177,8 @@ object TextQueries {
         col("id_a"), col("id_b"))
     }.reduce(_ unionByName _).localCheckpoint()
     val scored = tagged.select("id_a", "id_b").distinct()
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
@@ -1204,7 +1217,7 @@ object TextQueries {
       tj$tag AS (SELECT c.id_a, c.id_b,
                CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
                CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) AS tj
-             FROM cand$tag c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b)"""
+             FROM cand$tag c JOIN gh ga ON ga.doc_id = c.id_a JOIN gh gb ON gb.doc_id = c.id_b)"""
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       g AS (SELECT doc_id,
         CASE WHEN len(toks) >= 2
@@ -1215,6 +1228,10 @@ object TextQueries {
       th AS (SELECT doc_id,
         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
         CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
+      gh AS (SELECT doc_id,
+        list_sort(list_distinct([CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                                 for t in sh])) AS sh
+        FROM g),
       sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
       ${cfgCtes("A", 16, 2)},
       ${cfgCtes("B", 8, 4)},

@@ -186,6 +186,15 @@ class KernelPropertiesSpec extends AnyFunSuite {
           Literal.create(b.distinct.sorted, ArrayType(StringType)))
         .eval(null) == (a.toSet intersect b.toSet).size
     })
+    // the long-element variant (hashed-shingle verify joins) obeys the
+    // same law with numeric ordering
+    val lng = Gen.listOf(Gen.choose(-20L, 20L))
+    check("sortedIntersectLong", Prop.forAll(lng, lng) { (a, b) =>
+      SortedIntersectCount(
+          Literal.create(a.distinct.sorted, ArrayType(LongType)),
+          Literal.create(b.distinct.sorted, ArrayType(LongType)))
+        .eval(null) == (a.toSet intersect b.toSet).size
+    })
   }
 
   test("WordNgrams equals split/sliding/distinct reference on arbitrary spacing") {
