@@ -500,6 +500,29 @@ object ScaleProbe {
               (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
         noop(graft.queries.SimilarityQueries.coresetCenters(corpus))
       },
+      "semdedup" -> { m =>
+        // SemDeDup via the SHARED chain: count-derived routing depth
+        // (8·L cosines per vector, occupancy-bounded cell self-join) —
+        // work is n·log(cells) + n·occupancy by construction. Same
+        // direction salt as semantic_dedup (cross-replica cosine ≲ 0.95
+        // < eps' planted-twin regime keeps drop sets per-replica) plus
+        // the query's own %10 planted twins so the prune fires.
+        require(m <= 23, s"semdedup salt has period 23, got $m")
+        val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val rep = (col("vec_id") / 100000000L).cast("int")
+        val base = emb0.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+          .localCheckpoint(false)
+        val planted = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
+                .cast("float")).as("embedding"))
+        noop(graft.queries.DatasetQueries.semdedupVerdicts(base.unionByName(planted)))
+      },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one
         // narrow pass + size rollup, time ∝ corpus × centroids

@@ -243,6 +243,172 @@ object DatasetQueries {
       .orderBy("vec_id"),
     Some(deconOracleSql))
 
+  // ── semdedup ────────────────────────────────────────────────────────────
+
+  /** SemDeDup routing depth: the smallest L in [1, 6] with
+    * target·8^L ≥ n — pure integer shifts from an exact COUNT, so an
+    * external engine re-derives the level count with no float ambiguity
+    * (the [[Similarity.autoPlanesExact]] discipline). Mean finest-cell
+    * occupancy stays ≤ target as the corpus grows, which is what keeps
+    * the within-cell pairwise stage linear overall. */
+  private val semdedupTarget = 96L
+  private val semdedupMaxLevels = 6
+  private[graft] def semdedupLevels(n: Long): Int = {
+    var l = 1
+    while (l < semdedupMaxLevels && (semdedupTarget << (3 * l)) < n) l += 1
+    l
+  }
+
+  private val semdedupEps = 0.5
+
+  /** Shared SemDeDup stages — routing + within-cell prune — called by the
+    * registered query and the ScaleProbe family. Input must be
+    * `(vec_id, embedding)`; output is
+    * `(vec_id, cluster, cent_sim, kept)` for every input row. */
+  def semdedupVerdicts(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val levels = semdedupLevels(Similarity.corpusCount(corpus))
+    // Route through one 8-way md5 codebook per level (salted per level).
+    // Independent global codebooks refine by PRODUCT — cell id is the
+    // concatenated per-level argmax path — so granularity is 8^L cells
+    // for 8·L cosines per vector: per-vector routing work is logarithmic
+    // in the cell count, where flat k-means of equal granularity would
+    // pay 8^L cosines per vector. The codebooks ride the plan as
+    // literals (a broadcast in executor terms); routing is one narrow
+    // codegen'd map over the scan — no shuffle until the cell self-join.
+    var routed = corpus.withColumn("cluster", lit(0L))
+    for (l <- 0 until levels) {
+      val cents = Similarity.md5Planes(8, 1, 64, s"graft-semdedup-l$l")(0)
+      val entries = (0 until 8).map { c =>
+        struct(
+          Similarity.cosine(col("embedding"),
+            array(cents(c).map(lit): _*).cast("array<float>")).as("cs"),
+          lit(-c.toLong).as("nc"))
+      }
+      routed = routed
+        .withColumn("best", array_max(array(entries: _*)))
+        .withColumn("cluster", col("cluster") * 8 - col("best.nc"))
+        .withColumn("cent_sim", col("best.cs"))
+        .drop("best")
+    }
+    // Checkpoint the routed frame: it feeds both sides of the cell
+    // self-join AND the output projection, and re-deriving it would
+    // re-run 8·L cosines per vector three times.
+    val rt = routed.select(col("vec_id"), col("embedding"),
+      col("cluster"), col("cent_sim")).localCheckpoint()
+    // Within-cell prune, the paper's keep rule: order a cell's members by
+    // centroid similarity ASC (lowest-similarity member — the cell's
+    // "edge" example — has top priority, ties to the lower vec_id); drop
+    // a member iff some HIGHER-priority member of the same cell is within
+    // eps. The strict priority order makes the rule a deterministic
+    // one-pass EXISTS — no greedy chain to replay — and each cell's
+    // top-priority member always survives.
+    val b = rt.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("cluster").as("b_cluster"), col("cent_sim").as("b_cs"))
+    val dup = rt.join(b,
+        col("cluster") === col("b_cluster") &&
+          (col("b_cs") < col("cent_sim") ||
+            (col("b_cs") === col("cent_sim") && col("b_id") < col("vec_id"))) &&
+          Similarity.cosine(col("embedding"), col("b_emb")) >= semdedupEps,
+        "left_semi")
+      .select(col("vec_id"), lit(0).as("kept"))
+    rt.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("cent_sim"), 6).as("cent_sim"),
+        coalesce(col("kept"), lit(1)).as("kept"))
+  }
+
+  private def semdedupOracleSql: String = {
+    val centSql =
+      s"""ct AS (SELECT ll.l AS l, cc.c AS c,
+               list(CAST(('0x' || substring(md5('graft-semdedup-l' || CAST(ll.l AS VARCHAR) || ':0:' || CAST(cc.c AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                    ORDER BY ti.i) AS hs
+             FROM generate_series(0, ${semdedupMaxLevels - 1}) ll(l),
+                  generate_series(0, 7) cc(c),
+                  generate_series(0, 63) ti(i), lv
+             WHERE ll.l < lv.levels
+             GROUP BY ll.l, cc.c),
+      cu AS (SELECT l, c,
+               [CAST(CAST(h AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS FLOAT) for h in hs] AS u
+             FROM ct),
+      cn AS (SELECT l, c, u, ${normSql("u")} AS cnrm FROM cu)"""
+    s"""WITH pt AS (SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+               [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(((i - 1) % 5) - 2 AS DOUBLE) / 1000.0) AS FLOAT)
+                for i in generate_series(1, len(embedding))] AS embedding
+             FROM embeddings WHERE vec_id % 10 = 0),
+      corpus AS (SELECT vec_id, embedding FROM embeddings
+                 UNION ALL SELECT vec_id, embedding FROM pt),
+      nn AS (SELECT COUNT(*) AS n FROM corpus),
+      lv AS (SELECT LEAST($semdedupMaxLevels, GREATEST(1,
+          (SELECT MIN(l) FROM generate_series(1, $semdedupMaxLevels) g(l)
+           WHERE (CAST($semdedupTarget AS BIGINT) << (3 * l)) >= (SELECT n FROM nn)))) AS levels),
+      $centSql,
+      d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM corpus),
+      dots AS (SELECT d.vec_id, cn.l, cn.c,
+                 CASE WHEN d.nrm > 0 AND cn.cnrm > 0
+                      THEN ${dotSql("d.embedding", "cn.u")} / (d.nrm * cn.cnrm)
+                      ELSE 0.0 END AS cs
+               FROM d, cn),
+      r AS (SELECT vec_id, l, c, cs,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, l ORDER BY cs DESC, c ASC) AS rn
+            FROM dots),
+      sel AS (SELECT vec_id, l, c, cs FROM r WHERE rn = 1),
+      rt AS (SELECT s.vec_id,
+               SUM(CAST(s.c AS BIGINT) << (3 * ((SELECT levels FROM lv) - 1 - s.l))) AS cluster,
+               MAX(CASE WHEN s.l = (SELECT levels FROM lv) - 1 THEN s.cs END) AS cent_sim
+             FROM sel s GROUP BY s.vec_id),
+      rte AS (SELECT rt.vec_id, rt.cluster, rt.cent_sim, d.embedding, d.nrm
+              FROM rt JOIN d USING (vec_id)),
+      dup AS (SELECT DISTINCT a.vec_id
+              FROM rte a JOIN rte b ON a.cluster = b.cluster
+                AND (b.cent_sim < a.cent_sim
+                     OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+              WHERE CASE WHEN a.nrm > 0 AND b.nrm > 0
+                         THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                         ELSE 0.0 END >= $semdedupEps)
+      SELECT rte.vec_id, CAST(rte.cluster AS BIGINT) AS cluster,
+        ROUND(rte.cent_sim, 6) AS cent_sim,
+        CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+      FROM rte LEFT JOIN dup USING (vec_id)
+      ORDER BY rte.vec_id"""
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the paper's actual
+    * two-stage shape, distinct from `dedup_semantic`'s LSH-union/
+    * connected-components view: (1) PARTITION the corpus into bounded
+    * cells, (2) prune within each cell, keeping the member FARTHEST from
+    * the centroid per ε-duplicate set (the paper keeps low-centroid-
+    * similarity "edge" examples to preserve diversity). Routing here is a
+    * hierarchy of per-level 8-way md5 codebooks ([[semdedupLevels]]:
+    * depth from an exact COUNT, integer shifts) — 8·L cosines per vector
+    * for 8^L cells, so per-vector routing work grows with log(cells)
+    * while mean cell occupancy stays ≤ 96 as the corpus grows; the
+    * within-cell stage is a cell-keyed self-join whose per-key work is
+    * occupancy-bounded ⇒ total pairwise work stays LINEAR in n. At
+    * 100 TB this is exactly the published recipe (the paper runs 50 k
+    * clusters over 5 B LAION embeddings): one narrow routing map, one
+    * shuffle on cell id, no all-pairs anywhere. The keep rule is a
+    * deterministic EXISTS against a strict priority order (cent_sim ASC,
+    * vec_id ASC — the paper's triu-matrix screen), not a greedy chain, so
+    * the oracle replays it as one join. Twins planted for every 10th
+    * vector (the dedup_semantic recipe, ids at max+1) give every scale a
+    * non-vacuous prune: a twin pair lands in one cell at cosine
+    * ≈ 0.999997 vs a 0.513 max between distinct originals, so ε = 0.5
+    * drops exactly one of each pair (plus any natural ≥ 0.5 pair). Fully
+    * oracle-replayable: count-derived depth, md5 codebooks, IEEE
+    * left-fold cosines, argmax by (cs DESC, c ASC), the EXISTS prune. */
+  val semdedupQ = QueryDef("semdedup",
+    (s, dir) => {
+      val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(off)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
+              .cast("float")).as("embedding"))
+      semdedupVerdicts(base.unionByName(planted)).orderBy("vec_id")
+    },
+    Some(semdedupOracleSql))
+
   // ── dedup_representative ────────────────────────────────────────────────
 
   /** DuckDB CTE chain ending in `wk(doc_id, text, toks, keep_id)` and
@@ -806,7 +972,7 @@ object DatasetQueries {
       FROM documents GROUP BY source ORDER BY source"""))
 
   val defs: Seq[QueryDef] =
-    Seq(dedupSemantic, decontaminateSemantic, dedupRepresentative,
+    Seq(dedupSemantic, decontaminateSemantic, semdedupQ, dedupRepresentative,
       dedupSoftWeights, corpusOverlap, shardAssign, corpusDrift, dataCardQ,
       sourceDedupMatrix, datasetFingerprintQ)
 }

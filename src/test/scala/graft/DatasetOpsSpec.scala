@@ -174,6 +174,52 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 < off).forall(_._3 == 1))
   }
 
+  test("semdedupLevels: integer depth rule — smallest L with 96·8^L ≥ n, clamped") {
+    import graft.queries.DatasetQueries.semdedupLevels
+    assert(semdedupLevels(1) == 1)
+    assert(semdedupLevels(768) == 1)   // 96·8 = 768 holds at L=1
+    assert(semdedupLevels(769) == 2)   // one past the boundary adds a level
+    assert(semdedupLevels(96L << 6) == 2)
+    assert(semdedupLevels(Long.MaxValue / 2) == 6) // cap
+    // monotone: more data never means fewer levels
+    val ls = Seq(100L, 1000L, 10000L, 100000L, 10000000L).map(semdedupLevels)
+    assert(ls == ls.sorted)
+  }
+
+  test("semdedup laws on testdata: one drop per twin pair, cell minima survive") {
+    val off = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val out = graft.queries.DatasetQueries.semdedupQ
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .select("vec_id", "cluster", "cent_sim", "kept")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 550 && out.map(_._1).distinct.length == 550)
+    val byId = out.map(r => r._1 -> r).toMap
+    // every planted pair that shares a cell loses EXACTLY one member
+    // (at sf0.001 no natural pair reaches eps=0.5 — measured max 0.513
+    // only between twin and source — so twins are the only dup sets)
+    val pairs = out.filter(_._1 >= off).map(t => (byId(t._1 - off), t))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (orig, twin) =>
+      if (orig._2 == twin._2)
+        assert(orig._4 + twin._4 == 1, s"pair ${orig._1}/${twin._1}: kept ${orig._4}+${twin._4}")
+      else assert(orig._4 == 1 && twin._4 == 1)
+    }
+    // the top-priority member of every cell (lowest cent_sim, then lowest
+    // vec_id) has no higher-priority neighbor, so it must survive
+    out.groupBy(_._2).foreach { case (_, ms) =>
+      val top = ms.minBy(m => (m._3, m._1))
+      assert(top._4 == 1, s"cell ${top._2} top-priority ${top._1} was dropped")
+    }
+    // drops = exactly the co-located twin pairs (no natural pair reaches
+    // eps at this scale), and the prune is non-vacuous
+    val coCell = pairs.count { case (o, t) => o._2 == t._2 }
+    val nDropped = out.count(_._4 == 0)
+    assert(coCell > 0 && nDropped == coCell,
+      s"dropped $nDropped, co-located twin pairs $coCell")
+  }
+
   test("autoPlanes: depth grows with log2 of the row estimate, clamped to the floor") {
     val spark = TestSpark.spark
     // small corpora sit at the floor; spark.range carries exact rowCount stats
