@@ -82,8 +82,13 @@ object Bench {
     // The driver captures a bounded stdout TAIL, which truncates the
     // per-query map past ~60 queries — ALSO write the complete line to a
     // file so round-over-round regression diffs cover the full suite.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"bench_full_${new java.io.File(sfDir).getName}.json")
+    // ONLY-filtered local iteration runs get a distinct default name: a
+    // single-query rerun must never clobber the full-sweep artifact the
+    // round-over-round diffs read.
+    val defaultOut =
+      if (only.isDefined) s"bench_only_${new java.io.File(sfDir).getName}.json"
+      else s"bench_full_${new java.io.File(sfDir).getName}.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"BENCH: could not write $outFile: ${e.getMessage}")
