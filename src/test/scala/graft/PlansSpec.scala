@@ -316,6 +316,35 @@ class PlansSpec extends AnyFunSuite {
       "barrier-computed gate must stay above the barrier")
   }
 
+  test("GateHoist: refuses to hoist when the below-barrier name is ambiguous") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+    // duplicate the n_chars NAME below the barrier (the self-join shape,
+    // minus Spark's self-join detector) — name-based rebinding there
+    // could silently pick either twin
+    val joined = docs.select(col("doc_id"), col("n_chars"),
+      (col("n_chars") * 2).as("n_chars"))
+    val barrier = joined.as[(Long, Long, Long)]
+      .mapPartitions(_.map { case (id, a, _) => (id, a) })
+      .toDF("doc_id", "n_chars")
+    val declared = graft.plans.GateHoist.declarePassthrough(barrier, "doc_id", "n_chars")
+    // the ambiguous-named gate must stay ABOVE the barrier — no guess
+    val qAmb = declared.filter(col("n_chars") > 0)
+    val mpAmb = qAmb.queryExecution.optimizedPlan
+      .collectFirst { case m: MapPartitions => m }.get
+    assert(mpAmb.collectFirst { case f: Filter => f }.isEmpty,
+      "gate bound to an ambiguous below-barrier name must not hoist")
+    // a gate over the UNambiguous declared column still hoists
+    val qOk = declared.filter(col("doc_id") % 2 === 0)
+    val mpOk = qOk.queryExecution.optimizedPlan
+      .collectFirst { case m: MapPartitions => m }.get
+    assert(mpOk.collectFirst { case f: Filter => f }.isDefined,
+      "unambiguous gate should still hoist below the barrier")
+  }
+
   test("misordered pipeline gate: plan collapses to the well-ordered shape, same job profile") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
     def jobsDuring(f: => Unit): Int = {
