@@ -299,6 +299,11 @@ object SimilarityQueries {
       val hamSumSql = (1 to knnCodeWords)
         .map(w => s"CAST(bit_count(xor(qc.code[$w], cc.code[$w])) AS INTEGER)")
         .mkString(" + ")
+      // MATERIALIZED hints below are DuckDB-plan-only (values unchanged):
+      // each NN-descent round references the previous round's list three
+      // times and the code/vector tables twice per stage — inlined, the
+      // expression tree grows 3^rounds × the full seed machinery, which
+      // at sf0.1 spilled > 80 GB of temp; materialized, each CTE runs once.
       def hammingStage(i: Int, candCte: String): String =
         s"""h$i AS (SELECT c.qid, c.vec_id,
                 $totalBits.0 - CAST($hamSumSql AS DOUBLE) AS hsim
@@ -314,8 +319,8 @@ object SimilarityQueries {
                      THEN ${dotSql("da.embedding", "db.embedding")} / (da.nrm * db.nrm)
                      ELSE 0.0 END AS sim
               FROM g$i g
-              JOIN d db ON db.vec_id = g.vec_id
-              JOIN d da ON da.vec_id = g.qid)"""
+              JOIN dm db ON db.vec_id = g.vec_id
+              JOIN dm da ON da.vec_id = g.qid)"""
       def round(i: Int): String = {
         val prev = s"e${i - 1}"
         s"""f$i AS (SELECT qid AS a, vec_id AS b FROM $prev),
@@ -323,14 +328,14 @@ object SimilarityQueries {
                SELECT qid, vec_id,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rank ASC, qid ASC) AS rr
                FROM $prev) WHERE rr <= $knnInternalK),
-      a$i AS (SELECT DISTINCT a, b FROM (
+      a$i AS MATERIALIZED (SELECT DISTINCT a, b FROM (
                SELECT a, b FROM f$i UNION ALL SELECT a, b FROM v$i)),
       c$i AS (SELECT DISTINCT x.a AS qid, y.b AS vec_id
               FROM a$i x JOIN a$i y ON x.b = y.a WHERE x.a <> y.b),
       ${hammingStage(i, s"c$i")},
       u$i AS (SELECT qid, vec_id, sim FROM x$i
               UNION SELECT qid, vec_id, sim FROM $prev),
-      e$i AS (SELECT qid, vec_id, sim, rank FROM (
+      e$i AS MATERIALIZED (SELECT qid, vec_id, sim, rank FROM (
                SELECT qid, vec_id, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
                FROM u$i) WHERE rank <= $knnInternalK)"""
@@ -350,13 +355,15 @@ object SimilarityQueries {
       kdots AS (SELECT d.vec_id, kpu.t, kpu.j,
           ${dotSql("d.embedding", "kpu.u")} AS dp
         FROM d, kpu),
-      cd AS (SELECT vec_id, list(w ORDER BY t) AS code FROM (
+      cd AS MATERIALIZED (SELECT vec_id, list(w ORDER BY t) AS code FROM (
                SELECT vec_id, t,
                  SUM(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) AS w
                FROM kdots GROUP BY vec_id, t)
              GROUP BY vec_id),
-      ${hammingStage(0, "cand")},
-      e0 AS (SELECT qid, vec_id, sim, rank FROM (
+      dm AS MATERIALIZED (SELECT vec_id, embedding, nrm FROM d),
+      cm AS MATERIALIZED (SELECT qid, vec_id FROM cand),
+      ${hammingStage(0, "cm")},
+      e0 AS MATERIALIZED (SELECT qid, vec_id, sim, rank FROM (
                SELECT qid, vec_id, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
                FROM x0) WHERE rank <= $knnInternalK),
