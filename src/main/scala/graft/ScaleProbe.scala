@@ -503,18 +503,21 @@ object ScaleProbe {
       "semdedup" -> { m =>
         // SemDeDup via the SHARED chain: count-derived routing depth
         // (8·L cosines per vector, occupancy-bounded cell self-join) —
-        // work is n·log(cells) + n·occupancy by construction. Same
-        // direction salt as semantic_dedup (cross-replica cosine ≲ 0.95
-        // < eps' planted-twin regime keeps drop sets per-replica) plus
-        // the query's own %10 planted twins so the prune fires.
-        require(m <= 23, s"semdedup salt has period 23, got $m")
+        // work is n·log(cells) + n·occupancy by construction. Replica
+        // salt is the knn_graph COORDINATE PERMUTATION (bijective per
+        // replica, within-replica geometry bit-preserved, cross-replica
+        // cosine ~0): the amplitude salt leaves cross-replica cosine
+        // high enough that replicas of one source co-locate in the same
+        // routing cells, growing occupancy ∝ replicas — an adversarial
+        // near-copy corpus, not scale. The query's own %10 planted twins
+        // still fire the prune per replica.
         val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
         val rep = (col("vec_id") / 100000000L).cast("int")
         val base = emb0.withColumn("embedding",
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+          transform(col("embedding"), (_, i) =>
+            element_at(col("embedding"),
+              ((i * (rep * 2 + 1) + rep) % 64) + 1)))
           .localCheckpoint(false)
         val planted = base.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + lit(1000000L)).as("vec_id"),
