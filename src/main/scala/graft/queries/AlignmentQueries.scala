@@ -458,16 +458,21 @@ object AlignmentQueries {
       def round(k: Int): String = {
         val prev = s"r${k - 1}"
         // HUGEINT numerators mirror the engine's DECIMAL(38,0): BIGINT
-        // n·10¹² would raise an overflow error here past ~9.2e6 matches
+        // n·10¹² would raise an overflow error here past ~9.2e6 matches.
+        // MATERIALIZED on the per-round CTEs is a DuckDB-plan-only hint
+        // (values unchanged): each round references the previous ratings
+        // three times and the round's own u$k twice — inlined, the
+        // expression tree grows ~3^rounds and the sf0.1 compare read
+        // 225 s; materialized each CTE runs once (2.1 s).
         s"""t$k AS (SELECT pr.a,
               SUM(CAST(pr.n AS HUGEINT) * 1000000000000 // GREATEST(CAST(pa.p AS HUGEINT) + pb.p, 1)) AS denom
             FROM pr JOIN $prev pa ON pr.a = pa.a JOIN $prev pb ON pr.b = pb.a
             GROUP BY pr.a),
-      u$k AS (SELECT $prev.a, $prev.w,
+      u$k AS MATERIALIZED (SELECT $prev.a, $prev.w,
               CAST($prev.w AS HUGEINT) * 1000000000000 // GREATEST(t$k.denom, 1) AS praw
             FROM $prev JOIN t$k ON $prev.a = t$k.a),
       s$k AS (SELECT SUM(praw) AS s FROM u$k),
-      r$k AS (SELECT u$k.a, u$k.w,
+      r$k AS MATERIALIZED (SELECT u$k.a, u$k.w,
               CAST(praw * (CAST(kk.k AS HUGEINT) * 1000000) // GREATEST(s$k.s, 1) AS BIGINT) AS p
             FROM u$k, s$k, kk)"""
       }
@@ -478,14 +483,14 @@ object AlignmentQueries {
                LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS nt,
                LEAD(value) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS nv
              FROM ev),
-      mt AS (SELECT
+      mt AS MATERIALIZED (SELECT
                CASE WHEN value > nv OR (value = nv AND event_type < nt)
                     THEN event_type ELSE nt END AS winner,
                CASE WHEN value > nv OR (value = nv AND event_type < nt)
                     THEN nt ELSE event_type END AS loser,
                CAST(COUNT(*) AS BIGINT) AS n
              FROM nx WHERE nt IS NOT NULL AND nt <> event_type GROUP BY 1, 2),
-      pr AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS n FROM (
+      pr AS MATERIALIZED (SELECT a, b, CAST(SUM(n) AS BIGINT) AS n FROM (
                SELECT winner AS a, loser AS b, n FROM mt
                UNION ALL SELECT loser AS a, winner AS b, n FROM mt)
              GROUP BY a, b),

@@ -418,6 +418,11 @@ object DatasetQueries {
     * exact-Jaccard edges → recursive component closure). Callers prepend
     * `WITH RECURSIVE`. */
   private val nearDupClusterCtes: String = {
+    // MATERIALIZED = DuckDB-plan-only hints (values unchanged): `sig` is
+    // referenced 10× (8 band selects + 2 est joins), `gsh` 3×, the rest
+    // 2×; inlined, DuckDB re-runs the shingle/minhash pipeline per
+    // reference (dedup_representative read 38 s at sf0.1; 2 s
+    // materialized).
     val k = 32; val bands = 8; val rpb = 4
     val sigMins = (0 until k).map(j => s"MIN(h1 + $j * h2) AS s$j").mkString(", ")
     val estSum = (0 until k).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
@@ -425,14 +430,14 @@ object DatasetQueries {
       val cols = (b * rpb until (b + 1) * rpb).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
-    s"""kd AS (SELECT doc_id, text, $toksSql AS toks,
+    s"""kd AS MATERIALIZED (SELECT doc_id, text, $toksSql AS toks,
           md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_hash
         FROM documents),
       g AS (SELECT content_hash, MIN(doc_id) AS keep_id FROM kd GROUP BY content_hash),
-      wk AS (SELECT kd.doc_id, kd.text, kd.toks, g.keep_id
+      wk AS MATERIALIZED (SELECT kd.doc_id, kd.text, kd.toks, g.keep_id
              FROM kd JOIN g USING (content_hash)),
       d AS (SELECT doc_id, toks FROM wk WHERE doc_id = keep_id),
-      gsh AS (SELECT doc_id,
+      gsh AS MATERIALIZED (SELECT doc_id,
         CASE WHEN len(toks) >= 2
              THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
              ELSE [array_to_string(toks, ' ')] END AS sh
@@ -441,7 +446,7 @@ object DatasetQueries {
       th AS (SELECT doc_id,
         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
         CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
-      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      sig AS MATERIALIZED (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
       bd AS ($bandSelects),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -450,7 +455,7 @@ object DatasetQueries {
               JOIN sig sa ON sa.doc_id = cand.id_a
               JOIN sig sb ON sb.doc_id = cand.id_b
               WHERE CAST($estSum AS DOUBLE) / $k >= 0.35),
-      tj AS (SELECT c.id_a, c.id_b
+      tj AS MATERIALIZED (SELECT c.id_a, c.id_b
              FROM est c JOIN gsh ga ON ga.doc_id = c.id_a JOIN gsh gb ON gb.doc_id = c.id_b
              WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
                    CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) >= 0.5),
@@ -458,7 +463,7 @@ object DatasetQueries {
       r AS (SELECT doc_id AS id, doc_id AS reach FROM d
             UNION
             SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
-      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)"""
+      comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)"""
   }
 
   private def representativeOracleSql: String = {

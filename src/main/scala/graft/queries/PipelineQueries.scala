@@ -397,15 +397,15 @@ object PipelineQueries {
       s"SELECT doc_id, $b AS band_idx, CAST(('0x' || substring(md5($cols), 1, 15)) AS BIGINT) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH RECURSIVE
-      kd AS (SELECT doc_id, source, text,
+      kd AS MATERIALIZED (SELECT doc_id, source, text,
           md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_hash
         FROM documents),
       g AS (SELECT content_hash, MIN(doc_id) AS keep_id FROM kd GROUP BY content_hash),
-      wk AS (SELECT kd.doc_id, kd.source, kd.text, g.keep_id
+      wk AS MATERIALIZED (SELECT kd.doc_id, kd.source, kd.text, g.keep_id
              FROM kd JOIN g USING (content_hash)),
       surv AS (SELECT doc_id, text FROM wk WHERE doc_id = keep_id),
       d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM surv),
-      gsh AS (SELECT doc_id,
+      gsh AS MATERIALIZED (SELECT doc_id,
         CASE WHEN len(toks) >= 2
              THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
              ELSE [array_to_string(toks, ' ')] END AS sh
@@ -414,7 +414,7 @@ object PipelineQueries {
       th AS (SELECT doc_id,
         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h1,
         CAST(('0x' || substring(md5(t), 17, 14)) AS BIGINT) AS h2 FROM ex),
-      sig AS (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
+      sig AS MATERIALIZED (SELECT doc_id, $sigMins FROM th GROUP BY doc_id),
       bd AS ($bandSelects),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -423,7 +423,7 @@ object PipelineQueries {
               JOIN sig sa ON sa.doc_id = cand.id_a
               JOIN sig sb ON sb.doc_id = cand.id_b
               WHERE CAST($estSum AS DOUBLE) / $k >= 0.35),
-      tj AS (SELECT c.id_a, c.id_b
+      tj AS MATERIALIZED (SELECT c.id_a, c.id_b
              FROM est c JOIN gsh ga ON ga.doc_id = c.id_a JOIN gsh gb ON gb.doc_id = c.id_b
              WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
                    CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) >= 0.5),
@@ -431,7 +431,7 @@ object PipelineQueries {
       r AS (SELECT doc_id AS id, doc_id AS reach FROM surv
             UNION
             SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
-      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+      comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
       SELECT wk.doc_id, wk.source,
         CASE WHEN wk.doc_id <> wk.keep_id THEN 'dup_exact'
              WHEN c.comp <> wk.doc_id THEN 'dup_near'

@@ -587,9 +587,13 @@ object SelectionQueries {
     * executes. */
   private def bpeTrainRoundSql(k: Int): String = {
     val prev = if (k == 1) "r0" else s"r${k - 1}"
+    // MATERIALIZED = DuckDB-plan-only hint (values unchanged): a$k is
+    // referenced three times and r$k feeds the next round, so inlining
+    // grows the tree ~3^rounds (the knn_graph/bt_rating lesson; this
+    // oracle read 62 s at sf0.1 inlined, 2 s materialized)
     s"""d$k AS (SELECT w, wc, sym,
           ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS idx FROM $prev),
-      a$k AS (SELECT w, wc, idx, sym,
+      a$k AS MATERIALIZED (SELECT w, wc, idx, sym,
           LEAD(sym) OVER (PARTITION BY w ORDER BY idx) AS nsym FROM d$k),
       b$k AS (SELECT sym AS ma, nsym AS mb, CAST(n AS BIGINT) AS n FROM (
             SELECT sym, nsym, SUM(wc) AS n,
@@ -601,7 +605,7 @@ object SelectionQueries {
                     a$k.idx - ROW_NUMBER() OVER (PARTITION BY a$k.w ORDER BY a$k.idx) AS grp
                   FROM a$k, b$k WHERE a$k.sym = b$k.ma AND a$k.nsym = b$k.mb))
           WHERE krn % 2 = 1),
-      r$k AS (SELECT w, wc, idx AS pos,
+      r$k AS MATERIALIZED (SELECT w, wc, idx AS pos,
             CASE WHEN head THEN sym || nsym ELSE sym END AS sym
           FROM (SELECT a$k.w, a$k.wc, a$k.idx, a$k.sym, a$k.nsym,
                   k$k.idx IS NOT NULL AS head,

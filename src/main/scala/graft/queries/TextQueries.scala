@@ -615,10 +615,10 @@ object TextQueries {
         .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE
-      s AS (SELECT doc_id,
+      s AS MATERIALIZED (SELECT doc_id,
               list_distinct([substring(text, i, 3) for i in generate_series(1, length(text) - 2)]) AS sh
             FROM documents WHERE doc_id < 200 AND length(text) >= 3),
-      p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      p AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.6),
@@ -626,7 +626,7 @@ object TextQueries {
       r AS (SELECT doc_id AS id, doc_id AS reach FROM s
             UNION
             SELECT e.src AS id, r.reach FROM e JOIN r ON e.dst = r.id),
-      comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
       sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
       SELECT c.id AS doc_id, c.comp, z.n_members,
              CASE WHEN c.id = c.comp THEN 1 ELSE 0 END AS keep
