@@ -450,6 +450,16 @@ object ScaleProbe {
         val (_, encoded) = graft.operators.Bpe.train(vocab, 4)
         noop(encoded.groupBy("w").agg(count(lit(1)).as("n_sym")))
       },
+      "wordpiece_train" -> { m =>
+        // WordPiece training: bpe_train's loop plus a singles agg and a
+        // pair-singles join per round — still DISTINCT-vocab-bounded
+        val vocab = graft.ops.Parallelism.ensure(docs(m))
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        val (_, encoded) = graft.operators.Bpe.trainWordPiece(vocab, 4)
+        noop(encoded.groupBy("w").agg(count(lit(1)).as("n_sym")))
+      },
       "bt_rating" -> { m =>
         // Bradley-Terry fit via the SHARED chain: replicas shift user_id
         // into disjoint bands, so per-user windows stay the same length

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** CANONICAL iterative BPE training (Sennrich et al., ACL 2016 — "Neural
   * Machine Translation of Rare Words with Subword Units"), distributed:
@@ -85,6 +86,85 @@ object Bpe {
           .select(col("w"), col("wc"), col("idx").as("pos"),
             when(col("head"), concat(col("sym"), col("nsym")))
               .otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    (merges.result(), rows)
+  }
+
+  /** One learned WordPiece merge: symbols, pair count, and the
+    * micro-scaled likelihood score n_ab·10¹² ⌊/⌋ (n_a·n_b). */
+  final case class WpMerge(left: String, right: String, n: Long, score: Long)
+
+  /** WordPiece symbol rows: the first character of a word is a plain
+    * symbol, every later character carries the `##` continuation prefix
+    * (Schuster & Nakajima, ICASSP 2012 — the BERT tokenizer's alphabet),
+    * so "abc" → a, ##b, ##c and subword identity encodes word position. */
+  def symbolRowsWordPiece(vocab: DataFrame): DataFrame =
+    symbolRows(vocab).select(col("w"), col("wc"), col("pos"),
+      when(col("pos") === 1, col("sym"))
+        .otherwise(concat(lit("##"), col("sym"))).as("sym"))
+
+  /** CANONICAL iterative WordPiece training — the same distributed loop
+    * as [[train]] with the WordPiece PAIR SCORE: each round merges the
+    * pair maximizing count(ab)/(count(a)·count(b)) — the unigram-LM
+    * likelihood GAIN of the merge — instead of raw count, so a rare pair
+    * of rare symbols beats a frequent pair of ubiquitous ones (the
+    * property that gives BERT vocabularies their long-tail morphemes).
+    * Scoring is exact integer micro-units (n_ab·10¹² floor-div n_a·n_b,
+    * accumulated in DECIMAL(38,0) — the bt_rating discipline, no float
+    * boundary and no BIGINT wrap at 100 TB counts); ties break
+    * (score desc, n desc, sym asc, nsym asc) — a total order. Merge
+    * application is leftmost-first non-overlapping exactly as BPE; the
+    * merged symbol strips the right side's `##` (a‖##b → ab, ##a‖##b →
+    * ##ab). Per-round work is bounded by the DISTINCT vocabulary, the
+    * argmax is a one-row driver collect, rounds localCheckpoint —
+    * `wordpiece_train_oracle` replays every round bit-for-bit in SQL. */
+  def trainWordPiece(vocab: DataFrame, numMerges: Int): (Seq[WpMerge], DataFrame) = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var rows = symbolRowsWordPiece(vocab).localCheckpoint()
+    val merges = Seq.newBuilder[WpMerge]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val wWin = Window.partitionBy("w").orderBy("pos")
+      val dense = rows.withColumn("idx", row_number().over(wWin)).drop("pos")
+        .localCheckpoint() // read by adjacency, singles, and the rewrite
+      val iWin = Window.partitionBy("w").orderBy("idx")
+      val adj = dense.withColumn("nsym", lead("sym", 1).over(iWin))
+      val singles = dense.groupBy("sym").agg(sum(col("wc")).as("occ"))
+      val pairs = adj.filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(sum(col("wc")).as("n"))
+      val num = col("n").cast(DecimalType(38, 0)) *
+        lit(1000000000000L).cast(DecimalType(38, 0))
+      val den = col("na").cast(DecimalType(38, 0)) * col("nb").cast(DecimalType(38, 0))
+      val best = pairs
+        .join(singles.select(col("sym"), col("occ").as("na")), "sym")
+        .join(singles.select(col("sym").as("nsym"), col("occ").as("nb")), "nsym")
+        .withColumn("score", ((num - (num % den)) / den).cast("long"))
+        .orderBy(col("score").desc, col("n").desc, col("sym").asc, col("nsym").asc)
+        .limit(1).select("sym", "nsym", "n", "score").collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (ma, mb) = (best(0).getString(0), best(0).getString(1))
+        merges += WpMerge(ma, mb, best(0).getLong(2), best(0).getLong(3))
+        val kept = adj.filter(col("sym") === ma && col("nsym") === mb)
+          .withColumn("mrn", row_number().over(iWin))
+          .withColumn("grp", col("idx") - col("mrn"))
+          .withColumn("krn",
+            row_number().over(Window.partitionBy("w", "grp").orderBy("idx")))
+          .filter(col("krn") % 2 === 1)
+          .select(col("w"), col("idx"), lit(true).as("head"))
+        val joined = when(col("nsym").startsWith("##"),
+          concat(col("sym"), col("nsym").substr(lit(3), length(col("nsym")))))
+          .otherwise(concat(col("sym"), col("nsym")))
+        rows = adj.join(kept, Seq("w", "idx"), "left")
+          .withColumn("head", coalesce(col("head"), lit(false)))
+          .withColumn("prev_head", coalesce(lag("head", 1).over(iWin), lit(false)))
+          .filter(!col("prev_head"))
+          .select(col("w"), col("wc"), col("idx").as("pos"),
+            when(col("head"), joined).otherwise(col("sym")).as("sym"))
           .localCheckpoint()
         k += 1
       }

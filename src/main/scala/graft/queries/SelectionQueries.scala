@@ -738,6 +738,99 @@ object SelectionQueries {
           ROUND(CAST(SUM(n_symbols) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility
         FROM cnt GROUP BY lang ORDER BY lang"""))
 
+  // ── wordpiece_train_oracle ──────────────────────────────────────────────
+
+  private val wpTrainRounds = 5
+
+  /** One canonical WordPiece training round in SQL, given the previous
+    * symbol rows CTE `r(k-1)(w, wc, pos, sym)`: the [[bpeTrainRoundSql]]
+    * steps with the WordPiece pair score — n_ab·10¹² floor-div
+    * (n_a·n_b) in HUGEINT (mirrors the engine's DECIMAL(38,0)), ties
+    * (score desc, n desc, sym asc, nsym asc) — and the `##`-stripping
+    * merge concat. MATERIALIZED hints as in bpeTrainRoundSql (a$k is
+    * referenced three times, d$k/sc$k twice, r$k feeds the next round). */
+  private def wpTrainRoundSql(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"r${k - 1}"
+    s"""d$k AS MATERIALIZED (SELECT w, wc, sym,
+          ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS idx FROM $prev),
+      a$k AS MATERIALIZED (SELECT w, wc, idx, sym,
+          LEAD(sym) OVER (PARTITION BY w ORDER BY idx) AS nsym FROM d$k),
+      sc$k AS MATERIALIZED (SELECT sym, SUM(wc) AS occ FROM d$k GROUP BY sym),
+      pc$k AS (SELECT sym, nsym, SUM(wc) AS n FROM a$k
+               WHERE nsym IS NOT NULL GROUP BY sym, nsym),
+      b$k AS (SELECT ma, mb, n, score FROM (
+            SELECT ma, mb, n, score,
+              ROW_NUMBER() OVER (ORDER BY score DESC, n DESC, ma ASC, mb ASC) AS rn
+            FROM (SELECT p.sym AS ma, p.nsym AS mb, CAST(p.n AS BIGINT) AS n,
+                    CAST(CAST(p.n AS HUGEINT) * 1000000000000
+                         // (CAST(sa.occ AS HUGEINT) * sb.occ) AS BIGINT) AS score
+                  FROM pc$k p
+                  JOIN sc$k sa ON sa.sym = p.sym
+                  JOIN sc$k sb ON sb.sym = p.nsym))
+          WHERE rn = 1),
+      k$k AS (SELECT w, idx FROM (
+            SELECT w, idx, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY idx) AS krn
+            FROM (SELECT a$k.w, a$k.idx,
+                    a$k.idx - ROW_NUMBER() OVER (PARTITION BY a$k.w ORDER BY a$k.idx) AS grp
+                  FROM a$k, b$k WHERE a$k.sym = b$k.ma AND a$k.nsym = b$k.mb))
+          WHERE krn % 2 = 1),
+      r$k AS MATERIALIZED (SELECT w, wc, idx AS pos,
+            CASE WHEN head THEN sym ||
+              (CASE WHEN nsym LIKE '##%' THEN substring(nsym, 3) ELSE nsym END)
+            ELSE sym END AS sym
+          FROM (SELECT a$k.w, a$k.wc, a$k.idx, a$k.sym, a$k.nsym,
+                  k$k.idx IS NOT NULL AS head,
+                  COALESCE(LAG(k$k.idx IS NOT NULL)
+                    OVER (PARTITION BY a$k.w ORDER BY a$k.idx), FALSE) AS prev_head
+                FROM a$k LEFT JOIN k$k ON a$k.w = k$k.w AND a$k.idx = k$k.idx)
+          WHERE NOT prev_head)"""
+  }
+
+  /** CANONICAL iterative WordPiece training (Schuster & Nakajima, ICASSP
+    * 2012 — the BERT-family tokenizer), hash-certified: the same
+    * distributed loop as [[bpeTrainOracle]] with the LIKELIHOOD-GAIN
+    * pair score count(ab)/(count(a)·count(b)) — a rare pair of rare
+    * symbols beats a frequent pair of ubiquitous ones, which is what
+    * puts long-tail morphemes into BERT vocabularies (SelectionSpec pins
+    * a constructed case where the two trainers' first merges DIVERGE).
+    * Subword identity carries the `##` continuation prefix (a‖##b → ab,
+    * ##a‖##b → ##ab). Scoring is exact integer micro-units accumulated
+    * in DECIMAL(38,0) (HUGEINT in the oracle — no float boundary, no
+    * BIGINT wrap); per-round work is DISTINCT-vocabulary-bounded; the
+    * argmax is a one-row driver collect; the oracle unrolls all
+    * $wpTrainRounds rounds. */
+  val wordpieceTrainOracle = QueryDef("wordpiece_train_oracle",
+    (s, dir) => {
+      val vocab = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (merges, _) = graft.operators.Bpe.trainWordPiece(vocab, wpTrainRounds)
+      require(merges.length == wpTrainRounds,
+        s"corpus exhausted after ${merges.length} merges (< $wpTrainRounds)")
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.n, m.score) }
+        .toDF("rank", "left", "right", "n", "score").orderBy("rank")
+    },
+    Some {
+      val rounds = (1 to wpTrainRounds).map(wpTrainRoundSql).mkString(",\n      ")
+      val sel = (1 to wpTrainRounds)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS rank, ma AS \"left\", mb AS \"right\", n, score FROM b$k")
+        .mkString("\n      UNION ALL ")
+      s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wcv AS (SELECT w, COUNT(*) AS wc FROM tok
+              WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+      r0 AS (SELECT w, wc,
+               UNNEST([i for i in generate_series(1, length(w))]) AS pos,
+               UNNEST([CASE WHEN i = 1 THEN substring(w, i, 1)
+                            ELSE '##' || substring(w, i, 1) END
+                       for i in generate_series(1, length(w))]) AS sym
+             FROM wcv),
+      $rounds
+      $sel ORDER BY rank"""
+    })
+
   // ── pipeline_select ─────────────────────────────────────────────────────
 
   /** The composed selection funnel (the pipeline_dedup_corpus analog for
@@ -1509,6 +1602,7 @@ object SelectionQueries {
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
+      wordpieceTrainOracle,
       pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
       clusterBalance, curriculumOrder, qualityClassifier, qualityTopkPerSource)

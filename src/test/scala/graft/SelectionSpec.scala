@@ -508,4 +508,46 @@ class SelectionSpec extends AnyFunSuite {
     }
     assert(corpusMerges() == corpusMerges())
   }
+
+  test("Bpe.trainWordPiece: likelihood score diverges from BPE; ## merge semantics") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // (x,##y) is the most FREQUENT pair (10) but x,y are ubiquitous
+    // (occ 30 each → score 10·10¹²/900 ≈ 1.1e10); (q,##z) occurs twice
+    // with q,z occurring ONLY there (occ 2 each → score 2·10¹²/4 = 5e11)
+    // — WordPiece merges qz first, BPE would merge xy. The long-tail
+    // property the likelihood score exists for.
+    val vocab = Seq(("xy", 10L), ("xa", 20L), ("yb", 20L), ("qz", 2L))
+      .toDF("w", "wc")
+    val (wp, _) = Bpe.trainWordPiece(vocab, 1)
+    assert(wp.head.left == "q" && wp.head.right == "##z" &&
+      wp.head.n == 2L && wp.head.score == 500000000000L,
+      s"got ${wp.head}")
+    val (bp, _) = Bpe.train(vocab, 1)
+    assert(bp.head.left == "y" && bp.head.right == "b" ||
+      bp.head.left == "x" && bp.head.right == "a",
+      s"BPE should pick a count-20 pair, got ${bp.head}")
+    // ## continuation semantics: "abc" → a, ##b, ##c; "bc" → b, ##c.
+    // Singles: a:5, ##b:5, ##c:6, b:1. Round 1 scores: (a,##b)
+    // 5e12/25 = 2e11 beats (##b,##c) 5e12/30 ≈ 1.67e11 → merge "ab"
+    // (## strips from the right side: a‖##b → ab). Round 2: (ab,##c)
+    // 5e12/30 ties (b,##c) 1e12/6 exactly — n desc breaks it (5 > 1)
+    // → "abc" reassembles.
+    val v2 = Seq(("abc", 5L), ("bc", 1L)).toDF("w", "wc")
+    val (wp2, rows2) = Bpe.trainWordPiece(v2, 2)
+    assert(wp2.map(m => (m.left, m.right)) == Seq(("a", "##b"), ("ab", "##c")),
+      s"got ${wp2.map(m => (m.left, m.right))}")
+    val fin = rows2.orderBy("w", "pos").select("w", "sym")
+      .as[(String, String)].collect().toSeq
+    assert(fin.contains(("abc", "abc")), s"got $fin")
+    // determinism across runs on real data
+    def corpusWp() = {
+      val v = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      Bpe.trainWordPiece(v, 3)._1
+    }
+    assert(corpusWp() == corpusWp())
+  }
 }
