@@ -831,6 +831,57 @@ object SelectionQueries {
       $sel ORDER BY rank"""
     })
 
+  /** TRAIN → APPLY under the canonical WordPiece trainer — the
+    * [[bpeTrainFertility]] closure for the second tokenizer family: the
+    * trainer's final symbol rows ARE the encoded vocabulary, so
+    * application is one distinct-word rollup + equi-join (each distinct
+    * word encoded once against ~10¹² occurrences — the 100 TB apply
+    * trick). Reporting BOTH trainers' fertility on one corpus is the
+    * standard tokenizer-selection comparison; this pair quantifies what
+    * the likelihood score buys per language. Oracle replays the full
+    * WordPiece train chain, the vocab rollup, and the join. */
+  val wordpieceTrainFertility = QueryDef("wordpiece_train_fertility",
+    (s, dir) => {
+      val vocab = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (_, encoded) = graft.operators.Bpe.trainWordPiece(vocab, wpTrainRounds)
+      val wsym = encoded.groupBy("w").agg(count(lit(1)).as("n_sym"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .join(wsym, "w")
+        .groupBy("lang").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("lang")
+    },
+    Some {
+      val rounds = (1 to wpTrainRounds).map(wpTrainRoundSql).mkString(",\n      ")
+      s"""WITH tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wcv AS (SELECT w, COUNT(*) AS wc FROM tok
+              WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+      r0 AS (SELECT w, wc,
+               UNNEST([i for i in generate_series(1, length(w))]) AS pos,
+               UNNEST([CASE WHEN i = 1 THEN substring(w, i, 1)
+                            ELSE '##' || substring(w, i, 1) END
+                       for i in generate_series(1, length(w))]) AS sym
+             FROM wcv),
+      $rounds,
+      ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+             FROM r$wpTrainRounds GROUP BY w),
+      dw AS (SELECT doc_id, lang, UNNEST($toksSql) AS w FROM documents),
+      dwf AS (SELECT doc_id, lang, w FROM dw WHERE regexp_matches(w, '^[a-z0-9]+$$'))
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+        CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+        ROUND(CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+      FROM dwf JOIN ws USING (w) GROUP BY lang ORDER BY lang"""
+    })
+
   // ── pipeline_select ─────────────────────────────────────────────────────
 
   /** The composed selection funnel (the pipeline_dedup_corpus analog for
@@ -1602,7 +1653,7 @@ object SelectionQueries {
   val defs: Seq[QueryDef] =
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
-      wordpieceTrainOracle,
+      wordpieceTrainOracle, wordpieceTrainFertility,
       pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
       clusterBalance, curriculumOrder, qualityClassifier, qualityTopkPerSource)

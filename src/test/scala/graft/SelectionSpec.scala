@@ -550,4 +550,28 @@ class SelectionSpec extends AnyFunSuite {
     }
     assert(corpusWp() == corpusWp())
   }
+
+  test("wordpiece_train_fertility: fertility >= 1, word-bounded, all langs covered") {
+    import spark.implicits._
+    val out = graft.queries.SelectionQueries.wordpieceTrainFertility
+      .spark(spark, "/root/testdata/sf0.001")
+      .select("lang", "n_docs", "n_words", "n_symbols", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.map(_._1).distinct.length == out.length)
+    out.foreach { case (lang, nd, nw, ns, f) =>
+      // every word emits >= 1 symbol and <= its character count; after 5
+      // merges fertility must sit strictly between 1 and the raw
+      // chars-per-word mean
+      assert(nd > 0 && nw >= nd && ns >= nw, s"$lang: docs=$nd words=$nw syms=$ns")
+      assert(f >= 1.0 && math.abs(f - ns.toDouble / nw.toDouble) < 1e-5,
+        s"$lang fertility $f inconsistent with $ns/$nw")
+    }
+    // the trained tokenizer compresses: fertility under the 5-round
+    // trainer is strictly below untrained chars-per-word
+    val raw = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .agg(avg(length(col("w")))).head.getDouble(0)
+    assert(out.forall(_._5 < raw), s"fertility not below raw chars/word $raw")
+  }
 }
