@@ -529,8 +529,16 @@ object ScaleProbe {
             element_at(col("embedding"),
               ((i * (rep * 2 + 1) + rep) % 64) + 1)))
           .localCheckpoint(false)
+        // Twin offset derived from the per-replica max id (mirrors the
+        // registered query's max(vec_id)+1) — a fixed 1e6 offset would
+        // silently collide with genuine ids once a base dataset carries
+        // ≥ 1e6 embeddings per replica band.
+        val bandWidth = 100000000L
+        val maxInBand = base.agg(max(col("vec_id") % bandWidth)).head().getLong(0)
+        require(2 * maxInBand + 1 < bandWidth,
+          s"planted-twin offset ${maxInBand + 1} would cross the replica band")
         val planted = base.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          .select((col("vec_id") + lit(maxInBand + 1)).as("vec_id"),
             transform(col("embedding"), (x, i) =>
               (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
                 .cast("float")).as("embedding"))

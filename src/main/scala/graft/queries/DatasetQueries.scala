@@ -339,8 +339,9 @@ object DatasetQueries {
                  UNION ALL SELECT vec_id, embedding FROM pt),
       nn AS (SELECT COUNT(*) AS n FROM corpus),
       lv AS (SELECT LEAST($semdedupMaxLevels, GREATEST(1,
-          (SELECT MIN(l) FROM generate_series(1, $semdedupMaxLevels) g(l)
-           WHERE (CAST($semdedupTarget AS BIGINT) << (3 * l)) >= (SELECT n FROM nn)))) AS levels),
+          COALESCE((SELECT MIN(l) FROM generate_series(1, $semdedupMaxLevels) g(l)
+           WHERE (CAST($semdedupTarget AS BIGINT) << (3 * l)) >= (SELECT n FROM nn)),
+            $semdedupMaxLevels))) AS levels),
       $centSql,
       d AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM corpus),
       dots AS (SELECT d.vec_id, cn.l, cn.c,

@@ -671,19 +671,18 @@ object MiscQueries {
     * corpus share. A skew factor (max/median) ≫ 1 with heavy keys
     * holding percent-level shares is the exact signature that picks
     * salted aggregation over a plain shuffle. One count agg (map-side
-    * partials), one constant-size stats agg over the key counts, a
-    * bounded top-10 TakeOrdered — the report costs one scan. */
+    * partials), then the [[graft.operators.TopShare]] report with the
+    * skew stats as its totals: constant-size stats agg over the key
+    * counts, bounded top-10 TakeOrdered — the report costs one scan. */
   val skewReport = QueryDef("skew_report",
     (s, dir) => {
       val counts = table(s, dir, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      val tot = counts.agg(
-        count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-        max(col("c")).as("max_c"),
-        expr("percentile(c, 0.5)").as("p50"),
-        expr("percentile(c, 0.99)").as("p99"))
-      counts.orderBy(col("c").desc, col("user_id").asc).limit(10)
-        .crossJoin(broadcast(tot))
+      graft.operators.TopShare.report(counts, "user_id", "c", 10, Seq(
+          count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"),
+          expr("percentile(c, 0.5)").as("p50"),
+          expr("percentile(c, 0.99)").as("p99")))
         .select(col("user_id").as("key"), col("c").as("n_in_key"),
           expr("c * 1000000 div n_rows").as("share_ppm"),
           col("n_keys"), round(col("p50"), 6).as("p50_group"),

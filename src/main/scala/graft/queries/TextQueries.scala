@@ -758,8 +758,10 @@ object TextQueries {
 
   /** Corpus heavy hitters with a count-min sketch certification — the
     * frequency analog of `approx_distinct`: exact global top-20 tokens
-    * (TakeOrderedAndProject over the token counts — a bounded per-
-    * partition heap, never a global sort), plus a CMS built over the
+    * via the [[graft.operators.TopShare]] report (TakeOrderedAndProject
+    * over the token counts — a bounded per-partition heap, never a
+    * global sort — with the corpus total riding the same report), plus
+    * a CMS built over the
     * same token stream (mergeable sketch, the structure that answers
     * point-frequency queries at 100 TB without a vocab-sized state).
     * Each top token's CMS estimate is checked against the guarantee
@@ -781,13 +783,15 @@ object TextQueries {
         .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(skBytes))
-      val total = counts.agg(sum(col("cnt"))).head().getLong(0)
-      val slack = math.ceil(eps * total).toLong
-      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(20).collect()
-      top.toSeq.zipWithIndex.map { case (r, i) =>
-        val tok = r.getString(0); val cnt = r.getLong(1)
+      // top-20 + corpus total in ONE bounded report (20 rows collected —
+      // the only driver-side state beside the sketch)
+      val top = graft.operators.TopShare.report(counts, "token", "cnt", 20)
+        .select("rank", "token", "cnt", "total").orderBy("rank").collect()
+      top.toSeq.map { r =>
+        val tok = r.getString(1); val cnt = r.getLong(2)
+        val slack = math.ceil(eps * r.getLong(3)).toLong
         val est = cms.estimateCount(tok)
-        (i + 1L, tok, cnt, est >= cnt && est <= cnt + slack)
+        (r.getLong(0), tok, cnt, est >= cnt && est <= cnt + slack)
       }.toDF("rank", "token", "exact_cnt", "within_bound")
     },
     Some(s"""WITH t AS (SELECT UNNEST($toksSql) AS token FROM documents),
@@ -1022,25 +1026,20 @@ object TextQueries {
     * evidence: cumulative corpus share of the top-k tokens as k grows
     * (a tokenizer team reads this to pick a vocab budget; coverage ppm
     * at k=30 vs k=8 quantifies the tail). One map-side-partial token
-    * count (output bounded by vocab size), then rank/cumsum on the
-    * vocab-sized frame — the single-partition window is safe for the
-    * same documented reason as vocab_topk: it runs over an AGGREGATE
-    * whose cardinality is the vocabulary, not the corpus. Integer-ppm
-    * shares; total order (count desc, token asc). */
+    * count, then the [[graft.operators.TopShare]] report: top-30 via
+    * TakeOrdered (bounded per-partition heap — on a web corpus the
+    * distinct-token vocabulary is 10⁸–10⁹ rows, so a full-vocab
+    * single-partition rank/cumsum window would be a one-task sort of
+    * the whole vocabulary), rank + cumulative mass over the 30-row
+    * frame only. Bit-identical to the full-frame window form: cum mass
+    * at ranks 1..30 depends only on the top-30 counts under the total
+    * order (count desc, token asc). Integer-ppm shares. */
   val vocabCoverageQ = QueryDef("vocab_coverage",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = table(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val tot = counts.agg(sum(col("cnt")).as("total"))
-      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-      counts
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .withColumn("cum_cnt", sum(col("cnt"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rank") <= 30)
-        .crossJoin(broadcast(tot))
+      graft.operators.TopShare.report(counts, "tok", "cnt", 30)
         .select(col("rank"), col("tok"), col("cnt"), col("cum_cnt"),
           expr("cum_cnt * 1000000 div total").as("cum_ppm"))
         .orderBy("rank")

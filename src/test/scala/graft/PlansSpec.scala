@@ -388,6 +388,77 @@ class PlansSpec extends AnyFunSuite {
       s"gate still above a model barrier:\n$opt")
   }
 
+  test("vocab_coverage ranks over a TakeOrdered top-30, not the full vocabulary") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = SparkEntry.queries("vocab_coverage")(spark, sf).queryExecution.sparkPlan
+    // the top-30 lands via the bounded per-partition heap
+    assert(p.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+      s"no TakeOrderedAndProject in:\n$p")
+    // and no single-partition exchange feeds any Window: the rank/cumsum
+    // window's input is the 30-row TakeOrdered result, never the vocabulary
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.collectFirst {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+        }.isEmpty,
+        s"single-partition exchange feeds a Window in:\n$p")
+      assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+        s"Window input not bounded by TakeOrdered in:\n$p")
+    }
+  }
+
+  test("plan audit: no registered query has an unpartitioned Window over unbounded input") {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // vocab_coverage's full-vocab single-partition rank+cumsum window was
+    // found by hand in round 8 (a one-task sort of the 10⁸–10⁹-row
+    // vocabulary on a web corpus). This audit makes the CLASS impossible:
+    // every unpartitioned Window in every registered query's physical
+    // plan must have a limit-class node (TakeOrdered / Global / Local /
+    // CollectLimit — all bounded per-partition heaps or row caps) in its
+    // input subtree, or carry a documented bounded-cardinality
+    // justification below. A whitelist entry that stops matching an
+    // actual unpartitioned window FAILS the audit (stale entries rot).
+    // Scope: the plan each query RETURNS; eagerly-materialized interior
+    // stages (memoized chains, checkpoints) are pinned by their own
+    // dedicated plan tests above.
+    val boundedByConstruction: Map[String, String] = Map(
+      "bt_rating" -> "#player-row frame: rank window over the event-type vocabulary (AlignmentQueries.btRatings)",
+      "funnel_steps" -> "3-row steps frame: lag window over the view/click/purchase union (MiscQueries.funnelSteps)",
+      "mix_epochs" -> "per-source aggregate (~#sources rows): corpus-total window (SelectionQueries.mixEpochs)",
+      "mix_doremi" -> "per-source aggregate (~#sources rows): weight-normalization windows (SelectionQueries.mixDoremi)",
+      "mix_anneal" -> "per-source aggregate (~#sources rows): corpus-total + pool windows (SelectionQueries.mixAnneal)",
+      "pipeline_select" -> "per-source aggregate: temperatureThresholds' min window (SelectionQueries.temperatureThresholds)",
+      "sample_temperature" -> "per-source aggregate: temperatureThresholds' min window (SelectionQueries.temperatureThresholds)",
+      "sample_weighted" -> "per-source counts aggregate (~20 rows): min window (CurationQueries.sampleWeightedQ)")
+    val offenders = collection.mutable.ArrayBuffer[String]()
+    val hits = collection.mutable.Set[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      val plan = build(spark, sf).queryExecution.sparkPlan
+      val unbounded = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.collectFirst {
+            case t: TakeOrderedAndProjectExec => t: Any
+            case g: GlobalLimitExec => g: Any
+            case l: LocalLimitExec => l: Any
+            case c: CollectLimitExec => c: Any
+          }.isEmpty => w
+      }
+      if (unbounded.nonEmpty) {
+        if (boundedByConstruction.contains(name)) hits += name
+        else offenders += name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over unbounded input in: ${offenders.mkString(", ")}")
+    assert(hits == boundedByConstruction.keySet,
+      "stale whitelist entries (no unpartitioned window in plan): " +
+        (boundedByConstruction.keySet -- hits).mkString(", "))
+  }
+
   test("nearDupClusters memo: the second policy query launches zero chain-build jobs") {
     // dedup_representative and dedup_soft_weights share one clustering
     // build per (session, dir): the memoized chain is fully checkpointed,
