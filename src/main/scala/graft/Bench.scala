@@ -35,6 +35,19 @@ object Bench {
           System.err.println(s"BENCH WARMUP $name: ${e.getMessage}")
         }
       }
+    // Exec repeats: round-over-round wall-clock diffs on this shared host
+    // carry a documented ±30% noise band that nearly masked real signal
+    // in round 8 — a UNIFORM 1.27× shift across 196 heterogeneous queries
+    // read as a regression until isolated reruns cleared every flagged
+    // query. Re-executing each query's returned frame N times and
+    // recording the per-query MIN exec (`exec_min`) gives diffs a
+    // noise-robust number: host-load spikes inflate individual runs but
+    // never deflate one. The build runs once (plan time is checkpoint
+    // attribution, not a regression signal); repeats re-run only the noop
+    // write of the already-built frame. Default 2 for the full sweep,
+    // 1 for ONLY-filtered local iteration; SPARK_GRAFT_REPEATS overrides.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt)
+      .getOrElse(if (only.isDefined) 1 else 2)
     val results = selected.map { case (name, fn) =>
       // isolate queries from each other's garbage: long sweeps otherwise
       // show multi-second random spikes when a query inherits the heap
@@ -50,34 +63,44 @@ object Bench {
       // lets Catalyst prune projection work away) while writing
       // nothing. A failing query records -1 (a fast wall-time would
       // read as healthy) and logs to stderr.
-      val (planSec, execSec) =
+      val (planSec, execSecs) =
         try {
           val df = fn(spark, sfDir)
           val t1 = System.nanoTime()
           df.write.mode("overwrite").format("noop").save()
-          ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+          val first = (System.nanoTime() - t1) / 1e9
+          val extra = (2 to repeats).map { _ =>
+            System.gc()
+            val tr = System.nanoTime()
+            df.write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - tr) / 1e9
+          }
+          ((t1 - t0) / 1e9, first +: extra.toVector)
         } catch {
           case e: Throwable =>
             System.err.println(
               s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-            (-1.0, -1.0)
+            (-1.0, Vector(-1.0))
         }
-      name -> (planSec, execSec)
+      name -> (planSec, execSecs)
     }
     val failed = results.count(_._2._1 < 0)
     if (failed > 0) System.err.println(s"BENCH: $failed queries FAILED (recorded as -1)")
-    def jmap(f: ((Double, Double)) => Double) = results
+    def jmap(f: ((Double, Seq[Double])) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val qs = jmap { case (p, e) => if (p < 0) -1.0 else p + e }
+    val qs = jmap { case (p, es) => if (p < 0) -1.0 else p + es.head }
     val plans = jmap(_._1)
-    val execs = jmap(_._2)
-    val total = results.values.collect { case (p, e) if p >= 0 => p + e }.sum
+    val execs = jmap(_._2.head)
+    val execMins = jmap { case (p, es) => if (p < 0) -1.0 else es.min }
+    val total = results.values.collect { case (p, es) if p >= 0 => p + es.head }.sum
     // `value` (combined) keeps the historical headline; `value_exec` is
-    // the number round-over-round comparisons should quote — the combined
-    // total conflates checkpoint-at-build plan time (driver actions during
-    // frame construction) with execution of the returned frame.
-    val totalExec = results.values.collect { case (p, e) if p >= 0 => e }.sum
-    val line = s"""{"metric":"total","value":$total,"value_exec":$totalExec,"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"sf":"$sfDir"}"""
+    // the first-run exec total; `value_exec_min` (sum of per-query MIN
+    // exec over the repeats) is the number round-over-round comparisons
+    // should quote — the combined total conflates checkpoint-at-build
+    // plan time with execution, and single-run exec carries host noise.
+    val totalExec = results.values.collect { case (p, es) if p >= 0 => es.head }.sum
+    val totalExecMin = results.values.collect { case (p, es) if p >= 0 => es.min }.sum
+    val line = s"""{"metric":"total","value":$total,"value_exec":$totalExec,"value_exec_min":$totalExecMin,"repeats":$repeats,"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"exec_min":$execMins,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded stdout TAIL, which truncates the
     // per-query map past ~60 queries — ALSO write the complete line to a

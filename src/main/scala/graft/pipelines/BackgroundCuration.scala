@@ -78,6 +78,12 @@ class BackgroundCuration(
         }
       }
       .toDF("image_id", "image_path", "h", "w", "tag", "person_boxes_raw")
+      // passthrough contract: detect only ATTACHES boxes — every output
+      // row carries its source row's identity/dimension columns verbatim,
+      // so a late-written gate over them may hoist below the barrier
+      // (the GateHoist rule; mis-ordered E4 relies on this)
+      .transform(graft.plans.GateHoist.declarePassthrough(
+        _, "image_id", "image_path", "h", "w", "tag"))
       .withColumn("person_boxes", transform(col("person_boxes_raw"), t =>
         struct(t.getField("_1").as("x1"), t.getField("_2").as("y1"),
           t.getField("_3").as("x2"), t.getField("_4").as("y2"))))

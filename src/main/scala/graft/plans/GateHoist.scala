@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, ExprId, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -78,14 +78,26 @@ object GateHoist extends Rule[LogicalPlan] {
     }
   }
 
-  /** Hoist `cond` (expressed over `s`'s output attributes) below the
-    * barrier, or None when the contract doesn't cover it. Refuses when a
-    * mapped below-barrier name is AMBIGUOUS in the child output (e.g.
-    * after a self-join duplicates a column name): name-based rebinding
-    * would silently pick one of the twins, so ambiguity means no hoist,
-    * never a guess. */
-  private def hoisted(cond: Expression, s: SerializeFromObject)
-      : Option[SerializeFromObject] = s match {
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Hoist the conjuncts of a gate (each expressed over `s`'s output
+    * attributes) that the contract covers below the barrier, returning
+    * the rebuilt serialize node and the conjuncts that must STAY above
+    * (indexed into `conjuncts` by position, so the Project case can map
+    * them back to their original form). None when no conjunct hoists.
+    * Conjunction splitting matters in practice: Catalyst's own pushdown
+    * merges a late-written cheap gate with the stage's computed-column
+    * gates into ONE Filter above the barrier — all-or-nothing hoisting
+    * would then strand the cheap gate above the models. Refuses any
+    * conjunct whose mapped below-barrier name is AMBIGUOUS in the child
+    * output (e.g. after a self-join duplicates a column name):
+    * name-based rebinding would silently pick one of the twins, so
+    * ambiguity means no hoist, never a guess. */
+  private def hoisted(conjuncts: Seq[Expression], s: SerializeFromObject)
+      : Option[(SerializeFromObject, Seq[Int])] = s match {
     case SerializeFromObject(_,
         mp @ MapPartitions(_, _, d @ DeserializeToObject(_, _, child)))
         if s.getTagValue(passthroughTag).isDefined =>
@@ -93,47 +105,63 @@ object GateHoist extends Rule[LogicalPlan] {
       val dupNames = child.output.groupBy(_.name)
         .collect { case (n, as) if as.size > 1 => n }.toSet
       val byName = child.output.map(a => a.name -> a).toMap
-      val hoistable = cond.references.forall(r =>
-        mapping.get(r.name).exists(t => byName.contains(t) && !dupNames(t)))
-      if (!hoistable) None
+      val (go, stay) = conjuncts.zipWithIndex.partition { case (c, _) =>
+        c.references.forall(r =>
+          mapping.get(r.name).exists(t => byName.contains(t) && !dupNames(t)))
+      }
+      if (go.isEmpty) None
       else {
-        val rewritten = cond.transform {
+        val rewritten = go.map(_._1.transform {
           case a: Attribute if mapping.contains(a.name) => byName(mapping(a.name))
-        }
+        }).reduce(And)
         val newS = s.copy(child = mp.copy(child =
           d.copy(child = Filter(rewritten, child))))
         newS.copyTagsFrom(s)
-        Some(newS)
+        Some((newS, stay.map(_._2)))
       }
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, s: SerializeFromObject) if cond.deterministic =>
-      hoisted(cond, s).getOrElse(f)
+      val conjuncts = splitConjuncts(cond)
+      hoisted(conjuncts, s).map { case (newS, stayIdx) =>
+        if (stayIdx.isEmpty) newS: LogicalPlan
+        else Filter(stayIdx.map(conjuncts).reduce(And), newS)
+      }.getOrElse(f)
     // The common real shape: a pipeline author derives columns between
     // the model stage and the gate (`stage.withColumn(...).filter(gate)`
-    // analyzes as Filter(Project(Serialize(...)))). The gate still hoists
-    // when every attribute it references passes through the Project
-    // UNCOMPUTED — a bare attribute or a rename Alias of one — by
+    // analyzes as Filter(Project(Serialize(...)))). A gate conjunct still
+    // hoists when every attribute it references passes through the
+    // Project UNCOMPUTED — a bare attribute or a rename Alias of one — by
     // resolving those refs (by exprId, so duplicate display names can't
-    // cross wires) down to the serialize node's own outputs. Gates over
-    // columns the Project COMPUTES don't exist below the barrier and are
-    // left where they are.
+    // cross wires) down to the serialize node's own outputs. Conjuncts
+    // over columns the Project COMPUTES don't exist below the barrier and
+    // are left where they are.
     case f @ Filter(cond, p @ Project(projList, s: SerializeFromObject))
         if cond.deterministic =>
       val resolve: Map[ExprId, Attribute] = projList.collect {
         case a: Attribute => a.exprId -> a
         case al @ Alias(attr: Attribute, _) => al.exprId -> attr
       }.toMap
-      if (!cond.references.forall(r => resolve.contains(r.exprId))) f
+      val conjuncts = splitConjuncts(cond)
+      val (resolvable, unresolvable) = conjuncts.partition(
+        _.references.forall(r => resolve.contains(r.exprId)))
+      if (resolvable.isEmpty) f
       else {
-        val overSerialize = cond.transform {
+        val overSerialize = resolvable.map(_.transform {
           case a: Attribute if resolve.contains(a.exprId) => resolve(a.exprId)
+        })
+        hoisted(overSerialize, s) match {
+          case None => f
+          case Some((newS, stayIdx)) =>
+            // conjuncts that resolved but didn't hoist keep their ORIGINAL
+            // (above-Project) form; so do the unresolvable ones
+            val stay = stayIdx.map(resolvable) ++ unresolvable
+            val rebuilt = p.copy(child = newS)
+            if (stay.isEmpty) rebuilt: LogicalPlan
+            else Filter(stay.reduce(And), rebuilt)
         }
-        hoisted(overSerialize, s)
-          .map(newS => p.copy(child = newS))
-          .getOrElse(f)
       }
   }
 }

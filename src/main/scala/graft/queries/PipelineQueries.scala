@@ -583,7 +583,48 @@ object PipelineQueries {
     },
     Some(bgCurationOracleSql))
 
+  /** The SAME E4 pipeline with its cheap gate deliberately MIS-ORDERED:
+    * the author runs person detection FIRST and bolts the resolution
+    * gate on after the box gates — every image would pay the detect
+    * barrier before the one filter that needs no model at all. The plan
+    * still collapses to the well-ordered one: Catalyst pushes the gate
+    * through the box-gate projections (and, where its own pushdown
+    * merges it into the computed-column gate conjunction, GateHoist
+    * splits the conjunction), and [[graft.plans.GateHoist]] carries the
+    * h/w conjuncts through the opaque detect barrier via the
+    * passthrough contract [[graft.pipelines.BackgroundCuration.detect]]
+    * declares — so sub-resolution images never reach the detector.
+    * Output hash-matches `pipeline_bg_curation_oracle`'s SQL EXACTLY —
+    * the same oracle certifies both orderings; PlansSpec pins the
+    * plan shape. */
+  val pipelineBgCurationMisordered = QueryDef("pipeline_bg_curation_misordered",
+    (s, dir) => {
+      val images = table(s, dir, "part").select(
+        col("p_partkey").as("image_id"),
+        format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
+        (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
+        (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
+      val pipe = new graft.pipelines.BackgroundCuration(
+        () => new Models.Md5PersonDetector,
+        () => new Models.Md5FaceDetector,
+        () => new Models.Md5GroundingMasker,
+        () => new Models.FakeMatting,
+        () => new Models.FakeRelighter,
+        new graft.sources.Sinks.LocalFsStore("/tmp/graft_bg_oracle_out"),
+        modelKeyPrefix = "graft-md5")
+      // the mis-ordering: detect EVERYTHING, box-gate, and only then
+      // remember the resolution gate
+      val gated = pipe.boxGates(pipe.detect(images.withColumn("tag", lit("in"))))
+        .filter(col("h") >= 1000 && col("w") >= 1000)
+      val perBox = pipe.withSavePaths(pipe.modelStage(pipe.explodeBoxes(gated)))
+      pipe.personsOf(gated, perBox)
+        .select("image_id", "h", "w", "max_area", "area_ratio", "n_persons")
+        .orderBy("image_id")
+    },
+    Some(bgCurationOracleSql))
+
   val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
     pipelineFrameMiningOracle, pipelineFrameMiningMisordered, pipelineBgCuration,
-    bgSavePaths, pipelineCuration, pipelineDedupCorpus, pipelineBgCurationOracle)
+    bgSavePaths, pipelineCuration, pipelineDedupCorpus, pipelineBgCurationOracle,
+    pipelineBgCurationMisordered)
 }

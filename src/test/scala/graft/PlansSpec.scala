@@ -276,6 +276,42 @@ class PlansSpec extends AnyFunSuite {
       "undeclared barrier must not be touched")
   }
 
+  test("GateHoist: a mixed conjunction hoists the declared conjunct, keeps the computed one above") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+    def barrier(in: org.apache.spark.sql.DataFrame) =
+      in.as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) => (id, n, n * 2) })
+        .toDF("doc_id", "n_chars", "expensive")
+    val declared = graft.plans.GateHoist.declarePassthrough(barrier(docs), "doc_id")
+    // ONE filter mixing a declared gate with a barrier-computed gate —
+    // the shape Catalyst's own pushdown produces when it merges adjacent
+    // gates. All-or-nothing hoisting would strand the cheap conjunct
+    // above the models; the rule must split.
+    val q = declared.filter(col("doc_id") % 2 === 0 && col("expensive") > 100)
+    val opt = q.queryExecution.optimizedPlan
+    val mp = opt.collectFirst { case m: MapPartitions => m }.get
+    assert(mp.collectFirst {
+        case f: Filter if f.condition.sql.contains("% 2") => f }.isDefined,
+      s"declared conjunct not hoisted below the barrier:\n$opt")
+    // the computed conjunct (`> 100`; its attr reads `_3` below the
+    // rename Project) must stay ABOVE the barrier, never below it
+    assert(mp.collectFirst {
+        case f: Filter if f.condition.sql.contains("> 100") => f }.isEmpty,
+      s"computed conjunct leaked below the barrier:\n$opt")
+    assert(opt.collect { case f: Filter => f }.exists(f =>
+        f.condition.sql.contains("> 100") &&
+          f.collectFirst { case m: MapPartitions => m }.isDefined),
+      s"computed conjunct lost above the barrier:\n$opt")
+    // identical rows to the well-ordered chain
+    assert(q.orderBy("doc_id").collect().toSeq ==
+      barrier(docs.filter(col("doc_id") % 2 === 0))
+        .filter(col("expensive") > 100).orderBy("doc_id").collect().toSeq)
+  }
+
   test("GateHoist: the gate still hoists through an interposed Project (withColumn)") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
@@ -386,6 +422,28 @@ class PlansSpec extends AnyFunSuite {
     assert(!opt.collect { case f: Filter if f.condition.sql.contains("% 200") => f }
         .exists(_.collectFirst { case m: MapPartitions => m }.isDefined),
       s"gate still above a model barrier:\n$opt")
+  }
+
+  test("misordered E4 gate: resolution gate hoists below the detect barrier, same rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val mis = graft.queries.PipelineQueries.pipelineBgCurationMisordered.spark(spark, sf)
+    val ord = graft.queries.PipelineQueries.pipelineBgCurationOracle.spark(spark, sf)
+    // identical rows to the well-ordered pipeline (same oracle SQL
+    // certifies both orderings in CORRECTNESS)
+    assert(mis.collect().toSeq == ord.collect().toSeq,
+      "misordered resolution gate changed the pipeline output")
+    // the end-written h/w gate sits BELOW the detect model barrier in the
+    // optimized plan (GateHoist splits it out of the computed-column gate
+    // conjunction Catalyst merges it into), and no h/w gate remains above
+    // any barrier — sub-resolution images never reach the detector
+    val opt = mis.queryExecution.optimizedPlan
+    val hoisted = opt.collect { case m: MapPartitions => m }
+      .exists(_.collectFirst {
+        case f: Filter if f.condition.sql.contains("1000") => f }.isDefined)
+    assert(hoisted, s"resolution gate not hoisted below the detect barrier:\n$opt")
+    assert(!opt.collect { case f: Filter if f.condition.sql.contains("1000") => f }
+        .exists(_.collectFirst { case m: MapPartitions => m }.isDefined),
+      s"resolution gate still above a model barrier:\n$opt")
   }
 
   test("vocab_coverage ranks over a TakeOrdered top-30, not the full vocabulary") {
