@@ -73,10 +73,34 @@ object ScaleProbe {
     // multiplying the input 20× measures spill, not the operator. Override
     // for payload-heavy families whose per-partition bytes outgrow memory.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,24576] runs the probe on TWO
+    // executor JVMs (same cores, the heap SHARDED) — the measurement that
+    // separates "per-JVM heap pressure" from algorithmic growth: a real
+    // cluster shards the shuffle working set across executor heaps by
+    // construction, and single-JVM local[32] cannot show that.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      // worker-launched executors need this build's classes (the probe
+      // ships native-kernel Expressions and operator closures to tasks)
+      builder.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cluster-wide CPU: sum of task executorCpuTime — the only CPU number
+    // that survives the move to multi-process masters (process CPU of
+    // this JVM covers just the driver there). Printed alongside process
+    // CPU; the two agree within noise on local[32].
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskCpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+    })
     // The shipped queries always run with the native kernels registered
     // (Tables.table / GraftSession do it); the probe must measure that
     // same configuration — the interpreted HOF-cosine fallback is ~40×
@@ -571,18 +595,21 @@ object ScaleProbe {
     // disagree.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def cpuTime(f: => Unit): (Double, Double) = {
-      val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+    def cpuTime(f: => Unit): (Double, Double, Double) = {
+      val c0 = osBean.getProcessCpuTime; val k0 = taskCpuNs.get
+      val t0 = System.nanoTime()
       f
-      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // drain async listener events before reading task CPU
+      (wall, (osBean.getProcessCpuTime - c0) / 1e9, (taskCpuNs.get - k0) / 1e9)
     }
-    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s ${"cpu_1x"}%8s ${"cpu_" + mult + "x"}%9s ${"cpuRatio"}%8s")
+    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s ${"cpu_1x"}%8s ${"cpu_" + mult + "x"}%9s ${"cpuRatio"}%8s ${"tcpu_1x"}%8s ${"tcpu_" + mult + "x"}%9s ${"tcpuRatio"}%9s")
     families.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, run) =>
       run(1) // warm codegen/JIT on the small size before timing
-      val (t1, c1) = cpuTime(run(1))
-      val (tM, cM) = cpuTime(run(mult))
-      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f $c1%8.1f $cM%9.1f ${cM / c1}%8.2f")
+      val (t1, c1, k1) = cpuTime(run(1))
+      val (tM, cM, kM) = cpuTime(run(mult))
+      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f $c1%8.1f $cM%9.1f ${cM / c1}%8.2f $k1%8.1f $kM%9.1f ${kM / k1}%9.2f")
     }
     spark.stop()
   }
