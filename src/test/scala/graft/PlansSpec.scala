@@ -517,6 +517,56 @@ class PlansSpec extends AnyFunSuite {
         (boundedByConstruction.keySet -- hits).mkString(", "))
   }
 
+  test("plan audit: no registered query nests two unbounded sides in a loop join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec}
+    // The window audit's sibling for the OTHER classic scale-killer: a
+    // nested-loop join (Cartesian or BroadcastNestedLoop) whose sides
+    // BOTH grow with the corpus is O(n·m) comparisons and a driver-OOM
+    // broadcast at 100 TB. A loop join is legitimate only when one side
+    // is structurally bounded — a grouping-free (1-row) aggregate or a
+    // limit-class node below it (the `crossJoin(broadcast(totals))`
+    // report shape) — or when the query is a DOCUMENTED bounded-by-data
+    // design, whitelisted below with its bound. Stale entries fail.
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a: Any
+      case t: TakeOrderedAndProjectExec => t: Any
+      case g: GlobalLimitExec => g: Any
+      case l: LocalLimitExec => l: Any
+      case c: CollectLimitExec => c: Any
+    }.isDefined
+    val boundedByDesign: Map[String, String] = Map(
+      "cosine_topk" -> "brute-force cosine BASELINE by design (query arm = 1% id filter); the ANN tiers are the scale path",
+      "ann_binary_topk" -> "Hamming prefilter arm joins the deterministic bounded query sample (SimilarityQueries)",
+      "ann_matryoshka_topk" -> "prefix funnel joins the deterministic bounded query sample (SimilarityQueries)",
+      "ann_recall_tiers" -> "per-tier brute-force TRUTH arms over the bounded query sample — the recall denominator",
+      "dedup_embedding_cosine" -> "embedding near-dup joins the bounded query/anchor sample (SimilarityQueries)",
+      "rrf_fusion" -> "dense arm query = single vec_id 0 row (filter, not aggregate); lexical arm is TakeOrdered-bounded",
+      "corpus_overlap" -> "source-pair frame: non-equi join over the #source vocabulary (~20 rows/side), never documents",
+      "dedup_levenshtein" -> "bounded pairwise design: doc_id < 100 prefix pairs, broadcast side ≤ 100 rows",
+      "dedup_ngram_jaccard" -> "bounded pairwise design: doc_id < 200 shingle pairs (the dedup_components fixture)")
+    val offenders = collection.mutable.ArrayBuffer[String]()
+    val hits = collection.mutable.Set[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      val plan = build(spark, sf).queryExecution.sparkPlan
+      val unbounded = plan.collect {
+        case j: BroadcastNestedLoopJoinExec if !bounded(j.left) && !bounded(j.right) => j: Any
+        case j: CartesianProductExec if !bounded(j.left) && !bounded(j.right) => j: Any
+      }
+      if (unbounded.nonEmpty) {
+        if (boundedByDesign.contains(name)) hits += name else offenders += name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"loop join with two unbounded sides in: ${offenders.mkString(", ")}")
+    assert(hits == boundedByDesign.keySet,
+      "stale whitelist entries (no unbounded loop join in plan): " +
+        (boundedByDesign.keySet -- hits).mkString(", "))
+  }
+
   test("nearDupClusters memo: the second policy query launches zero chain-build jobs") {
     // dedup_representative and dedup_soft_weights share one clustering
     // build per (session, dir): the memoized chain is fully checkpointed,
