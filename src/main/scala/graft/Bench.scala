@@ -12,8 +12,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Session warmup (not timed): initialize codegen, parquet reader, and
     // shuffle machinery once so per-query timings measure the queries.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    spark.range(1000).selectExpr("sum(id)").collect() // bounded: 1-row warmup agg
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect() // bounded: #regions rows
     // Optional comma-separated query filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>

@@ -558,7 +558,7 @@ object ScaleProbe {
         // silently collide with genuine ids once a base dataset carries
         // ≥ 1e6 embeddings per replica band.
         val bandWidth = 100000000L
-        val maxInBand = base.agg(max(col("vec_id") % bandWidth)).head().getLong(0)
+        val maxInBand = base.agg(max(col("vec_id") % bandWidth)).head().getLong(0) // bounded: 1-row agg
         require(2 * maxInBand + 1 < bandWidth,
           s"planted-twin offset ${maxInBand + 1} would cross the replica band")
         val planted = base.filter(col("vec_id") % 10 === 0)

@@ -45,7 +45,7 @@ object BloomPrune {
       .select(shiftright(col("p"), 6).cast("int").as("w"), (col("p") % 64).as("b"))
       // shift amount is a COLUMN — the SQL function form takes expressions
       .groupBy("w").agg(bit_or(call_function("shiftleft", lit(1L), col("b"))).as("bits"))
-      .collect()
+      .collect() // bounded: ≤ mBits/64 bit-word rows
     val arr = new Array[Long](mBits / 64)
     words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     arr

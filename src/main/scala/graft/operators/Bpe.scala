@@ -67,7 +67,7 @@ object Bpe {
       val best = adj.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("sym").asc, col("nsym").asc)
-        .limit(1).collect()
+        .limit(1).collect() // bounded: 1-row argmax
       if (best.isEmpty) exhausted = true
       else {
         val (ma, mb, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -144,7 +144,7 @@ object Bpe {
         .join(singles.select(col("sym").as("nsym"), col("occ").as("nb")), "nsym")
         .withColumn("score", ((num - (num % den)) / den).cast("long"))
         .orderBy(col("score").desc, col("n").desc, col("sym").asc, col("nsym").asc)
-        .limit(1).select("sym", "nsym", "n", "score").collect()
+        .limit(1).select("sym", "nsym", "n", "score").collect() // bounded: 1-row argmax
       if (best.isEmpty) exhausted = true
       else {
         val (ma, mb) = (best(0).getString(0), best(0).getString(1))

@@ -210,13 +210,13 @@ object Ivf {
       vectors.select(col(vecCol))
         .orderBy(xxhash64(col(vecCol)))
         .limit(cap.toInt).as[Seq[Float]]
-        .collect().map(_.toArray.map(_.toDouble))
+        .collect().map(_.toArray.map(_.toDouble)) // bounded: ≤ cap sample rows
     var points =
       if (est <= cap) hashSpreadRead()
       // oversample so the realized sample rarely undershoots cap
       else vectors.sample(withReplacement = false, math.min(1.0, 1.5 * cap / est), seed)
         .select(col(vecCol)).limit(cap.toInt).as[Seq[Float]]
-        .collect().map(_.toArray.map(_.toDouble))
+        .collect().map(_.toArray.map(_.toDouble)) // bounded: ≤ cap sample rows
     if (points.length < cap / 2)
       points = hashSpreadRead()
     val centers = lloyd(points, nLists, seed, maxIter)
@@ -343,7 +343,7 @@ object Ivf {
     import spark.implicits._
     val centers = spark.read.parquet(s"$path/centroids")
       .select(col("list_id"), col("center"))
-      .as[(Int, Seq[Double])].collect()
+      .as[(Int, Seq[Double])].collect() // bounded: #lists centroid rows
       .sortBy(_._1).map(_._2.toArray)
     Index(centers, spark.read.parquet(s"$path/assigned"))
   }

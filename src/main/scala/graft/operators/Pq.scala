@@ -44,7 +44,7 @@ object Pq {
     val subDim = dim / nSub
     val pts = vectors.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol))).limit(sampleCap).as[Seq[Float]]
-      .collect().map(_.toArray.map(_.toDouble))
+      .collect().map(_.toArray.map(_.toDouble)) // bounded: ≤ sampleCap rows
     val centers = Array.tabulate(nSub) { s =>
       Ivf.lloyd(pts.map(p => java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim)),
         nCentroids, seed + s, maxIter = 8)

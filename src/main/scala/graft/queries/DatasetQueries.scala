@@ -123,7 +123,7 @@ object DatasetQueries {
       // Planted-twin ids start at max(vec_id)+1 so they can NEVER collide
       // with real ids at any scale factor (a fixed constant would once the
       // corpus outgrows it); the oracle replays the same scalar subquery.
-      val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+      val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L // bounded: 1-row agg
       val planted = base.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + lit(off)).as("vec_id"),
           transform(col("embedding"), (x, i) =>
@@ -219,7 +219,7 @@ object DatasetQueries {
     // Twin ids start at max(vec_id)+1 — collision-proof at every scale
     // factor (and under the ScaleProbe 100 M replica bands); replayed by
     // the oracle as the same scalar subquery.
-    val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+    val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L // bounded: 1-row agg
     val planted = test.select((col("tid") + lit(off)).as("vec_id"),
       transform(col("tvec"), (x, i) =>
         (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
@@ -400,7 +400,7 @@ object DatasetQueries {
   val semdedupQ = QueryDef("semdedup",
     (s, dir) => {
       val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+      val off = base.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L // bounded: 1-row agg
       val planted = base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + lit(off)).as("vec_id"),
           transform(col("embedding"), (x, i) =>

@@ -120,7 +120,7 @@ object SelectionQueries {
     val counts = withTarget.select(col("is_target"), explode(col("toks")).as("tk"))
       .withColumn("bk", hashBucket(col("tk"), "graft-dsir", B))
       .groupBy("bk").agg(count(lit(1)).as("cr"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect()
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")).collect() // bounded: ≤ B bucket rows
     val cr = Array.fill(B)(0L); val ct = Array.fill(B)(0L)
     counts.foreach { r =>
       val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
@@ -547,7 +547,7 @@ object SelectionQueries {
       .filter(col("pair").rlike("^[a-z0-9]{2}$"))
       .groupBy("pair").agg(sum(col("wc")).as("n"))
       .orderBy(col("n").desc, col("pair").asc).limit(bpeNumMerges)
-      .collect().map(_.getString(0))
+      .collect().map(_.getString(0)) // bounded: ≤ bpeNumMerges rows
     require(merges.length == bpeNumMerges,
       s"corpus yields only ${merges.length} merge pairs (< $bpeNumMerges)")
     def encodeWord(w: Column): Column = {
@@ -963,7 +963,7 @@ object SelectionQueries {
       val scored = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
       val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded: #source rows
       val srcSorted = counts.keys.toSeq.sorted
       val offsets = srcSorted.zip(srcSorted.scanLeft(0L)(_ + counts(_)).init).toMap
       import scala.jdk.CollectionConverters._

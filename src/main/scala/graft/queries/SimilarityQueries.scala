@@ -1118,7 +1118,7 @@ object SimilarityQueries {
           hashBucket(concat(col("vec_id").cast("string"), lit(":" + t)),
             "graft-km", 16).cast("double").as(s"x$t")): _*)
       // bounded deterministic driver sample — the Ivf.build collect shape
-      val sample: Array[Array[Double]] = pts.orderBy("vec_id").collect()
+      val sample: Array[Array[Double]] = pts.orderBy("vec_id").collect() // bounded: ≤ nC sample rows
         .map(r => Array.tabulate(kmDim)(t => r.getDouble(1 + t)))
       val centers = graft.operators.Ivf.lloydIterations(sample, kmInitCenters, kmIters)
       // engine-side final assignment through the real argmin (float cast
@@ -1439,7 +1439,7 @@ object SimilarityQueries {
       .withColumn("h", graft.operators.Dedup.md5Hash60(
         concat(lit("graft-pq-sample:"), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(nC)
-      .select("embedding").as[Seq[Float]].collect()
+      .select("embedding").as[Seq[Float]].collect() // bounded: ≤ nC sample rows
       .map(_.toArray.map(_.toDouble))
     graft.operators.Pq.Codebooks(4, 16, Array.tabulate(4)(s =>
       rows.map(p => java.util.Arrays.copyOfRange(p, s * 16, (s + 1) * 16))))

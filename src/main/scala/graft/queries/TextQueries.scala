@@ -780,13 +780,13 @@ object TextQueries {
         .localCheckpoint() // read by top-k, the total, and the sketch gate
       val skBytes = toks
         .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-        .head().getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0) // bounded: 1-row sketch agg
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(skBytes))
       // top-20 + corpus total in ONE bounded report (20 rows collected —
       // the only driver-side state beside the sketch)
       val top = graft.operators.TopShare.report(counts, "token", "cnt", 20)
-        .select("rank", "token", "cnt", "total").orderBy("rank").collect()
+        .select("rank", "token", "cnt", "total").orderBy("rank").collect() // bounded: 20-row report
       top.toSeq.map { r =>
         val tok = r.getString(1); val cnt = r.getLong(2)
         val slack = math.ceil(eps * r.getLong(3)).toLong

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level scale-hygiene audit — the checks a reviewer otherwise
+  * re-does by hand every round, made un-forgettable:
+  *
+  *  - no Scala `udf()` (codegen'd builtins / native Catalyst expressions
+  *    only — a Scala UDF is an interpreted black box Catalyst can
+  *    neither push through nor codegen);
+  *  - no `???` stubs in shipped code;
+  *  - every driver-side action (`collect`/`head`/`collectAsList`/
+  *    `toLocalIterator`) carries a `// bounded: <why>` marker on the
+  *    same or one of the two preceding lines — the documented reason
+  *    the materialized result cannot scale with the corpus (1-row
+  *    aggregates, ≤cap samples, #source/#list frames, limit-k
+  *    argmaxes). A new unbounded collect cannot land without either
+  *    the marker (visible in review, greppable) or failing here.
+  */
+class SourceAuditSpec extends AnyFunSuite {
+
+  private def sources: Seq[(String, Vector[String])] = {
+    val root = Paths.get("src/main/scala/graft")
+    assert(Files.isDirectory(root), s"main source root not found at $root")
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map((p: Path) => (p.toString, Files.readAllLines(p).asScala.toVector))
+      .toVector
+    finally walk.close()
+  }
+
+  private def isComment(line: String): Boolean = {
+    val t = line.trim
+    t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+  }
+
+  test("no Scala udf() in main source") {
+    val hits = for {
+      (f, lines) <- sources
+      (l, i) <- lines.zipWithIndex
+      if !isComment(l) && l.matches(""".*(^|[^\w.])udf\s*\(.*""")
+    } yield s"$f:${i + 1}"
+    assert(hits.isEmpty, s"udf() in main source: ${hits.mkString(", ")}")
+  }
+
+  test("no ??? stubs in main source") {
+    val hits = for {
+      (f, lines) <- sources
+      (l, i) <- lines.zipWithIndex
+      if !isComment(l) && l.contains("???")
+    } yield s"$f:${i + 1}"
+    assert(hits.isEmpty, s"??? stub in main source: ${hits.mkString(", ")}")
+  }
+
+  test("every driver-side action carries a '// bounded:' justification") {
+    val action = """.*(\.collect\(\)|\.head\(\)|\.collectAsList\(|\.toLocalIterator).*""".r
+    val unmarked = for {
+      (f, lines) <- sources
+      (l, i) <- lines.zipWithIndex
+      if !isComment(l) && action.matches(l)
+      window = lines.slice(math.max(0, i - 2), i + 1)
+      if !window.exists(_.contains("// bounded:"))
+    } yield s"$f:${i + 1}: ${l.trim.take(80)}"
+    assert(unmarked.isEmpty,
+      "driver-side action without a '// bounded:' justification:\n" +
+        unmarked.mkString("\n"))
+  }
+}
