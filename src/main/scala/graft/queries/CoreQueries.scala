@@ -257,8 +257,100 @@ object CoreQueries {
       FROM spans WHERE e - s >= 1200 AND e - s <= 9000
       ORDER BY video_id, span_start"""))
 
+  /** Shot-boundary detection — the classic video-curation segmenter the
+    * tiling ops (G1–G4) deliberately don't do: fixed-duration tiles cut
+    * MID-SCENE, while a clip-training corpus wants cuts at content
+    * changes. Per video, a sampled frame-feature stream; a frame starts a
+    * new shot when its L1 feature distance to the previous sampled frame
+    * crosses a threshold; shots roll up to (start, end, n_frames) spans.
+    *
+    * The FEATURES here are md5-synthesized (the model-fake discipline:
+    * piecewise-constant per md5-chosen scene, dim 0 guarantees ≥ 32
+    * separation across consecutive scenes, per-frame jitter ≤ 1 per dim
+    * keeps within-shot distance ≤ 4 — threshold 16 splits the classes
+    * with margin), so DuckDB replays every distance, boundary vote and
+    * span; a production run swaps the feature columns for real
+    * embeddings and keeps the operator unchanged.
+    *
+    * Scale shape: one narrow frame explode (fan-out ∝ duration), ONE
+    * window keyed by video_id (per-key row count bounded by the sampled
+    * frame cap — lag and the running boundary sum share the single
+    * window spec), one partial-agg rollup. Parallel across videos; no
+    * unpartitioned window, no loop join (the registry audits hold). */
+  val shotBoundariesQ = QueryDef("shot_boundaries",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Dedup.md5Hash60
+      val vids = manifest(s, dir)
+        .filter(col("video_id") % 50 === 0 && col("total_duration") > 0)
+        .select(col("video_id"),
+          least(floor(col("total_duration") * 24).cast("long"), lit(2390L)).as("max_f"))
+      val frames = vids
+        .select(col("video_id"), explode(sequence(lit(0L), col("max_f"), lit(10L))).as("fidx"))
+        .withColumn("shot_len",
+          md5Hash60(concat(lit("sb:len:"), col("video_id").cast("string"))) % 80 + 40)
+        .withColumn("scene", expr("fidx div shot_len"))
+      def jit(i: Int) = md5Hash60(concat(lit(s"sb:j$i:"),
+        col("video_id").cast("string"), lit(":"), col("fidx").cast("string"))) % 2
+      def base(i: Int) = (md5Hash60(concat(lit(s"sb:f$i:"),
+        col("video_id").cast("string"), lit(":"), col("scene").cast("string"))) % 32) * 32
+      val feat = frames.select(col("video_id"), col("fidx"),
+        ((col("scene") % 31 + 1) * 32 + jit(0)).as("d0"),
+        (base(1) + jit(1)).as("d1"),
+        (base(2) + jit(2)).as("d2"),
+        (base(3) + jit(3)).as("d3"))
+      val w = Window.partitionBy("video_id").orderBy("fidx")
+      val dist = (0 to 3)
+        .map(i => abs(col(s"d$i") - lag(col(s"d$i"), 1).over(w)))
+        .reduce(_ + _)
+      feat.withColumn("dist", dist)
+        .withColumn("boundary",
+          when(col("dist").isNull || col("dist") >= 16, 1L).otherwise(0L))
+        .withColumn("shot_id", sum(col("boundary"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+        .groupBy("video_id", "shot_id")
+        .agg(min(col("fidx")).as("start_fidx"), max(col("fidx")).as("end_fidx"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("video_id", "shot_id")
+    },
+    Some {
+      def h(k: String) = s"CAST(('0x' || substring(md5($k), 1, 15)) AS BIGINT)"
+      val vid = "CAST(video_id AS VARCHAR)"
+      val fx = "CAST(fidx AS VARCHAR)"
+      val sc = "CAST(scene AS VARCHAR)"
+      s"""WITH manifest AS ($manifestSql),
+        v AS (SELECT video_id,
+                LEAST(CAST(FLOOR(total_duration * 24) AS BIGINT), 2390) AS max_f
+              FROM manifest WHERE video_id % 50 = 0 AND total_duration > 0),
+        f AS (SELECT video_id, UNNEST(generate_series(0, max_f, 10)) AS fidx FROM v),
+        sl AS (SELECT video_id, fidx,
+                 fidx // (${h(s"'sb:len:' || $vid")} % 80 + 40) AS scene
+               FROM f),
+        ft AS (SELECT video_id, fidx,
+                 (scene % 31 + 1) * 32 + ${h(s"'sb:j0:' || $vid || ':' || $fx")} % 2 AS d0,
+                 (${h(s"'sb:f1:' || $vid || ':' || $sc")} % 32) * 32 + ${h(s"'sb:j1:' || $vid || ':' || $fx")} % 2 AS d1,
+                 (${h(s"'sb:f2:' || $vid || ':' || $sc")} % 32) * 32 + ${h(s"'sb:j2:' || $vid || ':' || $fx")} % 2 AS d2,
+                 (${h(s"'sb:f3:' || $vid || ':' || $sc")} % 32) * 32 + ${h(s"'sb:j3:' || $vid || ':' || $fx")} % 2 AS d3
+               FROM sl),
+        dd AS (SELECT video_id, fidx,
+                 ABS(d0 - LAG(d0) OVER w) + ABS(d1 - LAG(d1) OVER w)
+                 + ABS(d2 - LAG(d2) OVER w) + ABS(d3 - LAG(d3) OVER w) AS dist
+               FROM ft WINDOW w AS (PARTITION BY video_id ORDER BY fidx)),
+        mk AS (SELECT video_id, fidx,
+                 CASE WHEN dist IS NULL OR dist >= 16 THEN 1 ELSE 0 END AS boundary
+               FROM dd),
+        sh AS (SELECT video_id, fidx,
+                 SUM(boundary) OVER (PARTITION BY video_id ORDER BY fidx
+                   ROWS UNBOUNDED PRECEDING) - 1 AS shot_id
+               FROM mk)
+        SELECT video_id, CAST(shot_id AS BIGINT) AS shot_id,
+          MIN(fidx) AS start_fidx, MAX(fidx) AS end_fidx, COUNT(*) AS n_frames
+        FROM sh GROUP BY video_id, shot_id ORDER BY video_id, shot_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(
     q1Agg, gateMinDuration, tileSegments, filterMinSeglen, projectSummary,
     genSavePathQ, pathBasenameQ, fmtTimeLabelQ, parseRationalQ,
-    resolveDurationQ, deriveDurationQ, sampleEveryKQ, sampleLastNQ, bisectSpansQ)
+    resolveDurationQ, deriveDurationQ, sampleEveryKQ, sampleLastNQ, bisectSpansQ,
+    shotBoundariesQ)
 }

@@ -58,4 +58,32 @@ class VideoFunctionsSpec extends AnyFunSuite {
       .select(normalizeBoxes($"boxes").as("nb"))
     assert(df.as[Seq[Seq[Long]]].collect().head == Seq(Seq(1L, 2L, 10L, 20L)))
   }
+
+  test("shot_boundaries: each detected shot is exactly one planted scene, in order") {
+    // Closed-form law of the md5 synthesis: scenes are fidx div shot_len
+    // and every scene index occurs among the sampled frames (sample step
+    // 10 < min shot_len 40), so the k-th detected shot of a video must
+    // cover scene k and nothing else — boundaries land exactly at scene
+    // changes, no split or merged shots anywhere.
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val rows = graft.queries.CoreQueries.shotBoundariesQ
+      .spark(TestSpark.spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (vid, shotId, start, end) =>
+      val len = h60(s"sb:len:$vid") % 80 + 40
+      assert(start / len == shotId, s"video $vid shot $shotId starts in scene ${start / len}")
+      assert(end / len == shotId, s"video $vid shot $shotId ends in scene ${end / len}")
+    }
+    // shots are contiguous per video: shot k+1 starts one sample step
+    // after shot k ends
+    rows.groupBy(_._1).values.foreach { vs =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, _, e1), (_, _, s2, _)) => assert(s2 == e1 + 10)
+        case _ =>
+      }
+    }
+  }
 }
