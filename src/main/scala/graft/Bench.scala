@@ -69,11 +69,21 @@ object Bench {
           val t1 = System.nanoTime()
           df.write.mode("overwrite").format("noop").save()
           val first = (System.nanoTime() - t1) / 1e9
-          val extra = (2 to repeats).map { _ =>
-            System.gc()
-            val tr = System.nanoTime()
-            df.write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - tr) / 1e9
+          // Each repeat gets its own try: a failure mid-repeat (OOM from a
+          // neighbor's heap debt, transient executor loss) must not discard
+          // the successful first measurement — min over the runs that
+          // completed is still a valid exec_min.
+          val extra = (2 to repeats).flatMap { _ =>
+            try {
+              System.gc()
+              val tr = System.nanoTime()
+              df.write.mode("overwrite").format("noop").save()
+              Some((System.nanoTime() - tr) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"BENCH REPEAT $name: ${e.getClass.getName}: ${e.getMessage}")
+              None
+            }
           }
           ((t1 - t0) / 1e9, first +: extra.toVector)
         } catch {

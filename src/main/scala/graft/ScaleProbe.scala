@@ -596,6 +596,10 @@ object ScaleProbe {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def cpuTime(f: => Unit): (Double, Double, Double) = {
+      // Quiesce the async listener bus at BOTH endpoints of the delta:
+      // task-end stragglers from the preceding warmup/family would
+      // otherwise land after k0 is read and inflate the measured task CPU.
+      Thread.sleep(1500)
       val c0 = osBean.getProcessCpuTime; val k0 = taskCpuNs.get
       val t0 = System.nanoTime()
       f

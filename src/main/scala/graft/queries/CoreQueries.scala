@@ -290,10 +290,18 @@ object CoreQueries {
         .withColumn("shot_len",
           md5Hash60(concat(lit("sb:len:"), col("video_id").cast("string"))) % 80 + 40)
         .withColumn("scene", expr("fidx div shot_len"))
-      def jit(i: Int) = md5Hash60(concat(lit(s"sb:j$i:"),
-        col("video_id").cast("string"), lit(":"), col("fidx").cast("string"))) % 2
-      def base(i: Int) = (md5Hash60(concat(lit(s"sb:f$i:"),
-        col("video_id").cast("string"), lit(":"), col("scene").cast("string"))) % 32) * 32
+      // One md5 per frame row and one per (video, scene), bit-sliced into
+      // the four jitters (bits 0..3) and three 5-bit base fields — codegen
+      // subexpression elimination evaluates each hash once, so fixture
+      // synthesis costs 3 hashes/row instead of 7 while the scene-margin
+      // law (within-shot dist ≤ 4, cross-scene ≥ 31) is unchanged: jitters
+      // stay in {0,1}, bases stay multiples of 32.
+      val hf = md5Hash60(concat(lit("sb:j:"),
+        col("video_id").cast("string"), lit(":"), col("fidx").cast("string")))
+      val hs = md5Hash60(concat(lit("sb:f:"),
+        col("video_id").cast("string"), lit(":"), col("scene").cast("string")))
+      def jit(i: Int) = shiftright(hf, i) % 2
+      def base(i: Int) = (shiftright(hs, 5 * i) % 32) * 32
       val feat = frames.select(col("video_id"), col("fidx"),
         ((col("scene") % 31 + 1) * 32 + jit(0)).as("d0"),
         (base(1) + jit(1)).as("d1"),
@@ -326,12 +334,16 @@ object CoreQueries {
         sl AS (SELECT video_id, fidx,
                  fidx // (${h(s"'sb:len:' || $vid")} % 80 + 40) AS scene
                FROM f),
-        ft AS (SELECT video_id, fidx,
-                 (scene % 31 + 1) * 32 + ${h(s"'sb:j0:' || $vid || ':' || $fx")} % 2 AS d0,
-                 (${h(s"'sb:f1:' || $vid || ':' || $sc")} % 32) * 32 + ${h(s"'sb:j1:' || $vid || ':' || $fx")} % 2 AS d1,
-                 (${h(s"'sb:f2:' || $vid || ':' || $sc")} % 32) * 32 + ${h(s"'sb:j2:' || $vid || ':' || $fx")} % 2 AS d2,
-                 (${h(s"'sb:f3:' || $vid || ':' || $sc")} % 32) * 32 + ${h(s"'sb:j3:' || $vid || ':' || $fx")} % 2 AS d3
+        hh AS (SELECT video_id, fidx, scene,
+                 ${h(s"'sb:j:' || $vid || ':' || $fx")} AS hf,
+                 ${h(s"'sb:f:' || $vid || ':' || $sc")} AS hs
                FROM sl),
+        ft AS (SELECT video_id, fidx,
+                 (scene % 31 + 1) * 32 + hf % 2 AS d0,
+                 ((hs // 32) % 32) * 32 + (hf // 2) % 2 AS d1,
+                 ((hs // 1024) % 32) * 32 + (hf // 4) % 2 AS d2,
+                 ((hs // 32768) % 32) * 32 + (hf // 8) % 2 AS d3
+               FROM hh),
         dd AS (SELECT video_id, fidx,
                  ABS(d0 - LAG(d0) OVER w) + ABS(d1 - LAG(d1) OVER w)
                  + ABS(d2 - LAG(d2) OVER w) + ABS(d3 - LAG(d3) OVER w) AS dist

@@ -34,16 +34,28 @@ class SourceAuditSpec extends AnyFunSuite {
     finally walk.close()
   }
 
-  private def isComment(line: String): Boolean = {
-    val t = line.trim
-    t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+  /** Per-line comment-only flags with real block-comment tracking: a line
+    * whose trim starts with `*` is a comment ONLY inside a slash-star block
+    * (otherwise e.g. a continuation line starting with `*` in an arithmetic
+    * expression would silently escape every audit below).
+    */
+  private def commentFlags(lines: Vector[String]): Vector[Boolean] = {
+    var inBlock = false
+    lines.map { line =>
+      val t = line.trim
+      val wasInBlock = inBlock
+      if (inBlock) { if (t.contains("*/")) inBlock = false }
+      else if (t.startsWith("/*")) inBlock = !t.contains("*/")
+      wasInBlock || t.startsWith("//") || t.startsWith("/*")
+    }
   }
 
   test("no Scala udf() in main source") {
     val hits = for {
       (f, lines) <- sources
+      flags = commentFlags(lines)
       (l, i) <- lines.zipWithIndex
-      if !isComment(l) && l.matches(""".*(^|[^\w.])udf\s*\(.*""")
+      if !flags(i) && l.matches(""".*(^|[^\w.])udf\s*\(.*""")
     } yield s"$f:${i + 1}"
     assert(hits.isEmpty, s"udf() in main source: ${hits.mkString(", ")}")
   }
@@ -51,20 +63,37 @@ class SourceAuditSpec extends AnyFunSuite {
   test("no ??? stubs in main source") {
     val hits = for {
       (f, lines) <- sources
+      flags = commentFlags(lines)
       (l, i) <- lines.zipWithIndex
-      if !isComment(l) && l.contains("???")
+      if !flags(i) && l.contains("???")
     } yield s"$f:${i + 1}"
     assert(hits.isEmpty, s"??? stub in main source: ${hits.mkString(", ")}")
   }
 
   test("every driver-side action carries a '// bounded:' justification") {
     val action = """.*(\.collect\(\)|\.head\(\)|\.collectAsList\(|\.toLocalIterator).*""".r
+    // Marker must be tied to the statement: on the action line itself, or
+    // on comment-ONLY lines immediately above it (a contiguous comment run
+    // touching the action line). A marker two lines up with unrelated code
+    // in between no longer sanctions the action.
+    def marked(lines: Vector[String], flags: Vector[Boolean], i: Int): Boolean = {
+      if (lines(i).contains("// bounded:")) true
+      else {
+        var j = i - 1
+        var found = false
+        while (j >= 0 && flags(j) && !found) {
+          if (lines(j).contains("bounded:")) found = true
+          j -= 1
+        }
+        found
+      }
+    }
     val unmarked = for {
       (f, lines) <- sources
+      flags = commentFlags(lines)
       (l, i) <- lines.zipWithIndex
-      if !isComment(l) && action.matches(l)
-      window = lines.slice(math.max(0, i - 2), i + 1)
-      if !window.exists(_.contains("// bounded:"))
+      if !flags(i) && action.matches(l)
+      if !marked(lines, flags, i)
     } yield s"$f:${i + 1}: ${l.trim.take(80)}"
     assert(unmarked.isEmpty,
       "driver-side action without a '// bounded:' justification:\n" +

@@ -22,8 +22,8 @@ import statistics
 import sys
 
 
-def execs(artifact):
-    m = artifact.get("exec_min") or artifact.get("exec") or {}
+def execs(artifact, field):
+    m = artifact.get(field) or {}
     return {q: v for q, v in m.items() if v >= 0}
 
 
@@ -34,12 +34,15 @@ def main():
     new = json.load(open(sys.argv[2]))
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
-    eo, en = execs(old), execs(new)
+    # Use exec_min ONLY when BOTH sides carry it: min-of-N warm repeats is
+    # structurally lower than one cold run, so mixing the two definitions
+    # would bias every ratio toward phantom improvement (or regression).
+    field = "exec_min" if (old.get("exec_min") and new.get("exec_min")) else "exec"
+    eo, en = execs(old, field), execs(new, field)
     common = sorted(set(eo) & set(en))
     added = sorted(set(en) - set(eo))
     removed = sorted(set(eo) - set(en))
-    src_old = "exec_min" if old.get("exec_min") else "exec"
-    src_new = "exec_min" if new.get("exec_min") else "exec"
+    src_old = src_new = field
     print(f"old: {len(eo)} queries ({src_old}); new: {len(en)} queries ({src_new}); "
           f"common {len(common)}, added {added or 'none'}, removed {removed or 'none'}")
     to = sum(eo[q] for q in common)
