@@ -126,6 +126,32 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"BENCH: could not write $outFile: ${e.getMessage}")
     }
+    // Full sweeps auto-diff against the LAST COMMITTED artifact of the
+    // same name (tools/bench_diff.py, median-normalized), writing
+    // bench_diff_<sf>.txt next to the artifact — a regression is caught
+    // the day it lands instead of at verdict time. Best-effort: any
+    // failure (no git, no prior artifact, no python) only logs.
+    if (only.isEmpty) {
+      try {
+        val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
+        val show = new ProcessBuilder("git", "show", s"HEAD:$defaultOut")
+          .redirectOutput(prev.toFile).redirectErrorStream(false).start()
+        if (show.waitFor() == 0 && java.nio.file.Files.size(prev) > 2) {
+          val diffOut = new java.io.File(
+            outFile.replaceAll("\\.json$", "") .replace("bench_full", "bench_diff") + ".txt")
+          val diff = new ProcessBuilder(
+            "python3", "tools/bench_diff.py", prev.toString, outFile)
+            .redirectOutput(diffOut).redirectErrorStream(true).start()
+          diff.waitFor()
+          System.err.println(s"BENCH DIFF vs HEAD:$defaultOut -> $diffOut")
+          scala.io.Source.fromFile(diffOut, "UTF-8").getLines().take(6)
+            .foreach(l => System.err.println(s"BENCH DIFF: $l"))
+        } else System.err.println(s"BENCH DIFF: no committed $defaultOut to diff against")
+        java.nio.file.Files.deleteIfExists(prev)
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH DIFF skipped: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

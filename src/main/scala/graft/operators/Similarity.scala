@@ -394,26 +394,50 @@ object Similarity {
     * shuffle — the constant that kept the 20× probe's scored join from
     * fitting cache when proposals carried full vectors. Recall strictly
     * never decreases (the old list is always in the candidate union).
-    * Deterministic and SQL-replayable end to end. */
+    * Deterministic and SQL-replayable end to end.
+    *
+    * `chunks` > 1 bounds the round's LIVE working set for single-JVM
+    * deployments: points are sliced by `qid % chunks` and each slice's
+    * proposal generation + scoring materializes (localCheckpoint)
+    * before the next slice starts, so peak memory is one slice's
+    * proposals instead of all n·(2k)² at once — the measured ~1.6×
+    * single-48g-JVM heap-pressure excess the two-executor probe proved
+    * avoidable (SCALE.md), bought back without a second JVM. Exactness:
+    * a point's ENTIRE adjacency lands in its slice (the slice filter
+    * keys on the list owner), so per-qid candidates, pre-scored rows,
+    * and both ranking windows are identical to the unchunked plan —
+    * rows are bit-identical for every `chunks`. */
   def nnDescentRound(topk: DataFrame, emb: DataFrame, codes: DataFrame,
                      k: Int, shortlist: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     codeSim: (Column, Column) => Column = hammingSim): DataFrame = {
+                     codeSim: (Column, Column) => Column = hammingSim,
+                     chunks: Int = 1): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
     val fwd = topk.select(col("qid").as("a"), col(idCol).as("b"))
     val rev = topk
       .withColumn("rr", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("rank").asc, col("qid").asc)))
       .filter(col("rr") <= k)
       .select(col(idCol).as("a"), col("qid").as("b"))
-    val adj = fwd.union(rev).distinct()
-    val cand = adj.select(col("a").as("q"), col("b").as("u"))
-      .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
-      .filter(col("q") =!= col("w"))
-      .select(col("q").as("qid"), col("w").as(idCol))
-      .distinct()
-    hammingShortlistTopK(cand, emb, codes, k, shortlist,
-      preScored = Some(topk.select(col("qid"), col(idCol), col("sim"))),
-      idCol = idCol, vecCol = vecCol, codeSim = codeSim)
+    val adjAll = fwd.union(rev).distinct()
+    // bare-id adjacency (2nk rows) is read by every slice — checkpoint
+    // once when slicing so the union+distinct doesn't re-run per slice
+    val adj = if (chunks > 1) adjAll.localCheckpoint() else adjAll
+    def scoreSlice(slice: Option[Int]): DataFrame = {
+      val own = slice.fold(adj)(c => adj.filter(pmod(col("a"), lit(chunks)) === c))
+      val cand = own.select(col("a").as("q"), col("b").as("u"))
+        .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
+        .filter(col("q") =!= col("w"))
+        .select(col("q").as("qid"), col("w").as(idCol))
+        .distinct()
+      val pre = slice.fold(topk)(c => topk.filter(pmod(col("qid"), lit(chunks)) === c))
+        .select(col("qid"), col(idCol), col("sim"))
+      hammingShortlistTopK(cand, emb, codes, k, shortlist, preScored = Some(pre),
+        idCol = idCol, vecCol = vecCol, codeSim = codeSim)
+    }
+    if (chunks == 1) scoreSlice(None)
+    else (0 until chunks).map(c => scoreSlice(Some(c)).localCheckpoint())
+      .reduce(_ unionByName _)
   }
 
   /** SemDeDup-shaped near-duplicate pairs at corpus scale (Abbas et al.,

@@ -78,6 +78,12 @@ class Captioning(captionerFactory: () => Models.Captioner) extends Serializable 
         }
       }
       .toDF("doc_id", "prompt", "images", "output_image", "vision_inputs_error", "caption")
+      // The VLM stage is per-input-row: every output row carries its source
+      // row's key/record columns unchanged (only `caption` is computed), so
+      // a record-validity gate an author writes AFTER the model hoists
+      // below the barrier and gated-out records never reach the VLM.
+      .transform(graft.plans.GateHoist.declarePassthrough(
+        _, "doc_id", "prompt", "images", "output_image", "vision_inputs_error"))
   }
 
   /** 4-field training record (ref: common/io/save_output_op.py:18-23);

@@ -39,21 +39,19 @@ object PipelineQueries {
       FROM manifest m LEFT JOIN counts c USING (video_id)
       ORDER BY m.video_id"""))
 
-  /** E2 captioning: placeholder parse (list + bare-path fallback) → fixed
-    * prompt → executor-singleton "VLM" → training-record JSON. */
-  val pipelineCaption = QueryDef("pipeline_caption",
-    (s, dir) => {
-      val input = table(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("doc_id") % 2 === 0,
-          format_string("[\"/imgs/a_%d.jpg\",\"/imgs/b_%d.jpg\"]", col("doc_id"), col("doc_id")))
-          .otherwise(format_string("/imgs/a_%d.jpg", col("doc_id"))).as("input_images"),
-        format_string("/out/img_%d.png", col("doc_id")).as("output_image"))
-      new Captioning(() => new Models.FakeCaptioner).run(input)
-        .select("doc_id", "caption", "record")
-        .orderBy("doc_id")
-    },
-    Some("""WITH t AS (
+  /** The captioning manifest both E2 variants share: JSON-list images on
+    * even ids, a bare path on odd (exercising both placeholder parses). */
+  private def captionInput(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        format_string("[\"/imgs/a_%d.jpg\",\"/imgs/b_%d.jpg\"]", col("doc_id"), col("doc_id")))
+        .otherwise(format_string("/imgs/a_%d.jpg", col("doc_id"))).as("input_images"),
+      format_string("/out/img_%d.png", col("doc_id")).as("output_image"))
+
+  /** E2's oracle — ONE SQL string certifying both the well-ordered and
+    * the mis-ordered authoring (the frame-mining/bg-curation pattern). */
+  private val captionOracleSql = """WITH t AS (
         SELECT doc_id,
           CASE WHEN doc_id % 2 = 0
                THEN [printf('/imgs/a_%d.jpg', doc_id), printf('/imgs/b_%d.jpg', doc_id)]
@@ -72,7 +70,45 @@ object PipelineQueries {
       SELECT doc_id, caption,
         CAST(to_json(struct_pack(task_type := 'subject_driven', instruction := caption,
           input_images := imgs, output_image := output_image)) AS VARCHAR) AS record
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id"""
+
+  /** E2 captioning: placeholder parse (list + bare-path fallback) → fixed
+    * prompt → executor-singleton "VLM" → training-record JSON. */
+  val pipelineCaption = QueryDef("pipeline_caption",
+    (s, dir) => {
+      new Captioning(() => new Models.FakeCaptioner).run(captionInput(s, dir))
+        .select("doc_id", "caption", "record")
+        .orderBy("doc_id")
+    },
+    Some(captionOracleSql))
+
+  /** The SAME captioning pipeline with its record-validity gate
+    * deliberately MIS-ORDERED (completing the set with E3/E4): the input
+    * is WIDENED with invalid records that carry VALID-looking image lists
+    * (the VLM would pay full inference for them) but an empty save
+    * target, and the author writes the cheap `output_image` validity gate
+    * at the very END, after the model stage and the record projection.
+    * The plan still collapses to the well-ordered one:
+    * [[graft.pipelines.Captioning.generate]] declares its row-wise
+    * passthrough contract, so [[graft.plans.GateHoist]] slides the gate
+    * through the record Project and below the VLM barrier, Catalyst then
+    * pushes it into the union branches, and the invalid branch constant-
+    * folds to an empty relation — invalid records never reach the model.
+    * Output hash-matches `pipeline_caption` EXACTLY (same oracle SQL);
+    * PlansSpec pins the hoisted plan shape and the identical rows. */
+  val pipelineCaptionMisordered = QueryDef("pipeline_caption_misordered",
+    (s, dir) => {
+      val junk = table(s, dir, "documents").select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        format_string("/imgs/junk_%d.jpg", col("doc_id")).as("input_images"),
+        lit("").as("output_image"))
+      new Captioning(() => new Models.FakeCaptioner)
+        .run(captionInput(s, dir).unionByName(junk))
+        .filter(col("output_image").startsWith("/out/")) // the mis-ordered gate
+        .select("doc_id", "caption", "record")
+        .orderBy("doc_id")
+    },
+    Some(captionOracleSql))
 
   /** E3 two-phase frame mining (greedy fold inside → rows-only). */
   val pipelineFrameMining = QueryDef("pipeline_frame_mining",
@@ -623,7 +659,8 @@ object PipelineQueries {
     },
     Some(bgCurationOracleSql))
 
-  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineFrameMining,
+  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineCaptionMisordered,
+    pipelineFrameMining,
     pipelineFrameMiningOracle, pipelineFrameMiningMisordered, pipelineBgCuration,
     bgSavePaths, pipelineCuration, pipelineDedupCorpus, pipelineBgCurationOracle,
     pipelineBgCurationMisordered)

@@ -882,6 +882,185 @@ object SelectionQueries {
       FROM dwf JOIN ws USING (w) GROUP BY lang ORDER BY lang"""
     })
 
+  // ── unigram_train_oracle ────────────────────────────────────────────────
+
+  private val ugMaxWordLen = 8   // DP unroll depth; corpus max word length
+  private val ugMaxPieceLen = 4  // longest seed substring
+  private val ugSeedMulti = 80   // multi-char seed pieces kept
+  private val ugEmRounds = 2     // hard-EM rounds before pruning
+  private val ugPruneMulti = 40  // multi-char pieces surviving the prune
+
+  /** One Viterbi pass in SQL: the [[graft.operators.Unigram.viterbi]] DP
+    * unrolled position by position — step i joins the ≤ maxPieceLen
+    * predecessor states against the piece CTE on the connecting
+    * substring, scores by one IEEE multiply per step, and takes the
+    * per-word argmax under the (prob desc, k asc, path asc) total order.
+    * MATERIALIZED because each step is read by up to maxPieceLen later
+    * steps plus the final union (the bpeTrainRoundSql lesson). */
+  private def ugPassSql(n: Int, pcCte: String): String = {
+    val steps = (1 to ugMaxWordLen).map { i =>
+      val lo = math.max(0, i - ugMaxPieceLen)
+      val prevUnion = (lo until i).map(j => s"SELECT * FROM v${n}p$j")
+        .mkString(" UNION ALL ")
+      s"""v${n}p$i AS MATERIALIZED (SELECT w, wc, pos, prob, k, path FROM (
+          SELECT w, wc, pos, prob, k, path,
+            ROW_NUMBER() OVER (PARTITION BY w
+              ORDER BY prob DESC, k ASC, path ASC) AS rn
+          FROM (SELECT d.w, d.wc, $i AS pos, d.prob * pc.p AS prob,
+                  d.k + 1 AS k,
+                  CASE WHEN d.path = '' THEN pc.piece
+                       ELSE d.path || '|' || pc.piece END AS path
+                FROM ($prevUnion) d
+                JOIN $pcCte pc
+                  ON pc.piece = substring(d.w, d.pos + 1, $i - d.pos)
+                WHERE length(d.w) >= $i))
+          WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    val fin = (1 to ugMaxWordLen)
+      .map(i => s"SELECT * FROM v${n}p$i WHERE length(w) = $i")
+      .mkString(" UNION ALL ")
+    s"""v${n}p0 AS (SELECT w, wc, 0 AS pos, CAST(1.0 AS DOUBLE) AS prob,
+            CAST(0 AS BIGINT) AS k, '' AS path FROM wcv),
+      $steps,
+      v${n}fin AS MATERIALIZED (SELECT * FROM ($fin))"""
+  }
+
+  /** Weighted Viterbi piece counts over a kept piece set (left join so
+    * kept-but-unused pieces count 0), mirroring
+    * [[graft.operators.Unigram.counts]]. */
+  private def ugCntSql(n: Int, keptCte: String): String =
+    s"""c$n AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS u FROM (
+          SELECT wc, UNNEST(string_split(path, '|')) AS piece FROM v${n}fin)
+        GROUP BY piece),
+      cnt$n AS MATERIALIZED (SELECT k.piece, COALESCE(c.u, CAST(0 AS BIGINT)) AS n
+        FROM (SELECT piece FROM $keptCte) k LEFT JOIN c$n c USING (piece))"""
+
+  /** Add-one-smoothed probabilities p = (n+1)/(Σn + |V|): exact BIGINT
+    * totals through one correctly-rounded IEEE division — bit-identical
+    * to [[graft.operators.Unigram.probs]]. */
+  private def ugProbSql(name: String, cntCte: String): String =
+    s"""$name AS MATERIALIZED (SELECT piece,
+          CAST(n + 1 AS DOUBLE) / CAST(t.tv AS DOUBLE) AS p
+        FROM $cntCte,
+          (SELECT CAST(SUM(n) + COUNT(*) AS BIGINT) AS tv FROM $cntCte) t)"""
+
+  /** The full unigram training chain in SQL: weighted word vocab → seed
+    * substrings (singles + top-$ugSeedMulti multi) → $ugEmRounds hard-EM
+    * rounds → prune (singles + top-$ugPruneMulti multi) → final pass. */
+  private val ugChainSql: String = Seq(
+    s"""tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
+      wcv AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tok
+        WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $ugMaxWordLen
+        GROUP BY w),
+      s1 AS (SELECT w, wc,
+          UNNEST(generate_series(1, LEAST($ugMaxPieceLen, length(w)))) AS l
+        FROM wcv),
+      s2 AS (SELECT wc, substring(w, p, l) AS piece FROM (
+        SELECT w, wc, l, UNNEST(generate_series(1, length(w) - l + 1)) AS p
+        FROM s1)),
+      sub AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS n FROM s2 GROUP BY piece),
+      sk AS MATERIALIZED (SELECT piece, n FROM sub WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, n FROM (SELECT piece, n,
+            ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS rn
+          FROM sub WHERE length(piece) >= 2) WHERE rn <= $ugSeedMulti)""",
+    ugProbSql("pc1", "sk"),
+    ugPassSql(1, "pc1"),
+    ugCntSql(1, "sk"),
+    ugProbSql("pc2", "cnt1"),
+    ugPassSql(2, "pc2"),
+    ugCntSql(2, "sk"),
+    s"""pr AS MATERIALIZED (SELECT piece, n FROM cnt2 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, n FROM (SELECT piece, n,
+          ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS rn
+        FROM cnt2 WHERE length(piece) >= 2) WHERE rn <= $ugPruneMulti)""",
+    ugProbSql("pc3", "pr"),
+    ugPassSql(3, "pc3"),
+    ugCntSql(3, "pr")
+  ).mkString(",\n      ")
+
+  /** CANONICAL unigram-LM (SentencePiece-style) tokenizer training (Kudo,
+    * ACL 2018), hash-certified — the THIRD tokenizer family under the
+    * oracle after BPE (merge by count) and WordPiece (merge by likelihood
+    * gain): seed an overcomplete substring vocabulary, fit piece
+    * probabilities by deterministic hard-EM (each word contributes
+    * through its Viterbi-best segmentation — SentencePiece's own
+    * inference decoding rule), prune to singles + top-$ugPruneMulti
+    * multi-char pieces, and run a final EM pass. All probability math is
+    * exact-integer counts through correctly-rounded IEEE divisions and
+    * multiplies (no libm — the lm_score discipline), tie-breaks are
+    * total orders, and the oracle replays the seed, every DP step of all
+    * three Viterbi passes, both EM count updates, and the prune
+    * bit-for-bit. Output = the final vocabulary with Viterbi counts and
+    * exact micro-unit smoothed probabilities (DECIMAL(38,0) floor-div,
+    * the WordPiece score discipline). Scale: one corpus-sized word-count
+    * agg; everything else is DISTINCT-vocabulary-bounded (per-word DP
+    * states, seed-bounded broadcast piece table). */
+  val unigramTrainOracle = QueryDef("unigram_train_oracle",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val words = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= ugMaxWordLen)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (cntF, _) = graft.operators.Unigram.train(words,
+        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val tot = cntF.agg((sum(col("n")) + count(lit(1))).cast("long").as("tv"))
+      val num = (col("n") + 1).cast(DecimalType(38, 0)) *
+        lit(1000000000000L).cast(DecimalType(38, 0))
+      val den = col("tv").cast(DecimalType(38, 0))
+      cntF.crossJoin(tot) // 1-row totals build side (the audited report shape)
+        .withColumn("score", ((num - (num % den)) / den).cast("long"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("piece").asc)).cast("long"))
+        .select("rank", "piece", "n", "score").orderBy("rank")
+    },
+    Some(s"""WITH $ugChainSql
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS BIGINT) AS rank,
+        piece, n,
+        CAST(CAST(n + 1 AS HUGEINT) * 1000000000000 // t.tv AS BIGINT) AS score
+      FROM cnt3, (SELECT CAST(SUM(n) + COUNT(*) AS BIGINT) AS tv FROM cnt3) t
+      ORDER BY rank"""))
+
+  /** TRAIN → APPLY under the unigram trainer — the [[bpeTrainFertility]]
+    * closure for the third tokenizer family: the final Viterbi pass IS
+    * the application (k = pieces per word), so fertility is one
+    * distinct-word rollup + equi-join (each distinct word segmented once
+    * against ~10¹² occurrences — the 100 TB apply trick). Reporting all
+    * three trainers' fertility on one corpus completes the standard
+    * tokenizer-selection comparison. Oracle replays the full chain. */
+  val unigramTrainFertility = QueryDef("unigram_train_fertility",
+    (s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= ugMaxWordLen)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val (_, fin) = graft.operators.Unigram.train(words,
+        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val wsym = fin.select(col("w"), col("k").as("n_sym"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= ugMaxWordLen)
+        .join(wsym, "w")
+        .groupBy("lang").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $ugChainSql,
+      ws AS (SELECT w, k AS n_sym FROM v3fin),
+      dw AS (SELECT doc_id, lang, UNNEST($toksSql) AS w FROM documents),
+      dwf AS (SELECT doc_id, lang, w FROM dw
+              WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $ugMaxWordLen)
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+        CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+        ROUND(CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+      FROM dwf JOIN ws USING (w) GROUP BY lang ORDER BY lang"""))
+
   // ── pipeline_select ─────────────────────────────────────────────────────
 
   /** The composed selection funnel (the pipeline_dedup_corpus analog for
@@ -1654,6 +1833,7 @@ object SelectionQueries {
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
       wordpieceTrainOracle, wordpieceTrainFertility,
+      unigramTrainOracle, unigramTrainFertility,
       pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
       clusterBalance, curriculumOrder, qualityClassifier, qualityTopkPerSource)

@@ -225,6 +225,13 @@ object SimilarityQueries {
   // 4× the bits doubles the ranking SNR and restores the 0.9 floor.
   private val knnCodeWords = 4
   private val knnCodeBitsPerWord = 63
+  // Max live bare-id proposal rows per NN-descent slice (~16 bytes/row →
+  // ~1.5 GB through the scored join per slice): sf0.1's 2000 vectors
+  // (3.2M proposals) stay single-slice, the 50× probe's 100k vectors
+  // (160M) slice ~2x-per-48g-heap. Overridable for probe experiments.
+  private val knnChunkProposals: Long =
+    sys.env.get("SPARK_GRAFT_KNN_CHUNK_PROPOSALS").map(_.toLong)
+      .getOrElse(96000000L)
   private lazy val knnCodePlanes =
     Similarity.md5Planes(knnCodeBitsPerWord, knnCodeWords, 64, "graft-knn-code")
 
@@ -256,7 +263,20 @@ object SimilarityQueries {
     * buckets — that corpus is what pipeline_dedup_corpus removes BEFORE
     * graph construction. */
   def knnGraphEdges(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val (planes, _) = lshDepth(Similarity.corpusCount(emb))
+      val n = Similarity.corpusCount(emb)
+      val (planes, _) = lshDepth(n)
+      // Single-JVM working-set bound: NN-descent rounds slice proposal
+      // generation + scoring by qid so no more than ~knnChunkProposals
+      // bare-id proposal rows are live at once (each slice materializes
+      // before the next starts) — the ~1.6× heap-pressure excess a lone
+      // 48 g JVM paid at 50× vs two 24 g executors (SCALE.md) comes from
+      // holding all n·(2k')² proposals through one shuffle; slicing caps
+      // it without a second JVM. Exact: per-qid results are unchanged
+      // for every chunk count, so the registered query (chunks = 1 at
+      // sf ≤ 0.1) and the probe (chunks > 1 at 20×/50×) share one oracle.
+      val descentChunks = math.max(1L,
+        (n * (2L * knnInternalK) * (2L * knnInternalK) + knnChunkProposals - 1)
+          / knnChunkProposals).toInt
       // 32 bytes per vector: the compact representation every candidate
       // stage scores against (tiny — checkpoint so all 4 stages share it)
       val codes = emb.select(col("vec_id"),
@@ -272,7 +292,7 @@ object SimilarityQueries {
         .localCheckpoint() // each round reads the previous once
       for (_ <- 1 to knnDescentRounds)
         topk = Similarity.nnDescentRound(topk, emb, codes, knnInternalK, knnShortlist,
-            codeSim = codeSim)
+            codeSim = codeSim, chunks = descentChunks)
           .localCheckpoint()
       val fwd = topk.filter(col("qid") < col("vec_id") && col("rank") <= annK)
         .select(col("qid").as("src"), col("vec_id").as("dst"),

@@ -395,36 +395,11 @@ class DatasetOpsSpec extends AnyFunSuite {
     // memo, corpusCount memo) keys strictly on the SparkSession: a
     // multi-tenant service runs one session per job on a shared context,
     // and a cross-session cache hit would hand tenant B frames resolved
-    // under tenant A's session state. Pin the isolation AND the re-hit.
-    val sf = "/root/testdata/sf0.001"
-    val s2 = spark.newSession()
-    // Tables frame cache: per-session entries, not shared across sessions
-    val t1 = graft.queries.Tables.table(spark, sf, "documents")
-    val t2 = graft.queries.Tables.table(s2, sf, "documents")
-    assert(!(t2 eq t1), "frame cache leaked a frame across sessions")
-    assert(t2.sparkSession eq s2, "frame bound to the wrong session")
-    assert(graft.queries.Tables.table(s2, sf, "documents") eq t2,
-      "second lookup in the same session must re-hit the memo")
-    // corpusCount memo: same plan, different session → independent entries
-    // that agree on the value
-    val n1 = Similarity.corpusCount(t1)
-    val n2 = Similarity.corpusCount(t2)
-    assert(n1 == n2 && n1 > 0)
-    // near-dup chain memo: the expensive checkpointed chain is rebuilt
-    // for the new session (memoized frames must belong to the session
-    // that resolves them), then re-hit on the second call
-    val (wk1, cp1) = graft.queries.DatasetQueries.nearDupClusters(spark, sf)
-    val (wk2, cp2) = graft.queries.DatasetQueries.nearDupClusters(s2, sf)
-    assert(!((wk2: AnyRef) eq wk1) && !((cp2: AnyRef) eq cp1),
-      "chain memo leaked frames across sessions")
-    assert(wk2.sparkSession eq s2, "memoized chain bound to the wrong session")
-    val (wk3, cp3) = graft.queries.DatasetQueries.nearDupClusters(s2, sf)
-    assert(((wk3: AnyRef) eq wk2) && ((cp3: AnyRef) eq cp2),
-      "per-session memo must re-hit within its own session")
-    // and the re-resolved frames carry the same CONTENT — the memo layer
-    // is transparent to query results
-    val a = wk1.orderBy("doc_id").collect().toSeq
-    val b = wk2.orderBy("doc_id").collect().toSeq
-    assert(a == b, "per-session rebuilds disagree on chain content")
+    // under tenant A's session state. The law itself lives in
+    // graft.ops.MemoLaws, shared VERBATIM with graft.MemoProbe so the
+    // same assertions also run under SPARK_GRAFT_MASTER=local-cluster —
+    // there the content check fetches both sessions' checkpoint blocks
+    // from real executor JVMs, which this local[n] suite cannot.
+    graft.ops.MemoLaws.sessionIsolation(spark, "/root/testdata/sf0.001")
   }
 }

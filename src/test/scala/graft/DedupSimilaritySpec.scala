@@ -869,6 +869,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("nnDescentRound: qid-sliced chunking is exact (rows identical for every chunk count)") {
+    // the single-JVM working-set bound (chunks > 1) must be a pure
+    // materialization schedule: a point's entire adjacency lands in its
+    // slice, so per-qid candidates, pre-scored rows, and both ranking
+    // windows are unchanged — identical output for chunks 1, 3, 7
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.queries.Tables.table(TestSpark.spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planes = Similarity.md5Planes(63, 1, 64, "graft-chunk-test")
+    val codes = emb.select(col("vec_id"),
+      Similarity.projectionCodes(col("embedding"), planes).as("code")).localCheckpoint()
+    val codeSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      Similarity.hammingSimWords(a, b, 1, 63)
+    val seed = Similarity.hammingShortlistTopK(
+      Similarity.lshCandidatePairsPlanes(emb,
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        Similarity.md5Planes(4, 4, 64)),
+      emb, codes, k = 8, shortlist = 24, codeSim = codeSim).localCheckpoint()
+    def round(chunks: Int) = Similarity
+      .nnDescentRound(seed, emb, codes, k = 8, shortlist = 24,
+        codeSim = codeSim, chunks = chunks)
+      .select("qid", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val base = round(1)
+    assert(base.nonEmpty)
+    for (c <- Seq(3, 7))
+      assert(round(c).toSeq == base.toSeq, s"chunks=$c diverged from unchunked")
+  }
+
   test("coreset_kcenter: seed is min id, centers distinct, radius non-increasing") {
     val out = graft.queries.SimilarityQueries.coresetKcenterQ
       .spark(TestSpark.spark, "/root/testdata/sf0.001").collect()

@@ -446,6 +446,38 @@ class PlansSpec extends AnyFunSuite {
       s"resolution gate still above a model barrier:\n$opt")
   }
 
+  test("misordered E2 gate: validity gate hoists below the VLM barrier, same rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val mis = graft.queries.PipelineQueries.pipelineCaptionMisordered.spark(spark, sf)
+    val ord = graft.queries.PipelineQueries.pipelineCaption.spark(spark, sf)
+    // identical rows to the well-ordered pipeline (same oracle SQL
+    // certifies both orderings in CORRECTNESS)
+    assert(mis.collect().toSeq == ord.collect().toSeq,
+      "misordered validity gate changed the pipeline output")
+    // the end-written output_image gate sits BELOW the VLM barrier in the
+    // optimized plan (GateHoist carries it through the record Project and
+    // the declared passthrough), and no such gate remains above any
+    // barrier — invalid records never reach the captioner
+    val opt = mis.queryExecution.optimizedPlan
+    val hoisted = opt.collect { case m: MapPartitions => m }
+      .exists(_.collectFirst {
+        case f: Filter if f.condition.sql.contains("/out/") => f }.isDefined)
+    assert(hoisted, s"validity gate not hoisted below the VLM barrier:\n$opt")
+    assert(!opt.collect { case f: Filter if f.condition.sql.contains("/out/") => f }
+        .exists(_.collectFirst { case m: MapPartitions => m }.isDefined),
+      s"validity gate still above the VLM barrier:\n$opt")
+    // ...and it lands ABOVE the widened union, so every invalid record is
+    // discarded between the scan and the model (GateHoist runs in the
+    // user-provided batch after Catalyst's pushdown, so the branch is cut
+    // at runtime by the filter rather than pruned at plan time — the same
+    // guarantee level as the E3/E4 pins: no gated-out row reaches a model)
+    val gateOverUnion = opt.collect {
+      case f: Filter if f.condition.sql.contains("/out/") => f }
+      .exists(_.collectFirst {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.isDefined)
+    assert(gateOverUnion, s"hoisted gate does not guard the widened union:\n$opt")
+  }
+
   test("vocab_coverage ranks over a TakeOrdered top-30, not the full vocabulary") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -491,7 +523,8 @@ class PlansSpec extends AnyFunSuite {
       "mix_anneal" -> "per-source aggregate (~#sources rows): corpus-total + pool windows (SelectionQueries.mixAnneal)",
       "pipeline_select" -> "per-source aggregate: temperatureThresholds' min window (SelectionQueries.temperatureThresholds)",
       "sample_temperature" -> "per-source aggregate: temperatureThresholds' min window (SelectionQueries.temperatureThresholds)",
-      "sample_weighted" -> "per-source counts aggregate (~20 rows): min window (CurationQueries.sampleWeightedQ)")
+      "sample_weighted" -> "per-source counts aggregate (~20 rows): min window (CurationQueries.sampleWeightedQ)",
+      "unigram_train_oracle" -> "pruned tokenizer vocabulary (singles + top-40 multi, ≤ ~76 rows): rank window; the bounding TakeOrdered prune sits behind the trainer's localCheckpoint (SelectionQueries.unigramTrainOracle)")
     val offenders = collection.mutable.ArrayBuffer[String]()
     val hits = collection.mutable.Set[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>

@@ -574,4 +574,60 @@ class SelectionSpec extends AnyFunSuite {
       .agg(avg(length(col("w")))).head.getDouble(0)
     assert(out.forall(_._5 < raw), s"fertility not below raw chars/word $raw")
   }
+
+  test("Unigram.viterbi: global optimum diverges from greedy/merge-based segmentation") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    // p(ab) > p(a), so a greedy longest/likeliest-first segmenter (and a
+    // BPE-style merge application, which would have learned the frequent
+    // "ab" merge) produces ab|c. Viterbi optimizes GLOBALLY:
+    // a|bc = 0.1·0.3 = 0.03 beats ab|c = 0.2·0.001 = 2e-4 — the defining
+    // behavioral difference of the unigram-LM family from BPE/WordPiece.
+    val words = Seq(("abc", 1L)).toDF("w", "wc")
+    val pieces = Seq(("a", 0.1), ("b", 0.01), ("c", 0.001),
+      ("ab", 0.2), ("bc", 0.3)).toDF("piece", "p")
+    val got = Unigram.viterbi(words, pieces, 3, 4)
+      .select("path", "k", "prob").as[(String, Long, Double)].head()
+    assert(got == (("a|bc", 2L, 0.1 * 0.3)), s"got $got")
+    // tie-break: 0.5·0.5 and 1.0·0.25 are both exactly 0.25 in IEEE —
+    // fewer pieces (k asc) must win
+    val words2 = Seq(("aa", 1L)).toDF("w", "wc")
+    val pieces2 = Seq(("a", 0.5), ("aa", 0.25)).toDF("piece", "p")
+    val got2 = Unigram.viterbi(words2, pieces2, 2, 4)
+      .select("path", "k").as[(String, Long)].head()
+    assert(got2 == (("aa", 1L)), s"got $got2")
+  }
+
+  test("Unigram.train: coverage, path reassembly, count consistency, determinism") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    val words = graft.queries.Tables.table(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= 8)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val (cntF, fin) = Unigram.train(words)
+    val segs = fin.select("w", "wc", "k", "path")
+      .as[(String, Long, Long, String)].collect()
+    val nWords = words.count()
+    assert(segs.length == nWords, "every word must receive a segmentation")
+    segs.foreach { case (w, _, k, path) =>
+      val ps = path.split('|')
+      assert(ps.mkString == w, s"path $path does not reassemble $w")
+      assert(ps.length == k, s"k=$k but path $path has ${ps.length} pieces")
+    }
+    // counts are exactly the weighted piece occurrences of the paths,
+    // and the kept vocabulary covers every used piece
+    val kept = cntF.select("piece", "n").as[(String, Long)].collect().toMap
+    val recount = segs.flatMap { case (_, wc, _, path) =>
+      path.split('|').map(_ -> wc) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    recount.foreach { case (p, n) =>
+      assert(kept.getOrElse(p, -1L) == n, s"piece $p: kept=${kept.get(p)} used=$n")
+    }
+    // non-vacuous: the trainer actually selects multi-char pieces
+    assert(kept.exists { case (p, n) => p.length >= 2 && n > 0 })
+    // deterministic end to end
+    val (cntF2, _) = Unigram.train(words)
+    assert(cntF2.select("piece", "n").as[(String, Long)].collect().toMap == kept)
+  }
 }
