@@ -48,6 +48,10 @@ object Bench {
     // 1 for ONLY-filtered local iteration; SPARK_GRAFT_REPEATS overrides.
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt)
       .getOrElse(if (only.isDefined) 1 else 2)
+    // Set when a FATAL error (OOM, VirtualMachineError) was swallowed by a
+    // per-query handler: executor/JVM state past that point may be
+    // degraded, so the artifact carries a `degraded` flag diffs can read.
+    val degraded = new java.util.concurrent.atomic.AtomicBoolean(false)
     val results = selected.map { case (name, fn) =>
       // isolate queries from each other's garbage: long sweeps otherwise
       // show multi-second random spikes when a query inherits the heap
@@ -73,13 +77,19 @@ object Bench {
           // neighbor's heap debt, transient executor loss) must not discard
           // the successful first measurement — min over the runs that
           // completed is still a valid exec_min.
+          // NonFatal only: a swallowed OutOfMemoryError/VirtualMachineError
+          // leaves the JVM degraded, making every LATER query's exec in
+          // this artifact silently unreliable — fatal errors propagate to
+          // the outer handler, which records the failure AND flags the
+          // whole artifact (`degraded`) so round-over-round diffs can
+          // discount the run.
           val extra = (2 to repeats).flatMap { _ =>
             try {
               System.gc()
               val tr = System.nanoTime()
               df.write.mode("overwrite").format("noop").save()
               Some((System.nanoTime() - tr) / 1e9)
-            } catch { case e: Throwable =>
+            } catch { case scala.util.control.NonFatal(e) =>
               System.err.println(
                 s"BENCH REPEAT $name: ${e.getClass.getName}: ${e.getMessage}")
               None
@@ -88,6 +98,7 @@ object Bench {
           ((t1 - t0) / 1e9, first +: extra.toVector)
         } catch {
           case e: Throwable =>
+            if (!scala.util.control.NonFatal(e)) degraded.set(true)
             System.err.println(
               s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
             (-1.0, Vector(-1.0))
@@ -110,7 +121,7 @@ object Bench {
     // plan time with execution, and single-run exec carries host noise.
     val totalExec = results.values.collect { case (p, es) if p >= 0 => es.head }.sum
     val totalExecMin = results.values.collect { case (p, es) if p >= 0 => es.min }.sum
-    val line = s"""{"metric":"total","value":$total,"value_exec":$totalExec,"value_exec_min":$totalExecMin,"repeats":$repeats,"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"exec_min":$execMins,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"value_exec":$totalExec,"value_exec_min":$totalExecMin,"repeats":$repeats,"degraded":${degraded.get()},"unit":"sec","queries":$qs,"plan":$plans,"exec":$execs,"exec_min":$execMins,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded stdout TAIL, which truncates the
     // per-query map past ~60 queries — ALSO write the complete line to a
@@ -133,22 +144,41 @@ object Bench {
     // failure (no git, no prior artifact, no python) only logs.
     if (only.isEmpty) {
       try {
-        val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
-        val show = new ProcessBuilder("git", "show", s"HEAD:$defaultOut")
-          .redirectOutput(prev.toFile).redirectErrorStream(false).start()
-        if (show.waitFor() == 0 && java.nio.file.Files.size(prev) > 2) {
-          val diffOut = new java.io.File(
-            outFile.replaceAll("\\.json$", "") .replace("bench_full", "bench_diff") + ".txt")
-          val diff = new ProcessBuilder(
-            "python3", "tools/bench_diff.py", prev.toString, outFile)
-            .redirectOutput(diffOut).redirectErrorStream(true).start()
-          diff.waitFor()
-          System.err.println(s"BENCH DIFF vs HEAD:$defaultOut -> $diffOut")
-          scala.io.Source.fromFile(diffOut, "UTF-8").getLines().take(6)
-            .foreach(l => System.err.println(s"BENCH DIFF: $l"))
-        } else System.err.println(s"BENCH DIFF: no committed $defaultOut to diff against")
-        java.nio.file.Files.deleteIfExists(prev)
-      } catch { case e: Throwable =>
+        // Resolve the repo root explicitly: `git show` and the
+        // tools/bench_diff.py path below must not silently depend on the
+        // launch CWD (a Bench started from elsewhere used to report
+        // "no committed artifact" with no hint why).
+        val rootProc = new ProcessBuilder("git", "rev-parse", "--show-toplevel")
+          .redirectErrorStream(false).start()
+        val repoRoot = {
+          val s = new java.util.Scanner(rootProc.getInputStream)
+          val r = if (s.hasNextLine) s.nextLine().trim else ""
+          s.close(); rootProc.waitFor(); r
+        }
+        if (repoRoot.isEmpty)
+          System.err.println(s"BENCH DIFF: not inside a git repo (cwd=${
+            System.getProperty("user.dir")}) — skipping auto-diff")
+        else {
+          val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
+          val show = new ProcessBuilder("git", "show", s"HEAD:$defaultOut")
+            .directory(new java.io.File(repoRoot))
+            .redirectOutput(prev.toFile).redirectErrorStream(false).start()
+          if (show.waitFor() == 0 && java.nio.file.Files.size(prev) > 2) {
+            val diffOut = new java.io.File(
+              outFile.replaceAll("\\.json$", "").replace("bench_full", "bench_diff") + ".txt")
+            val diff = new ProcessBuilder(
+              "python3", s"$repoRoot/tools/bench_diff.py", prev.toString, outFile)
+              .redirectOutput(diffOut).redirectErrorStream(true).start()
+            diff.waitFor()
+            System.err.println(s"BENCH DIFF vs HEAD:$defaultOut -> $diffOut")
+            scala.util.Using.resource(
+              scala.io.Source.fromFile(diffOut, "UTF-8"))(
+              _.getLines().take(6).foreach(l => System.err.println(s"BENCH DIFF: $l")))
+          } else System.err.println(
+            s"BENCH DIFF: no committed $defaultOut at HEAD in $repoRoot to diff against")
+          java.nio.file.Files.deleteIfExists(prev)
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"BENCH DIFF skipped: ${e.getMessage}")
       }
     }

@@ -484,6 +484,31 @@ object ScaleProbe {
         val (_, encoded) = graft.operators.Bpe.trainWordPiece(vocab, 4)
         noop(encoded.groupBy("w").agg(count(lit(1)).as("n_sym")))
       },
+      "unigram_train" -> { m =>
+        // unigram-LM (SentencePiece-style) hard-EM training
+        // (operators/Unigram, registered config): after the one
+        // corpus-sized word-count agg the DP is DISTINCT-vocab-bounded
+        // (per-(word, position) states, seed-bounded broadcast pieces);
+        // salted replicas rotate the alphabet so vocab size scales ~m
+        // while per-word windows stay word-length-bounded.
+        val vocab = graft.ops.Parallelism.ensure(docs(m))
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$") &&
+            length(col("w")) <= graft.operators.Unigram.MaxWordLen)
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        val (cntF, _) = graft.operators.Unigram.train(vocab)
+        noop(cntF)
+      },
+      "unigram_train_em" -> { m =>
+        // the full-EM (forward/backward) variant: same vocab bound, two
+        // DP directions + the vocab-bounded span join per round
+        val vocab = graft.ops.Parallelism.ensure(docs(m))
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$") &&
+            length(col("w")) <= graft.operators.Unigram.MaxWordLen)
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        noop(graft.operators.Unigram.trainEm(vocab))
+      },
       "bt_rating" -> { m =>
         // Bradley-Terry fit via the SHARED chain: replicas shift user_id
         // into disjoint bands, so per-user windows stay the same length

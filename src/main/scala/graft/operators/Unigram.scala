@@ -150,4 +150,168 @@ object Unigram {
     fin = viterbi(words, probs(pruned), maxWordLen, maxPieceLen)
     (counts(fin, pruned).localCheckpoint(), fin)
   }
+
+  // ── full-EM (soft) variant ──────────────────────────────────────────────
+
+  /** Micro-unit scale for the full-EM trainer's quantized expected
+    * counts: one occurrence = 10⁶ units. Kudo's actual E-step produces
+    * REAL expected counts (marginals over all segmentations), whose
+    * corpus aggregation would be an order-dependent float sum — the one
+    * thing the oracle discipline forbids. Each word-span's expected
+    * count is therefore FLOORED to micro-units (a fixed IEEE expression
+    * tree per span, then one exact floor) and summed as exact integers
+    * (order-free, DECIMAL(38,0)/HUGEINT), so both engines aggregate
+    * identically. The 10⁻⁶ quantization is far below any pruning
+    * decision's resolution; counts stay wrap-safe up to ~9·10¹²
+    * occurrences per (word, span) — raise the unit before that. */
+  val EmUnit = 1000000L
+
+  /** Forward pass of the full-EM E-step: α(w, pos) = total probability
+    * of ALL segmentations of the prefix w[1..pos] (the forward
+    * algorithm — [[viterbi]] with sum in place of max). Determinism:
+    * each position's ≤ maxPieceLen predecessor terms are PIVOTED into
+    * fixed columns (one row per (w, d) by construction — max over a
+    * singleton) and summed through a static left-assoc IEEE add chain —
+    * never a groupBy float sum, whose accumulation order is
+    * shuffle-dependent. Missing terms contribute exactly 0.0 (x + 0.0
+    * = x for the nonnegative masses here). Returns (w, wc, pos, a) for
+    * pos 0..len(w). */
+  def forward(words: DataFrame, pieces: DataFrame,
+              maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    var dps = Vector(words
+      .select(col("w"), col("wc"), lit(0).as("pos"), lit(1.0).as("a"))
+      .localCheckpoint())
+    for (i <- 1 to maxWordLen) {
+      val lo = math.max(0, i - maxPieceLen)
+      val prev = dps.slice(lo, i).reduce(_ unionByName _)
+      val terms = prev.filter(length(col("w")) >= i)
+        .join(pieces,
+          col("piece") === substring(col("w"), col("pos") + 1, lit(i) - col("pos")))
+        .select(col("w"), col("wc"), (lit(i) - col("pos")).as("d"),
+          (col("a") * col("p")).as("v"))
+      val aggs = (1 to maxPieceLen)
+        .map(d => max(when(col("d") === d, col("v"))).as(s"t$d"))
+      dps = dps :+ terms.groupBy("w", "wc").agg(aggs.head, aggs.tail: _*)
+        .select(col("w"), col("wc"), lit(i).as("pos"),
+          (1 to maxPieceLen).map(d => coalesce(col(s"t$d"), lit(0.0)))
+            .reduce(_ + _).as("a"))
+        .localCheckpoint()
+    }
+    dps.reduce(_ unionByName _)
+  }
+
+  /** Backward pass: β(w, r) = total probability of all segmentations of
+    * the SUFFIX of length r (r = len(w) − position, so the recursion
+    * unrolls over suffix length exactly like [[forward]] over prefix
+    * length). Same pivot + fixed-add-chain determinism discipline.
+    * Returns (w, wc, r, b) for r 0..len(w). */
+  def backward(words: DataFrame, pieces: DataFrame,
+               maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    var dps = Vector(words
+      .select(col("w"), col("wc"), lit(0).as("r"), lit(1.0).as("b"))
+      .localCheckpoint())
+    for (r <- 1 to maxWordLen) {
+      val lo = math.max(0, r - maxPieceLen)
+      val prev = dps.slice(lo, r).reduce(_ unionByName _)
+      val terms = prev.filter(length(col("w")) >= r)
+        .join(pieces,
+          col("piece") === substring(col("w"),
+            length(col("w")) - lit(r) + 1, lit(r) - col("r")))
+        .select(col("w"), col("wc"), (lit(r) - col("r")).as("d"),
+          (col("b") * col("p")).as("v"))
+      val aggs = (1 to maxPieceLen)
+        .map(d => max(when(col("d") === d, col("v"))).as(s"t$d"))
+      dps = dps :+ terms.groupBy("w", "wc").agg(aggs.head, aggs.tail: _*)
+        .select(col("w"), col("wc"), lit(r).as("r"),
+          (1 to maxPieceLen).map(d => coalesce(col(s"t$d"), lit(0.0)))
+            .reduce(_ + _).as("b"))
+        .localCheckpoint()
+    }
+    dps.reduce(_ unionByName _)
+  }
+
+  /** Quantized expected piece counts — the full-EM E-step: for every
+    * span (i−d, i] of every word whose substring is a vocabulary piece,
+    * the posterior mass routed through that span is
+    * α(i−d)·p(piece)·β(len−i)/α(len); weighted by word frequency,
+    * floored to [[EmUnit]] micro-units per span (fixed IEEE tree:
+    * ((((wc·α)·p)·β)/α_full)·10⁶), and summed exactly per piece.
+    * Kept-but-unused pieces count 0 (mirroring [[counts]]). */
+  def expectedCounts(words: DataFrame, pieces: DataFrame,
+                     fwd: DataFrame, bwd: DataFrame, kept: DataFrame,
+                     maxPieceLen: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spans = words
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("wc"), col("i"),
+        explode(sequence(lit(1), least(lit(maxPieceLen), col("i")))).as("d"))
+    val terms = spans
+      .join(pieces,
+        col("piece") === substring(col("w"), col("i") - col("d") + 1, col("d")))
+      .join(fwd.select(col("w").as("fw"), col("pos"), col("a")),
+        col("fw") === col("w") && col("pos") === col("i") - col("d"))
+      .join(bwd.select(col("w").as("bw"), col("r"), col("b")),
+        col("bw") === col("w") && col("r") === length(col("w")) - col("i"))
+      .join(fwd.filter(col("pos") === length(col("w")))
+          .select(col("w").as("uw"), col("a").as("af")),
+        col("uw") === col("w"))
+    val em = terms.select(col("piece"),
+      floor((((col("wc").cast("double") * col("a")) * col("p")) * col("b")
+          / col("af")) * lit(1000000.0))
+        .cast(DecimalType(38, 0)).as("em"))
+    kept.select("piece")
+      .join(em.groupBy("piece").agg(sum(col("em")).as("u")), Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("u"), lit(0L).cast(DecimalType(38, 0))).as("n"))
+  }
+
+  /** Smoothed probabilities over micro-unit counts:
+    * p = (n + U)/(Σn + |V|·U) with U = [[EmUnit]] — the [[probs]]
+    * add-one rule expressed in micro-units (for integer seed counts the
+    * two rules produce BIT-IDENTICAL doubles: numerator and denominator
+    * are the same reals scaled by U, both exact, one correctly-rounded
+    * divide). Exact integer operands, one IEEE division. */
+  def probsMicro(cnt: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tot = cnt.agg((sum(col("n")) + count(lit(1)) * lit(EmUnit))
+      .cast(DecimalType(38, 0)).as("tv"))
+    cnt.crossJoin(tot)
+      .select(col("piece"),
+        ((col("n") + lit(EmUnit)).cast("double") / col("tv").cast("double")).as("p"))
+  }
+
+  /** Full-EM training run — Kudo's actual E-step (marginalize over ALL
+    * segmentations via forward/backward) where [[train]] uses the
+    * hard-EM Viterbi-count approximation: seed → `emRounds` soft-EM
+    * rounds → prune (singles + top `pruneMulti` multi-char by expected
+    * micro-count) → final soft round. Returns the final expected
+    * micro-unit count table (piece, n: DECIMAL(38,0)). Scale shape is
+    * [[train]]'s: one corpus word-count agg, then everything
+    * DISTINCT-vocabulary-bounded (per-(word, position) DP states ×2
+    * directions, vocab-bounded span join, seed-bounded broadcast piece
+    * table); steps localCheckpoint so lineage never nests. */
+  def trainEm(wordsIn: DataFrame, maxWordLen: Int = MaxWordLen,
+              maxPieceLen: Int = MaxPieceLen, seedMulti: Int = 80,
+              emRounds: Int = 2, pruneMulti: Int = 40): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(emRounds >= 1 && seedMulti >= 1 && pruneMulti >= 1)
+    val words = wordsIn.localCheckpoint() // corpus-sized agg runs once
+    def emRound(kept: DataFrame): DataFrame = {
+      val p = probsMicro(kept).localCheckpoint() // read by fwd, bwd, span join
+      val f = forward(words, p, maxWordLen, maxPieceLen)
+      val b = backward(words, p, maxWordLen, maxPieceLen)
+      expectedCounts(words, p, f, b, kept, maxPieceLen).localCheckpoint()
+    }
+    var cnt = seed(words, maxPieceLen, seedMulti)
+      .select(col("piece"),
+        (col("n").cast(DecimalType(38, 0)) * lit(EmUnit)).as("n"))
+      .localCheckpoint()
+    for (_ <- 1 to emRounds) cnt = emRound(cnt)
+    val multi = cnt.filter(length(col("piece")) >= 2)
+      .orderBy(col("n").desc, col("piece").asc).limit(pruneMulti)
+    val pruned = cnt.filter(length(col("piece")) === 1)
+      .unionByName(multi).localCheckpoint()
+    emRound(pruned)
+  }
 }

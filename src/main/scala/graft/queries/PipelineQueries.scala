@@ -12,16 +12,9 @@ import graft.pipelines.{Captioning, FrameMining, VideoSlicing}
 object PipelineQueries {
   import Tables.{table, manifestSql}
 
-  /** E1 `cut_ruidi` shape: known-duration manifest → gate → tile →
-    * retried cut → per-file summary (dead-letter rows kept). */
-  val pipelineE1 = QueryDef("pipeline_e1_summary",
-    (s, dir) => {
-      val manifest = Tables.manifest(s, dir)
-      new VideoSlicing(() => new Models.FakeVideoTool, segDur = 300.0, minDur = 60.0)
-        .runWithKnownDurations(manifest)
-        .orderBy("video_id")
-    },
-    Some(s"""WITH manifest AS ($manifestSql),
+  /** E1's oracle — ONE SQL string certifying both the well-ordered and
+    * the mis-ordered authoring (the E2/E3/E4 pattern). */
+  private val e1OracleSql = s"""WITH manifest AS ($manifestSql),
       segs AS (
         SELECT video_id,
           LEAST(total_duration, seg0 * 300.0 + 300.0) - seg0 * 300.0 AS seg_len
@@ -37,7 +30,50 @@ object PipelineQueries {
         COALESCE(c.segments_count, 0) AS segments_count,
         COALESCE(c.cuts_ok, 0) AS cuts_ok
       FROM manifest m LEFT JOIN counts c USING (video_id)
-      ORDER BY m.video_id"""))
+      ORDER BY m.video_id"""
+
+  /** E1 `cut_ruidi` shape: known-duration manifest → gate → tile →
+    * retried cut → per-file summary (dead-letter rows kept). */
+  val pipelineE1 = QueryDef("pipeline_e1_summary",
+    (s, dir) => {
+      val manifest = Tables.manifest(s, dir)
+      new VideoSlicing(() => new Models.FakeVideoTool, segDur = 300.0, minDur = 60.0)
+        .runWithKnownDurations(manifest)
+        .orderBy("video_id")
+    },
+    Some(e1OracleSql))
+
+  /** The SAME E1 with its duration gate deliberately MIS-ORDERED
+    * (completing the misordered set across ALL FOUR entry points): the
+    * author tiles and generates save paths over the WHOLE manifest and
+    * writes the duration gate only afterwards, just before the cut stage.
+    * Unlike E2/E3/E4 there is NO model barrier between the late gate and
+    * the scan, so this variant pins that plain Catalyst predicate
+    * pushdown ALONE collapses the plan — the gate slides below the tile
+    * Generate to the scan, too-short videos produce no segments, and
+    * [[graft.plans.GateHoist]] is not needed where no opaque stage
+    * interposes (documenting the rule's boundary). Output hash-matches
+    * `pipeline_e1_summary` EXACTLY (same oracle SQL); PlansSpec pins the
+    * pushed-below-Generate shape and the identical rows. */
+  val pipelineE1Misordered = QueryDef("pipeline_e1_summary_misordered",
+    (s, dir) => {
+      val vs = new VideoSlicing(() => new Models.FakeVideoTool,
+        segDur = 300.0, minDur = 60.0)
+      val gated = vs.gate(Tables.manifest(s, dir)
+        .withColumn("probe_error", lit(null).cast("string")))
+      // mis-ordered authoring: tile + path-gen EVERYTHING…
+      val segsAll = graft.operators.Tiling.tileSegments(
+          graft.ops.Parallelism.ensure(gated), "total_duration", 300.0, 60.0)
+        .withColumn("out_path", graft.functions.VideoFunctions.genSavePath(
+          "/tmp/pipeline_out", col("file_path"), col("seg_idx"),
+          col("start_time"), col("duration")))
+        .withColumn("save_dir", graft.functions.VideoFunctions.genSaveDir(
+          "/tmp/pipeline_out", col("file_path")))
+      // …and only then remember the duration gate
+      val segs = segsAll.filter(col("status") === 1)
+      vs.summary(gated, vs.cut(segs)).orderBy("video_id")
+    },
+    Some(e1OracleSql))
 
   /** The captioning manifest both E2 variants share: JSON-list images on
     * even ids, a bare path on odd (exercising both placeholder parses). */
@@ -659,7 +695,8 @@ object PipelineQueries {
     },
     Some(bgCurationOracleSql))
 
-  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineCaption, pipelineCaptionMisordered,
+  val defs: Seq[QueryDef] = Seq(pipelineE1, pipelineE1Misordered,
+    pipelineCaption, pipelineCaptionMisordered,
     pipelineFrameMining,
     pipelineFrameMiningOracle, pipelineFrameMiningMisordered, pipelineBgCuration,
     bgSavePaths, pipelineCuration, pipelineDedupCorpus, pipelineBgCurationOracle,

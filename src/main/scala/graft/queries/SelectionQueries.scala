@@ -575,6 +575,63 @@ object SelectionQueries {
         SELECT doc_id, n_words, n_symbols, enc_first
         FROM cnt ORDER BY doc_id"""))
 
+  // ── trained-tokenizer memo ──────────────────────────────────────────────
+
+  /** Memoized tokenizer-training chains per (session, corpus dir, family)
+    * — the [[DatasetQueries.nearDupClusters]] memo pattern applied to the
+    * trainers: the `_oracle` and `_fertility` twins of each family rebuild
+    * the IDENTICAL corpus word-count + training chain, and the chains'
+    * unrolled-DP localCheckpoints execute at DataFrame-BUILD time (4 of
+    * the sf0.1 sweep's top-10 plan costs were the twins paying the same
+    * training twice). The memo returns the SAME checkpointed frames, so
+    * the second query of each pair reruns only its own narrow reporting
+    * layer. Safe under the read-only testdata contract (inputs immutable
+    * within a session); entries drop with the owning session via
+    * [[graft.ops.SessionCaches]]. */
+  private val trainerCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), AnyRef]()
+
+  private def memoTrained[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
+                                       dir: String, family: String)
+                                      (build: => T): T = {
+    graft.ops.SessionCaches.onSessionStop(s, trainerCache) { sess =>
+      trainerCache.keySet.removeIf(_._1 eq sess)
+    }
+    trainerCache.computeIfAbsent((s, dir, family), _ => build).asInstanceOf[T]
+  }
+
+  /** Shared regex-safe weighted word vocabulary the trainers consume
+    * (single-byte ASCII alphabet keeps both engines' character handling
+    * trivially identical); `maxLen` caps word length for the DP-unrolled
+    * families. */
+  private def trainerVocab(s: org.apache.spark.sql.SparkSession, dir: String,
+                           maxLen: Option[Int] = None) = {
+    val toks = table(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+    maxLen.fold(toks)(n => toks.filter(length(col("w")) <= n))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+  }
+
+  private def trainedBpe(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[graft.operators.Bpe.Merge], org.apache.spark.sql.DataFrame) =
+    memoTrained(s, dir, "bpe") {
+      graft.operators.Bpe.train(trainerVocab(s, dir), bpeTrainRounds)
+    }
+
+  private def trainedWordPiece(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[graft.operators.Bpe.WpMerge], org.apache.spark.sql.DataFrame) =
+    memoTrained(s, dir, "wordpiece") {
+      graft.operators.Bpe.trainWordPiece(trainerVocab(s, dir), wpTrainRounds)
+    }
+
+  private def trainedUnigram(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    memoTrained(s, dir, "unigram") {
+      graft.operators.Unigram.train(trainerVocab(s, dir, Some(ugMaxWordLen)),
+        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+    }
+
   // ── bpe_train_oracle ────────────────────────────────────────────────────
 
   private val bpeTrainRounds = 6
@@ -632,13 +689,7 @@ object SelectionQueries {
     * one-row driver collect per round), not the corpus. */
   val bpeTrainOracle = QueryDef("bpe_train_oracle",
     (s, dir) => {
-      val vocab = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        // regex-safe merge alphabet, as bpe_encode: keeps both engines'
-        // character handling trivially identical (single-byte ASCII)
-        .filter(col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val (merges, _) = graft.operators.Bpe.train(vocab, bpeTrainRounds)
+      val (merges, _) = trainedBpe(s, dir)
       require(merges.length == bpeTrainRounds,
         s"corpus exhausted after ${merges.length} merges (< $bpeTrainRounds)")
       import s.implicits._
@@ -676,11 +727,7 @@ object SelectionQueries {
     * train chain, the vocab rollup, and the join. */
   val bpeTrainFertility = QueryDef("bpe_train_fertility",
     (s, dir) => {
-      val vocab = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val (_, encoded) = graft.operators.Bpe.train(vocab, bpeTrainRounds)
+      val (_, encoded) = trainedBpe(s, dir)
       val wsym = encoded.groupBy("w").agg(count(lit(1)).as("n_sym"))
       table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
@@ -801,11 +848,7 @@ object SelectionQueries {
     * $wpTrainRounds rounds. */
   val wordpieceTrainOracle = QueryDef("wordpiece_train_oracle",
     (s, dir) => {
-      val vocab = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val (merges, _) = graft.operators.Bpe.trainWordPiece(vocab, wpTrainRounds)
+      val (merges, _) = trainedWordPiece(s, dir)
       require(merges.length == wpTrainRounds,
         s"corpus exhausted after ${merges.length} merges (< $wpTrainRounds)")
       import s.implicits._
@@ -842,11 +885,7 @@ object SelectionQueries {
     * WordPiece train chain, the vocab rollup, and the join. */
   val wordpieceTrainFertility = QueryDef("wordpiece_train_fertility",
     (s, dir) => {
-      val vocab = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val (_, encoded) = graft.operators.Bpe.trainWordPiece(vocab, wpTrainRounds)
+      val (_, encoded) = trainedWordPiece(s, dir)
       val wsym = encoded.groupBy("w").agg(count(lit(1)).as("n_sym"))
       table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
@@ -944,10 +983,10 @@ object SelectionQueries {
         FROM $cntCte,
           (SELECT CAST(SUM(n) + COUNT(*) AS BIGINT) AS tv FROM $cntCte) t)"""
 
-  /** The full unigram training chain in SQL: weighted word vocab → seed
-    * substrings (singles + top-$ugSeedMulti multi) → $ugEmRounds hard-EM
-    * rounds → prune (singles + top-$ugPruneMulti multi) → final pass. */
-  private val ugChainSql: String = Seq(
+  /** Shared seed CTEs (weighted word vocab → seed substrings, singles +
+    * top-$ugSeedMulti multi) — the prefix of BOTH the hard-EM and the
+    * full-EM unigram chains. */
+  private val ugSeedSql: String =
     s"""tok AS (SELECT UNNEST($toksSql) AS w FROM documents),
       wcv AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tok
         WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $ugMaxWordLen
@@ -963,7 +1002,13 @@ object SelectionQueries {
         UNION ALL
         SELECT piece, n FROM (SELECT piece, n,
             ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS rn
-          FROM sub WHERE length(piece) >= 2) WHERE rn <= $ugSeedMulti)""",
+          FROM sub WHERE length(piece) >= 2) WHERE rn <= $ugSeedMulti)"""
+
+  /** The full unigram training chain in SQL: weighted word vocab → seed
+    * substrings (singles + top-$ugSeedMulti multi) → $ugEmRounds hard-EM
+    * rounds → prune (singles + top-$ugPruneMulti multi) → final pass. */
+  private val ugChainSql: String = Seq(
+    ugSeedSql,
     ugProbSql("pc1", "sk"),
     ugPassSql(1, "pc1"),
     ugCntSql(1, "sk"),
@@ -1000,12 +1045,7 @@ object SelectionQueries {
   val unigramTrainOracle = QueryDef("unigram_train_oracle",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val words = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= ugMaxWordLen)
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val (cntF, _) = graft.operators.Unigram.train(words,
-        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val (cntF, _) = trainedUnigram(s, dir)
       val tot = cntF.agg((sum(col("n")) + count(lit(1))).cast("long").as("tv"))
       val num = (col("n") + 1).cast(DecimalType(38, 0)) *
         lit(1000000000000L).cast(DecimalType(38, 0))
@@ -1032,12 +1072,7 @@ object SelectionQueries {
     * tokenizer-selection comparison. Oracle replays the full chain. */
   val unigramTrainFertility = QueryDef("unigram_train_fertility",
     (s, dir) => {
-      val words = table(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= ugMaxWordLen)
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-      val (_, fin) = graft.operators.Unigram.train(words,
-        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val (_, fin) = trainedUnigram(s, dir)
       val wsym = fin.select(col("w"), col("k").as("n_sym"))
       table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
@@ -1060,6 +1095,163 @@ object SelectionQueries {
         CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
         ROUND(CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
       FROM dwf JOIN ws USING (w) GROUP BY lang ORDER BY lang"""))
+
+  // ── unigram_train_em_oracle ─────────────────────────────────────────────
+
+  /** One forward pass in SQL ([[graft.operators.Unigram.forward]]):
+    * α(w, pos) accumulated by pivoting the ≤ maxPieceLen predecessor
+    * terms into fixed columns (MAX over a singleton per (w, d)) and a
+    * static left-assoc add chain — the groupBy-float-sum-free
+    * determinism discipline, replayed exactly. Emits f{n}p0..p8, the
+    * union f{n}all, and the full-word mass f{n}full. */
+  private def ugFwdSql(n: Int, pcCte: String): String = {
+    val ts = (1 to ugMaxPieceLen)
+      .map(d => s"MAX(CASE WHEN d = $d THEN v END) AS t$d").mkString(", ")
+    val sumTree = (1 to ugMaxPieceLen)
+      .map(d => s"COALESCE(t$d, CAST(0.0 AS DOUBLE))")
+      .reduce((a, b) => s"($a + $b)")
+    val steps = (1 to ugMaxWordLen).map { i =>
+      val lo = math.max(0, i - ugMaxPieceLen)
+      val prevUnion = (lo until i).map(j => s"SELECT * FROM f${n}p$j")
+        .mkString(" UNION ALL ")
+      s"""f${n}p$i AS MATERIALIZED (SELECT w, wc, $i AS pos, $sumTree AS a FROM (
+          SELECT w, wc, $ts FROM (
+            SELECT p.w, p.wc, $i - p.pos AS d, p.a * pc.p AS v
+            FROM ($prevUnion) p
+            JOIN $pcCte pc ON pc.piece = substring(p.w, p.pos + 1, $i - p.pos)
+            WHERE length(p.w) >= $i)
+          GROUP BY w, wc))"""
+    }.mkString(",\n      ")
+    val all = (0 to ugMaxWordLen).map(i => s"SELECT * FROM f${n}p$i")
+      .mkString(" UNION ALL ")
+    s"""f${n}p0 AS (SELECT w, wc, 0 AS pos, CAST(1.0 AS DOUBLE) AS a FROM wcv),
+      $steps,
+      f${n}all AS MATERIALIZED (SELECT * FROM ($all)),
+      f${n}full AS (SELECT w, a FROM f${n}all WHERE pos = length(w))"""
+  }
+
+  /** One backward pass in SQL ([[graft.operators.Unigram.backward]]):
+    * β over suffix length r, same pivot + fixed-add-chain discipline. */
+  private def ugBwdSql(n: Int, pcCte: String): String = {
+    val ts = (1 to ugMaxPieceLen)
+      .map(d => s"MAX(CASE WHEN d = $d THEN v END) AS t$d").mkString(", ")
+    val sumTree = (1 to ugMaxPieceLen)
+      .map(d => s"COALESCE(t$d, CAST(0.0 AS DOUBLE))")
+      .reduce((a, b) => s"($a + $b)")
+    val steps = (1 to ugMaxWordLen).map { r =>
+      val lo = math.max(0, r - ugMaxPieceLen)
+      val prevUnion = (lo until r).map(j => s"SELECT * FROM b${n}p$j")
+        .mkString(" UNION ALL ")
+      s"""b${n}p$r AS MATERIALIZED (SELECT w, wc, $r AS r, $sumTree AS b FROM (
+          SELECT w, wc, $ts FROM (
+            SELECT p.w, p.wc, $r - p.r AS d, p.b * pc.p AS v
+            FROM ($prevUnion) p
+            JOIN $pcCte pc
+              ON pc.piece = substring(p.w, length(p.w) - $r + 1, $r - p.r)
+            WHERE length(p.w) >= $r)
+          GROUP BY w, wc))"""
+    }.mkString(",\n      ")
+    val all = (0 to ugMaxWordLen).map(r => s"SELECT * FROM b${n}p$r")
+      .mkString(" UNION ALL ")
+    s"""b${n}p0 AS (SELECT w, wc, 0 AS r, CAST(1.0 AS DOUBLE) AS b FROM wcv),
+      $steps,
+      b${n}all AS MATERIALIZED (SELECT * FROM ($all))"""
+  }
+
+  /** Quantized expected counts in SQL
+    * ([[graft.operators.Unigram.expectedCounts]]): span posterior mass
+    * α(i−d)·p·β(len−i)/α(len) through the identical fixed IEEE tree,
+    * floored to micro-units per span, summed exactly in HUGEINT. */
+  private def ugEmCntSql(n: Int, pcCte: String, keptCte: String): String =
+    s"""sp$n AS (SELECT w, wc, i,
+        UNNEST(generate_series(1, LEAST($ugMaxPieceLen, i))) AS d
+      FROM (SELECT w, wc, UNNEST(generate_series(1, length(w))) AS i FROM wcv)),
+      ee$n AS (SELECT pc.piece,
+          FLOOR(((((CAST(s.wc AS DOUBLE) * f.a) * pc.p) * b.b) / ful.a)
+            * 1000000.0) AS em
+        FROM sp$n s
+        JOIN $pcCte pc ON pc.piece = substring(s.w, s.i - s.d + 1, s.d)
+        JOIN f${n}all f ON f.w = s.w AND f.pos = s.i - s.d
+        JOIN b${n}all b ON b.w = s.w AND b.r = length(s.w) - s.i
+        JOIN f${n}full ful ON ful.w = s.w),
+      cm$n AS MATERIALIZED (SELECT k.piece, COALESCE(c.u, CAST(0 AS HUGEINT)) AS n
+        FROM (SELECT piece FROM $keptCte) k LEFT JOIN
+          (SELECT piece, CAST(SUM(CAST(em AS HUGEINT)) AS HUGEINT) AS u
+           FROM ee$n GROUP BY piece) c
+        USING (piece))"""
+
+  /** Micro-unit smoothed probabilities p = (n + U)/(Σn + |V|·U) —
+    * [[graft.operators.Unigram.probsMicro]], bit-identical. */
+  private def ugProbMicroSql(name: String, cntCte: String): String =
+    s"""$name AS MATERIALIZED (SELECT piece,
+          CAST(n + 1000000 AS DOUBLE) / CAST(t.tv AS DOUBLE) AS p
+        FROM $cntCte,
+          (SELECT CAST(SUM(n) + COUNT(*) * 1000000 AS HUGEINT) AS tv
+           FROM $cntCte) t)"""
+
+  /** The full-EM unigram chain in SQL: seed (micro-scaled) →
+    * $ugEmRounds forward/backward/expected-count rounds → prune →
+    * final round. */
+  private val ugEmChainSql: String = Seq(
+    ugSeedSql,
+    s"skm AS MATERIALIZED (SELECT piece, CAST(n AS HUGEINT) * 1000000 AS n FROM sk)",
+    ugProbMicroSql("ep1", "skm"),
+    ugFwdSql(1, "ep1"), ugBwdSql(1, "ep1"), ugEmCntSql(1, "ep1", "skm"),
+    ugProbMicroSql("ep2", "cm1"),
+    ugFwdSql(2, "ep2"), ugBwdSql(2, "ep2"), ugEmCntSql(2, "ep2", "cm1"),
+    s"""prm AS MATERIALIZED (SELECT piece, n FROM cm2 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, n FROM (SELECT piece, n,
+          ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS rn
+        FROM cm2 WHERE length(piece) >= 2) WHERE rn <= $ugPruneMulti)""",
+    ugProbMicroSql("ep3", "prm"),
+    ugFwdSql(3, "ep3"), ugBwdSql(3, "ep3"), ugEmCntSql(3, "ep3", "prm")
+  ).mkString(",\n      ")
+
+  /** FULL-EM unigram-LM training (Kudo, ACL 2018 — the actual E-step),
+    * hash-certified — the companion completing the unigram family the way
+    * `_oracle` companions complete the ANN tiers: where
+    * `unigram_train_oracle` ships the hard-EM (Viterbi-count)
+    * approximation — SentencePiece's inference rule — this marginalizes
+    * over ALL segmentations via the forward/backward algorithm. The one
+    * concession to the oracle discipline is the documented micro-unit
+    * quantization ([[graft.operators.Unigram.EmUnit]]): real-valued
+    * expected counts would need an order-dependent float sum, so each
+    * word-span's posterior mass goes through a FIXED IEEE expression
+    * tree, an exact floor to 10⁻⁶ units, and an exact integer sum — both
+    * engines aggregate identically, and the 10⁻⁶ grain is far below any
+    * pruning decision's resolution. Output = the final vocabulary with
+    * expected micro-counts and exact micro-unit smoothed scores.
+    * SelectionSpec pins the family-defining divergence: soft-EM splits
+    * mass across segmentations where Viterbi-EM routes it all through
+    * the argmax path. Scale shape identical to the hard-EM trainer
+    * (one corpus agg; vocab-bounded DP ×2 directions + span join). */
+  val unigramTrainEmOracle = QueryDef("unigram_train_em_oracle",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cnt = graft.operators.Unigram.trainEm(
+        trainerVocab(s, dir, Some(ugMaxWordLen)),
+        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val u = graft.operators.Unigram.EmUnit
+      val tot = cnt.agg((sum(col("n")) + count(lit(1)) * lit(u))
+        .cast(DecimalType(38, 0)).as("tv"))
+      val num = (col("n") + lit(u)).cast(DecimalType(38, 0)) *
+        lit(1000000000000L).cast(DecimalType(38, 0))
+      val den = col("tv").cast(DecimalType(38, 0))
+      cnt.crossJoin(tot) // 1-row totals build side (the audited report shape)
+        .withColumn("score", ((num - (num % den)) / den).cast("long"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("piece").asc)).cast("long"))
+        .select(col("rank"), col("piece"),
+          col("n").cast("long").as("n_micro"), col("score"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH $ugEmChainSql
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS BIGINT) AS rank,
+        piece, CAST(n AS BIGINT) AS n_micro,
+        CAST(CAST(n + 1000000 AS HUGEINT) * 1000000000000 // t.tv AS BIGINT) AS score
+      FROM cm3, (SELECT CAST(SUM(n) + COUNT(*) * 1000000 AS HUGEINT) AS tv FROM cm3) t
+      ORDER BY rank"""))
 
   // ── pipeline_select ─────────────────────────────────────────────────────
 
@@ -1833,7 +2025,7 @@ object SelectionQueries {
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
       wordpieceTrainOracle, wordpieceTrainFertility,
-      unigramTrainOracle, unigramTrainFertility,
+      unigramTrainOracle, unigramTrainFertility, unigramTrainEmOracle,
       pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
       clusterBalance, curriculumOrder, qualityClassifier, qualityTopkPerSource)

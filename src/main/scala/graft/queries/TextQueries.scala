@@ -1132,9 +1132,37 @@ object TextQueries {
     * the swept report quantifies that trade on the operator's own corpus.
     * Integer-ppm metrics; every stage (signatures, bands, candidates,
     * exact Jaccard, pool) replays in SQL. */
+  /** Max docs per verify-join slice when auto-chunking (chunks = 0): the
+    * candidate-pair volume of the certified-linear LSH path is ∝ docs, so
+    * slicing pairs by id_a owner bounds the one stage that ships shingle
+    * arrays. Registered sfs (≤ ~50k docs) stay one slice; the 50× probe
+    * corpus (250k salted docs) slices 3× per JVM. Override for probe
+    * experiments. */
+  private val lshVerifyChunkDocs: Long =
+    sys.env.get("SPARK_GRAFT_LSH_CHUNK_DOCS").map(_.toLong).getOrElse(100000L)
+
   /** Shared calibration stages — the REGISTERED query and ScaleProbe both
-    * call this on a (doc_id, text) frame. */
-  def lshCalibrationReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * call this on a (doc_id, text) frame.
+    *
+    * `chunks` bounds the exact-Jaccard VERIFY JOIN's live working set for
+    * single-JVM deployments (the [[graft.operators.Similarity.nnDescentRound]]
+    * chunking discipline applied to the one calibration stage whose
+    * memory does not track per-executor data): candidate pairs are sliced
+    * by `id_a % chunks` and each slice's array-shipping join + intersect
+    * materializes (localCheckpoint) before the next slice starts, so peak
+    * memory is one slice's (pairs × two hashed-shingle arrays) instead of
+    * the full candidate set — the 50× single-48g-JVM excess the
+    * two-executor probe measured (SCALE.md) bought back without a second
+    * JVM. Exactness: tj is a pure per-pair function and the slices
+    * partition the distinct pair set, so the unioned scored rows — and
+    * every aggregate above them — are bit-identical for every chunk
+    * count (spec-pinned for chunks 1/3/7). `chunks = 0` auto-sizes from
+    * the memoized corpus count (one slice per [[lshVerifyChunkDocs]]
+    * docs); the registered query pins `chunks = 1` (its corpora are
+    * known-small — plan unchanged, same oracle). */
+  def lshCalibrationReport(docs: org.apache.spark.sql.DataFrame,
+                           chunks: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunks >= 0, s"chunks must be >= 0 (0 = auto), got $chunks")
     val sh = docs
       .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
       .localCheckpoint() // read by the signature build and the hash projection
@@ -1175,7 +1203,14 @@ object TextQueries {
       candIds(b, r).select(lit(b).as("bands"), lit(r).as("rpb"),
         col("id_a"), col("id_b"))
     }.reduce(_ unionByName _).localCheckpoint()
-    val scored = tagged.select("id_a", "id_b").distinct()
+    val nChunks = if (chunks >= 1) chunks
+      else math.max(1L, (graft.operators.Similarity.corpusCount(docs)
+        + lshVerifyChunkDocs - 1) / lshVerifyChunkDocs).toInt
+    val pairsAll = tagged.select("id_a", "id_b").distinct()
+    // bare-id pair set is read by every slice — checkpoint once when
+    // slicing so the distinct doesn't re-run per slice
+    val pairs = if (nChunks > 1) pairsAll.localCheckpoint() else pairsAll
+    def scoreSlice(p: org.apache.spark.sql.DataFrame) = p
       .join(shh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -1183,6 +1218,12 @@ object TextQueries {
         (col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
           .as("tj"))
+    val scored =
+      if (nChunks == 1) scoreSlice(pairs)
+      else (0 until nChunks)
+        .map(c => scoreSlice(pairs.filter(pmod(col("id_a"), lit(nChunks)) === c))
+          .localCheckpoint())
+        .reduce(_ unionByName _)
     val ac = tagged.join(scored, Seq("id_a", "id_b")).localCheckpoint()
     val pool = ac.filter(col("tj") >= 0.5).select("id_a", "id_b").distinct()
       .agg(count(lit(1)).as("pool_n"))
@@ -1198,8 +1239,12 @@ object TextQueries {
   }
 
   val lshCalibrationQ = QueryDef("lsh_calibration",
+    // chunks = 1 pinned: the registered corpora are known-small, so the
+    // verify join runs unsliced (plan unchanged from pre-chunking rounds;
+    // same oracle — tj rows are bit-identical for every chunk count).
     (s, dir) => lshCalibrationReport(
-        table(s, dir, "documents").select(col("doc_id"), col("text")))
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        chunks = 1)
       .orderBy("bands"),
     Some {
       val k = 32

@@ -898,6 +898,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(round(c).toSeq == base.toSeq, s"chunks=$c diverged from unchunked")
   }
 
+  test("lshCalibrationReport: verify-join chunking is exact (report identical for chunks 0/1/3/7)") {
+    // the id_a-sliced verify join (single-JVM working-set bound) must be a
+    // pure materialization schedule: tj is a per-pair function and the
+    // slices partition the distinct pair set, so every aggregate above the
+    // union — candidate counts, precision, pooled recall — is unchanged.
+    // chunks = 0 exercises the auto-sizing path (1 slice at this corpus).
+    val docs = graft.queries.Tables
+      .table(TestSpark.spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    def report(chunks: Int) = graft.queries.TextQueries
+      .lshCalibrationReport(docs, chunks)
+      .orderBy("bands", "rpb")
+      .collect().map(_.toSeq).toSeq
+    val base = report(1)
+    assert(base.length == 3)
+    for (c <- Seq(0, 3, 7))
+      assert(report(c) == base, s"chunks=$c diverged from unchunked")
+  }
+
   test("coreset_kcenter: seed is min id, centers distinct, radius non-increasing") {
     val out = graft.queries.SimilarityQueries.coresetKcenterQ
       .spark(TestSpark.spark, "/root/testdata/sf0.001").collect()

@@ -478,6 +478,33 @@ class PlansSpec extends AnyFunSuite {
     assert(gateOverUnion, s"hoisted gate does not guard the widened union:\n$opt")
   }
 
+  test("misordered E1 gate: duration gate pushes below the tile Generate, same rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, MapPartitions}
+    val mis = graft.queries.PipelineQueries.pipelineE1Misordered.spark(spark, sf)
+    val ord = graft.queries.PipelineQueries.pipelineE1.spark(spark, sf)
+    // identical rows to the well-ordered pipeline (same oracle SQL
+    // certifies both orderings in CORRECTNESS)
+    assert(mis.collect().toSeq == ord.collect().toSeq,
+      "misordered duration gate changed the pipeline output")
+    // E1 has NO model barrier between the late gate and the scan, so
+    // plain Catalyst predicate pushdown alone must collapse the plan
+    // (this is the boundary where GateHoist is NOT needed): inside the
+    // cut barrier's subtree, a total_duration gate sits BELOW the tile
+    // Generate — too-short videos produce no segments and never reach
+    // the cut stage
+    // NB: projection collapse rewrites the gate's total_duration reference
+    // into the scan-side expression (value * 60.0 in this testdata's
+    // manifest), so the pin is structural: the only Filter that CAN sit
+    // below the Generate is the pushed duration gate (the tile's own
+    // seg-length filter references the generated column and must stay
+    // above), so `some Filter below the Generate` pins exactly it.
+    val opt = mis.queryExecution.optimizedPlan
+    val pushed = opt.collect { case m: MapPartitions => m }.exists(
+      _.collectFirst { case g: Generate => g }.exists(
+        _.child.collectFirst { case f: Filter => f }.isDefined))
+    assert(pushed, s"duration gate not pushed below the tile Generate:\n$opt")
+  }
+
   test("vocab_coverage ranks over a TakeOrdered top-30, not the full vocabulary") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -524,7 +551,8 @@ class PlansSpec extends AnyFunSuite {
       "pipeline_select" -> "per-source aggregate: temperatureThresholds' min window (SelectionQueries.temperatureThresholds)",
       "sample_temperature" -> "per-source aggregate: temperatureThresholds' min window (SelectionQueries.temperatureThresholds)",
       "sample_weighted" -> "per-source counts aggregate (~20 rows): min window (CurationQueries.sampleWeightedQ)",
-      "unigram_train_oracle" -> "pruned tokenizer vocabulary (singles + top-40 multi, ≤ ~76 rows): rank window; the bounding TakeOrdered prune sits behind the trainer's localCheckpoint (SelectionQueries.unigramTrainOracle)")
+      "unigram_train_oracle" -> "pruned tokenizer vocabulary (singles + top-40 multi, ≤ ~76 rows): rank window; the bounding TakeOrdered prune sits behind the trainer's localCheckpoint (SelectionQueries.unigramTrainOracle)",
+      "unigram_train_em_oracle" -> "pruned tokenizer vocabulary (singles + top-40 multi, ≤ ~76 rows): rank window over the full-EM trainer's pruned vocab; the bounding TakeOrdered prune sits behind the trainer's localCheckpoint (SelectionQueries.unigramTrainEmOracle)")
     val offenders = collection.mutable.ArrayBuffer[String]()
     val hits = collection.mutable.Set[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
@@ -621,5 +649,35 @@ class PlansSpec extends AnyFunSuite {
       assert(jobs.get() == before,
         s"memoized chain launched ${jobs.get() - before} jobs on the second call")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("trainer memo: the fertility twin of each tokenizer family builds with zero training jobs") {
+    // The _oracle and _fertility twins share one trained chain per
+    // (session, dir, family): the trainers' unrolled-DP localCheckpoints
+    // execute at DataFrame-BUILD time, so after the oracle twin has
+    // trained, BUILDING the fertility twin's frame must launch no job at
+    // all — its reporting layer is pure lazy plan on the memoized
+    // checkpointed frames.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    for ((first, second) <- Seq(
+        "bpe_train_oracle" -> "bpe_train_fertility",
+        "wordpiece_train_oracle" -> "wordpiece_train_fertility",
+        "unigram_train_oracle" -> "unigram_train_fertility")) {
+      SparkEntry.queries(first)(spark, sf) // build = train once, memoized
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Thread.sleep(1000) // drain straggling listener events from the train
+        val before = jobs.get()
+        SparkEntry.queries(second)(spark, sf) // build only — no action
+        Thread.sleep(1000)
+        assert(jobs.get() == before,
+          s"$second launched ${jobs.get() - before} jobs at build time " +
+            s"after $first had trained (memo miss)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }

@@ -630,4 +630,64 @@ class SelectionSpec extends AnyFunSuite {
     val (cntF2, _) = Unigram.train(words)
     assert(cntF2.select("piece", "n").as[(String, Long)].collect().toMap == kept)
   }
+
+  test("Unigram.forward: full-word mass equals the brute-force sum over segmentations") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    // "abc" with pieces {a,b,c,ab,bc}: the three segmentations are
+    // a|b|c, ab|c, a|bc — α(3) must equal their probability sum (the
+    // DP's fixed-tree grouping may differ from the naive sum's by IEEE
+    // association only, so compare within 1e-12)
+    val words = Seq(("abc", 1L)).toDF("w", "wc")
+    val pieces = Seq(("a", 0.1), ("b", 0.01), ("c", 0.001),
+      ("ab", 0.2), ("bc", 0.3)).toDF("piece", "p")
+    val af = Unigram.forward(words, pieces, 3, 4)
+      .filter(col("pos") === 3).select("a").as[Double].head()
+    val want = 0.1 * 0.01 * 0.001 + 0.2 * 0.001 + 0.1 * 0.3
+    assert(math.abs(af - want) <= 1e-12, s"alpha=$af want=$want")
+    // backward full-suffix mass must agree with forward full-prefix mass
+    val bf = Unigram.backward(words, pieces, 3, 4)
+      .filter(col("r") === 3).select("b").as[Double].head()
+    assert(math.abs(bf - want) <= 1e-12, s"beta=$bf want=$want")
+  }
+
+  test("Unigram full-EM: expected counts diverge from Viterbi counts (mass splits across segmentations)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.Unigram
+    // one word "ab", seed pieces {a, b, ab}, uniform smoothed p = 1/3:
+    // Viterbi routes ALL mass through [ab] (1/3 > 1/9) — a and b count 0;
+    // the full-EM E-step splits posterior mass: P(ab)=3/4, P(a|b)=1/4,
+    // so a and b each carry ~250000 micro-units and ab ~750000 — the
+    // family-defining difference between the hard and soft trainers.
+    val words = Seq(("ab", 1L)).toDF("w", "wc")
+    val hard = Unigram.train(words, emRounds = 1)._1
+      .select("piece", "n").as[(String, Long)].collect().toMap
+    assert(hard == Map("a" -> 0L, "b" -> 0L, "ab" -> 1L), s"hard=$hard")
+    val cnt0 = Unigram.seed(words, 4, 80)
+      .select(col("piece"),
+        (col("n").cast(DecimalType(38, 0)) * lit(Unigram.EmUnit)).as("n"))
+    val p = Unigram.probsMicro(cnt0)
+    val f = Unigram.forward(words, p, 8, 4)
+    val b = Unigram.backward(words, p, 8, 4)
+    val em = Unigram.expectedCounts(words, p, f, b, cnt0, 4)
+      .select(col("piece"), col("n").cast("long")).as[(String, Long)]
+      .collect().toMap
+    // quantization floor may sit one ulp under the exact rational
+    for (k <- Seq("a", "b"))
+      assert(math.abs(em(k) - 250000L) <= 10, s"em($k)=${em(k)}")
+    assert(math.abs(em("ab") - 750000L) <= 10, s"em(ab)=${em("ab")}")
+    // posterior mass conservation: expected pieces per word ∈ [1, 2]
+    val totalEm = em.values.sum
+    assert(totalEm >= 1000000L - 10 && totalEm <= 2000000L,
+      s"total expected mass $totalEm outside [1e6, 2e6]")
+    // the full trainer is deterministic end to end
+    def emRun() = Unigram.trainEm(words, emRounds = 1)
+      .select(col("piece"), col("n").cast("long")).as[(String, Long)]
+      .collect().toMap
+    val r1 = emRun()
+    assert(r1("a") > 0 && r1("b") > 0, s"soft counts must split mass: $r1")
+    assert(r1("ab") > r1("a"), s"dominant path must keep the larger share: $r1")
+    assert(emRun() == r1, "trainEm must be deterministic")
+  }
 }

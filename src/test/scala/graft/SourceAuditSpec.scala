@@ -34,19 +34,46 @@ class SourceAuditSpec extends AnyFunSuite {
     finally walk.close()
   }
 
-  /** Per-line comment-only flags with real block-comment tracking: a line
-    * whose trim starts with `*` is a comment ONLY inside a slash-star block
-    * (otherwise e.g. a continuation line starting with `*` in an arithmetic
-    * expression would silently escape every audit below).
+  /** Per-line comment-only flags with POSITIONAL block-comment tracking:
+    * a line is comment-only iff no non-whitespace character appears
+    * outside comment spans. The trim-prefix heuristic this replaces had
+    * two holes: code followed by a trailing block-comment OPEN left
+    * `inBlock` false (subsequent star-prefixed lines audited as code →
+    * spurious failures), and code after a block-comment CLOSE on the
+    * closing line was flagged as comment (escaping the udf()/bounded
+    * audits). Double-quoted string contents are skipped so a literal
+    * containing comment markers (URLs, SQL) cannot open a phantom block.
     */
   private def commentFlags(lines: Vector[String]): Vector[Boolean] = {
     var inBlock = false
     lines.map { line =>
-      val t = line.trim
-      val wasInBlock = inBlock
-      if (inBlock) { if (t.contains("*/")) inBlock = false }
-      else if (t.startsWith("/*")) inBlock = !t.contains("*/")
-      wasInBlock || t.startsWith("//") || t.startsWith("/*")
+      var i = 0
+      var code = false
+      val n = line.length
+      var lineDone = false
+      while (i < n && !lineDone) {
+        if (inBlock) {
+          val close = line.indexOf("*/", i)
+          if (close >= 0) { inBlock = false; i = close + 2 } else i = n
+        } else {
+          val c = line.charAt(i)
+          if (c == '/' && i + 1 < n && line.charAt(i + 1) == '*') {
+            inBlock = true; i += 2
+          } else if (c == '/' && i + 1 < n && line.charAt(i + 1) == '/') {
+            lineDone = true // line comment: rest of line is comment
+          } else if (c == '"') {
+            code = true; i += 1
+            while (i < n && line.charAt(i) != '"') {
+              if (line.charAt(i) == '\\' && i + 1 < n) i += 2 else i += 1
+            }
+            i += 1
+          } else {
+            if (!c.isWhitespace) code = true
+            i += 1
+          }
+        }
+      }
+      !code
     }
   }
 
