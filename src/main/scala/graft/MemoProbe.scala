@@ -21,7 +21,7 @@ object MemoProbe {
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
-        System.getProperty("java.class.path"))
+        graft.ops.ExecClasspath.absolute)
       builder.config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
     }

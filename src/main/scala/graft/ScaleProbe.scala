@@ -86,7 +86,7 @@ object ScaleProbe {
       // worker-launched executors need this build's classes (the probe
       // ships native-kernel Expressions and operator closures to tasks)
       builder.config("spark.executor.extraClassPath",
-        System.getProperty("java.class.path"))
+        graft.ops.ExecClasspath.absolute)
       builder.config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
     }

@@ -149,4 +149,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     // synthesized TPC-H testdata satisfies the lineitem invariants
     assert(rows.forall(_._3 == 0L), s"clean corpus must pass: ${rows.filter(_._3 > 0).mkString(",")}")
   }
+
+  test("ExecClasspath.absolute resolves every entry against the driver CWD") {
+    // local-cluster executors run from their own work dirs, so a relative
+    // classpath entry (plain `java -cp target/...`) vanishes there; the
+    // probes hand executors this absolutized rendering instead
+    val entries = graft.ops.ExecClasspath.absolute
+      .split(java.io.File.pathSeparator).filter(_.nonEmpty)
+    assert(entries.nonEmpty)
+    assert(entries.forall(e => new java.io.File(e).isAbsolute),
+      entries.filterNot(e => new java.io.File(e).isAbsolute).mkString(","))
+    // and it never drops entries relative to the real classpath
+    val raw = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparator).filter(_.nonEmpty)
+    assert(entries.length == raw.length)
+  }
 }

@@ -1,28 +1,19 @@
 #!/bin/bash
-# Round-11 probe queue (java-launched variant of probe_r11.sh).
-#
-# Same measurements, launched with plain `java` against the sbt-built
-# classes dir instead of `sbt runMain`: each step skips ~60 s of sbt
-# startup, and the sbt lock stays free for test/bench work between
-# probe windows. `java.class.path` (which local-cluster executors
-# inherit via spark.executor.extraClassPath) reflects the expanded
-# wildcard, so executor JVMs see the same classpath sbt-forked runs do.
-#
-# Queue (the round-10 verdict's scale-evidence ladder):
-#   C. 20x single-JVM trainer probes (unigram, unigram_em, wordpiece)
-#   B. single-JVM 48g 50x lsh_calib: verify-join chunking AUTO vs
-#      DISABLED, same host window (the knn r10 A/B methodology)
-#   A. FOUR-executor topology (local-cluster[4,8,13312], 4x12g = same
-#      48g total heap / 32 total cores as the 1x48g and 2x24g configs;
-#      executor COUNT is the only variable): 50x lsh_calib and 50x
-#      knn_graph, two samples each (min-of-2)
-#   D. MemoProbe + full Verify at sf0.001 on the 4-executor topology
+# Round-11 probe queue, part 2 — the cluster half of probe_r11_java.sh
+# (its first attempt launched executors with a RELATIVE app-classes path,
+# which vanishes from standalone executors' work-dir CWD; fixed by
+# graft.ops.ExecClasspath + the absolute CP below), plus one new leg:
+#   E. SMALL-HEAP single-JVM 50x lsh_calib pair (16g, chunked-auto vs
+#      chunking disabled): the direct demonstration of what the
+#      verify-join chunking BUYS — at 48g both variants fit and the
+#      r11 same-window pair read tcpu 0.95x / wall 1.33x for chunking
+#      (barriers cost wall when memory is plentiful); the bound exists
+#      for heaps where the unchunked working set does NOT fit.
+#      The unchunked leg is wrapped in `timeout` — an OOM-thrash can
+#      otherwise crawl for hours; a timeout kill is itself the result.
 set -x
 cd /root/repo
 
-# ABSOLUTE app-classes path: local-cluster executors run from their own
-# work dirs, so a relative entry would vanish from their classpath (the
-# probes also absolutize defensively via graft.ops.ExecClasspath)
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 JFLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
@@ -33,19 +24,6 @@ run_graft() { # run_graft Xmx mainClass args...
 
 CLUSTER4="local-cluster[4,8,13312]"
 export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
-
-# C. trainer 20x probes (cheap, single JVM) — first, so the trainer rows
-# land even if the long 50x queue is cut short
-run_graft 48g graft.ScaleProbe /root/testdata/sf0.1 20 \
-    unigram_train,unigram_train_em,wordpiece_train \
-  > /tmp/probe_r11_trainers20.log 2>&1
-
-# B. single-JVM 50x lsh_calib, chunked (auto) vs unchunked, same window
-run_graft 48g graft.ScaleProbe /root/testdata/sf0.1 50 lsh_calib \
-  > /tmp/probe_r11_lsh50_single_chunked.log 2>&1
-SPARK_GRAFT_LSH_CHUNK_DOCS=1000000000000 \
-run_graft 48g graft.ScaleProbe /root/testdata/sf0.1 50 lsh_calib \
-  > /tmp/probe_r11_lsh50_single_unchunked.log 2>&1
 
 # A. four-executor 50x lsh_calib, two samples
 SPARK_GRAFT_MASTER="$CLUSTER4" SPARK_GRAFT_EXEC_MEM=12g \
@@ -73,4 +51,13 @@ run_graft 8g graft.Verify /root/testdata/sf0.001 /tmp/verify_out_r11_cluster4 \
 python3 tools/check.py /root/testdata/sf0.001 /tmp/verify_out_r11_cluster4 \
   > /tmp/probe_r11_check_cluster4.log 2>&1
 
-echo ALL R11 PROBES DONE
+# E. small-heap single-JVM 50x lsh_calib: chunked vs unchunked at 16g
+run_graft 16g graft.ScaleProbe /root/testdata/sf0.1 50 lsh_calib \
+  > /tmp/probe_r11_lsh50_16g_chunked.log 2>&1
+SPARK_GRAFT_LSH_CHUNK_DOCS=1000000000000 \
+timeout 3600 java -cp "$CP" $ADD_OPENS $JFLAGS -Xmx16g \
+    graft.ScaleProbe /root/testdata/sf0.1 50 lsh_calib \
+  > /tmp/probe_r11_lsh50_16g_unchunked.log 2>&1
+echo "unchunked-16g exit: $?" >> /tmp/probe_r11_lsh50_16g_unchunked.log
+
+echo ALL R11B PROBES DONE

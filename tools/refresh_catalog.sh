@@ -19,7 +19,9 @@ sbt -batch "runMain graft.Verify $SF $OUT"
 # from a failing local run
 python3 tools/check.py "$SF" "$OUT" "$LOCAL"
 
-sbt -batch "runMain graft.Catalog" | grep -P '^\S+\t' > /tmp/catalog.tsv
+# sbt prefixes runMain stdout with "[info] " — strip it before the
+# tab-separated filter or the catalog comes out empty
+sbt -batch "runMain graft.Catalog" | sed 's/^\[info\] //' | grep -P '^\S+\t' > /tmp/catalog.tsv
 DRIVER=$(ls CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -1)
 if [ -n "$DRIVER" ]; then
   python3 tools/gen_catalog.py /tmp/catalog.tsv "$DRIVER,$LOCAL"
