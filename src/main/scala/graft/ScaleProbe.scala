@@ -97,9 +97,18 @@ object ScaleProbe {
     // this JVM covers just the driver there). Printed alongside process
     // CPU; the two agree within noise on local[32].
     val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    // Shuffle-write volume (records + bytes across all tasks): the
+    // EXCHANGE cost a process boundary prices in SerDe — the knn_graph
+    // 100× lesson. Write-side only (read-side double-counts retries).
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) taskCpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+        if (t.taskMetrics != null) {
+          taskCpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+          shufRecs.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
     // The shipped queries always run with the native kernels registered
     // (Tables.table / GraftSession do it); the probe must measure that
@@ -620,25 +629,27 @@ object ScaleProbe {
     // disagree.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def cpuTime(f: => Unit): (Double, Double, Double) = {
+    def cpuTime(f: => Unit): (Double, Double, Double, Long, Double) = {
       // Quiesce the async listener bus at BOTH endpoints of the delta:
       // task-end stragglers from the preceding warmup/family would
       // otherwise land after k0 is read and inflate the measured task CPU.
       Thread.sleep(1500)
       val c0 = osBean.getProcessCpuTime; val k0 = taskCpuNs.get
+      val r0 = shufRecs.get; val b0 = shufBytes.get
       val t0 = System.nanoTime()
       f
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // drain async listener events before reading task CPU
-      (wall, (osBean.getProcessCpuTime - c0) / 1e9, (taskCpuNs.get - k0) / 1e9)
+      (wall, (osBean.getProcessCpuTime - c0) / 1e9, (taskCpuNs.get - k0) / 1e9,
+        shufRecs.get - r0, (shufBytes.get - b0) / 1e6)
     }
-    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s ${"cpu_1x"}%8s ${"cpu_" + mult + "x"}%9s ${"cpuRatio"}%8s ${"tcpu_1x"}%8s ${"tcpu_" + mult + "x"}%9s ${"tcpuRatio"}%9s")
+    println(f"${"family"}%-14s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"ratio"}%7s ${"cpu_1x"}%8s ${"cpu_" + mult + "x"}%9s ${"cpuRatio"}%8s ${"tcpu_1x"}%8s ${"tcpu_" + mult + "x"}%9s ${"tcpuRatio"}%9s ${"srecM_" + mult + "x"}%10s ${"sMB_" + mult + "x"}%10s")
     families.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, run) =>
       run(1) // warm codegen/JIT on the small size before timing
-      val (t1, c1, k1) = cpuTime(run(1))
-      val (tM, cM, kM) = cpuTime(run(mult))
-      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f $c1%8.1f $cM%9.1f ${cM / c1}%8.2f $k1%8.1f $kM%9.1f ${kM / k1}%9.2f")
+      val (t1, c1, k1, _, _) = cpuTime(run(1))
+      val (tM, cM, kM, rM, bM) = cpuTime(run(mult))
+      println(f"$name%-14s $t1%8.2f ${tM}%8.2f ${tM / t1}%7.2f $c1%8.1f $cM%9.1f ${cM / c1}%8.2f $k1%8.1f $kM%9.1f ${kM / k1}%9.2f ${rM / 1e6}%10.1f $bM%10.0f")
     }
     spark.stop()
   }

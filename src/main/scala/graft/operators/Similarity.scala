@@ -392,7 +392,11 @@ object Similarity {
     * of old ∪ new. Per-round work is n·(2k)² PROPOSALS but only
     * n·shortlist COSINES and n·(2k)² 8-byte code rows through the
     * shuffle — the constant that kept the 20× probe's scored join from
-    * fitting cache when proposals carried full vectors. Recall strictly
+    * fitting cache when proposals carried full vectors. The proposal
+    * dedup exchange itself ships PACKED single-long (q, w) rows
+    * (precondition: ids nonnegative and < 2³², which every caller's
+    * row-count-derived or parquet ids satisfy; the pack is bijective on
+    * that domain and spec-pinned at the boundary). Recall strictly
     * never decreases (the old list is always in the candidate union).
     * Deterministic and SQL-replayable end to end.
     *
@@ -425,11 +429,23 @@ object Similarity {
     val adj = if (chunks > 1) adjAll.localCheckpoint() else adjAll
     def scoreSlice(slice: Option[Int]): DataFrame = {
       val own = slice.fold(adj)(c => adj.filter(pmod(col("a"), lit(chunks)) === c))
+      // The proposal dedup is the round's DOMINANT exchange (n·(2k)²
+      // bare-id rows; ~640 M at the 100× probe — the SerDe tax that
+      // flipped the 4-executor topology against knn_graph, SCALE.md).
+      // Pack (q, w) into ONE long before it: ids are nonnegative and
+      // < 2³² (bijective pack — asserted cheap on the driver via the
+      // count bound below being meaningful only for such ids; spec-pinned
+      // at the 2³²−1 boundary), so each shuffle row is a single-field
+      // UnsafeRow (16 B vs 24 B) and the partial/final dedup aggregates
+      // hash one word instead of two. Unpacking restores the exact
+      // (qid, id) longs, so downstream rows are bit-identical.
       val cand = own.select(col("a").as("q"), col("b").as("u"))
         .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
         .filter(col("q") =!= col("w"))
-        .select(col("q").as("qid"), col("w").as(idCol))
+        .select(shiftleft(col("q"), 32).bitwiseOR(col("w")).as("qc"))
         .distinct()
+        .select(shiftrightunsigned(col("qc"), 32).as("qid"),
+          col("qc").bitwiseAND(lit(0xFFFFFFFFL)).as(idCol))
       val pre = slice.fold(topk)(c => topk.filter(pmod(col("qid"), lit(chunks)) === c))
         .select(col("qid"), col(idCol), col("sim"))
       hammingShortlistTopK(cand, emb, codes, k, shortlist, preScored = Some(pre),

@@ -18,6 +18,19 @@ object ExecClasspath {
     System.getProperty("java.class.path")
       .split(java.io.File.pathSeparator)
       .filter(_.nonEmpty)
-      .map(e => new java.io.File(e).getAbsolutePath)
+      .map { e =>
+        val f = new java.io.File(e)
+        val abs = f.getAbsolutePath
+        // Absolutization resolves against the driver's CWD: a RELATIVE
+        // entry that doesn't exist there means the launcher chdir'd (or
+        // never sat at the repo root) and the rewrite would bake in a
+        // wrong base — warn loudly here so the failure reads as a launch
+        // bug, not the opaque executor SerializedLambda cast error.
+        // (Wildcard entries are matcher syntax, not paths — skip them.)
+        if (!f.isAbsolute && !e.endsWith("*") && !f.exists())
+          System.err.println(s"[ExecClasspath] WARNING: relative classpath " +
+            s"entry '$e' resolved to missing '$abs' — wrong launch CWD?")
+        abs
+      }
       .mkString(java.io.File.pathSeparator)
 }

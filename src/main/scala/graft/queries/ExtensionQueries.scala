@@ -126,6 +126,53 @@ object ExtensionQueries {
       FROM x GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
+  /** Batch twin certifying [[EventStream.streamingSessionize]]'s EXACT
+    * emitted row set — the stateful flatMapGroupsWithState path under
+    * the oracle. Emission rule: with a watermark delay wider than the
+    * data's time span NO event-time timeout ever fires, so the stream
+    * emits precisely the sessions CLOSED BY A SUCCESSOR — every session
+    * except each user's last (the one still open at end-of-stream).
+    * That set is a pure function of the batch gap rule: sessionize,
+    * then drop each user's max session_idx. StreamingSinksSpec runs the
+    * actual availableNow stream and pins row-for-row equality with this
+    * query; the DuckDB oracle certifies the batch side, so the stateful
+    * streaming path is transitively hash-certified. (The timeout-driven
+    * eviction path stays covered by the existing bounded-delay spec —
+    * its emitted set depends on Spark's watermark-vs-timeout boundary
+    * semantics, which is exactly what an exact cross-engine oracle
+    * should not encode.) */
+  val streamSessionize = QueryDef("stream_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = EventStream.sessionize(table(s, dir, "events"), 600)
+      val w = Window.partitionBy("user_id")
+      sess.withColumn("last_idx", max(col("session_idx")).over(w))
+        .filter(col("session_idx") < col("last_idx"))
+        .select(col("user_id"), col("n_events"),
+          col("session_start_epoch"), col("session_end_epoch"))
+        .orderBy("user_id", "session_start_epoch")
+    },
+    Some("""WITH t AS (
+        SELECT user_id, epoch_ns(ts) // 1000 // 1000000 AS t_sec,
+               make_timestamp(epoch_ns(ts) // 1000) AS et
+        FROM events),
+      m AS (SELECT user_id, t_sec, et,
+              LAG(t_sec) OVER (PARTITION BY user_id ORDER BY et) AS prev_t
+            FROM t),
+      s AS (SELECT user_id, t_sec, et,
+              CASE WHEN prev_t IS NULL OR t_sec - prev_t > 600 THEN 1 ELSE 0 END AS new_session
+            FROM m),
+      x AS (SELECT user_id, t_sec,
+              CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY et ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM s),
+      g AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
+              MIN(t_sec) AS session_start_epoch, MAX(t_sec) AS session_end_epoch
+            FROM x GROUP BY user_id, session_idx),
+      f AS (SELECT *, MAX(session_idx) OVER (PARTITION BY user_id) AS last_idx FROM g)
+      SELECT user_id, n_events, session_start_epoch, session_end_epoch
+      FROM f WHERE session_idx < last_idx
+      ORDER BY user_id, session_start_epoch"""))
+
   private def mediaItems(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     table(s, dir, "documents").select(
@@ -545,7 +592,8 @@ object ExtensionQueries {
       ORDER BY g.doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    streamWindowAgg, streamTopK, streamEnrich, sessionizeQ, streamIntervalJoin, multimodalMeta,
+    streamWindowAgg, streamTopK, streamEnrich, sessionizeQ, streamSessionize,
+    streamIntervalJoin, multimodalMeta,
     multimodalFrameSample, multimodalResize, multimodalAudioEnergy,
     asofJoinQ, corpusStats, parseJsonProps, windowRunningSum, dedupImageDhash,
     dedupImageDhashOracle, multimodalClipFilter, pipelineMultimodal)

@@ -632,6 +632,26 @@ object SelectionQueries {
         ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
     }
 
+  /** Memoized FULL-EM unigram chain: (final expected micro-count table,
+    * final per-word Viterbi segmentation under the EM-trained model).
+    * The Viterbi apply pass rides the memo exactly as in the hard-EM
+    * family (where it falls out of training): SentencePiece infers with
+    * Viterbi regardless of how probabilities were fit, so the trained
+    * chain ends with one decode pass and BOTH twins (`_oracle` reads
+    * ._1, `_fertility` reads ._2) are pure lazy reporting layers over
+    * the same checkpointed frames. */
+  private def trainedUnigramEm(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    memoTrained(s, dir, "unigram_em") {
+      val cnt = graft.operators.Unigram.trainEm(
+        trainerVocab(s, dir, Some(ugMaxWordLen)),
+        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val p = graft.operators.Unigram.probsMicro(cnt).localCheckpoint()
+      val fin = graft.operators.Unigram.viterbi(
+        trainerVocab(s, dir, Some(ugMaxWordLen)), p, ugMaxWordLen, ugMaxPieceLen)
+      (cnt, fin)
+    }
+
   // ── bpe_train_oracle ────────────────────────────────────────────────────
 
   private val bpeTrainRounds = 6
@@ -1229,9 +1249,7 @@ object SelectionQueries {
   val unigramTrainEmOracle = QueryDef("unigram_train_em_oracle",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val cnt = graft.operators.Unigram.trainEm(
-        trainerVocab(s, dir, Some(ugMaxWordLen)),
-        ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
+      val (cnt, _) = trainedUnigramEm(s, dir)
       val u = graft.operators.Unigram.EmUnit
       val tot = cnt.agg((sum(col("n")) + count(lit(1)) * lit(u))
         .cast(DecimalType(38, 0)).as("tv"))
@@ -1252,6 +1270,49 @@ object SelectionQueries {
         CAST(CAST(n + 1000000 AS HUGEINT) * 1000000000000 // t.tv AS BIGINT) AS score
       FROM cm3, (SELECT CAST(SUM(n) + COUNT(*) * 1000000 AS HUGEINT) AS tv FROM cm3) t
       ORDER BY rank"""))
+
+  /** TRAIN → APPLY under the FULL-EM unigram trainer — the closure that
+    * completes the fourth (and last) tokenizer family's twin pair:
+    * probabilities are fit by soft EM (marginals over all segmentations,
+    * [[graft.operators.Unigram.trainEm]]) but INFERENCE is Viterbi, as in
+    * SentencePiece itself — so apply = one Viterbi decode of each
+    * DISTINCT word under the micro-unit-smoothed final model, then the
+    * distinct-word rollup + equi-join against ~10¹² occurrences (the
+    * 100 TB apply trick shared by all four families). The decode pass
+    * rides the [[trainedUnigramEm]] memo, so this twin's own layer is a
+    * vocab-bounded join + per-language agg. Oracle replays the full EM
+    * chain, the micro-probability smoothing, every Viterbi DP step, and
+    * the rollup. Comparing this row set against
+    * `unigram_train_fertility` quantifies what the soft E-step buys per
+    * language over hard-EM training — the family-selection question the
+    * fertility quartet exists to answer. */
+  val unigramTrainEmFertility = QueryDef("unigram_train_em_fertility",
+    (s, dir) => {
+      val (_, fin) = trainedUnigramEm(s, dir)
+      val wsym = fin.select(col("w"), col("k").as("n_sym"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= ugMaxWordLen)
+        .join(wsym, "w")
+        .groupBy("lang").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $ugEmChainSql,
+      ${ugProbMicroSql("ep4", "cm3")},
+      ${ugPassSql(4, "ep4")},
+      ws AS (SELECT w, k AS n_sym FROM v4fin),
+      dw AS (SELECT doc_id, lang, UNNEST($toksSql) AS w FROM documents),
+      dwf AS (SELECT doc_id, lang, w FROM dw
+              WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $ugMaxWordLen)
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+        CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+        ROUND(CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+      FROM dwf JOIN ws USING (w) GROUP BY lang ORDER BY lang"""))
 
   // ── pipeline_select ─────────────────────────────────────────────────────
 
@@ -2025,7 +2086,8 @@ object SelectionQueries {
     Seq(clusterAssign, sampleTemperature, qualityGopher, htmlStrip, dsirWeights,
       bpePairCounts, bpeEncode, bpeFertility, bpeTrainOracle, bpeTrainFertility,
       wordpieceTrainOracle, wordpieceTrainFertility,
-      unigramTrainOracle, unigramTrainFertility, unigramTrainEmOracle,
+      unigramTrainOracle, unigramTrainFertility,
+      unigramTrainEmOracle, unigramTrainEmFertility,
       pipelineSelect, pipelinePretrain,
       qualityPercentile, mixEpochs, mixDoremi, bm25TopK, rrfFusion, mixAnneal,
       clusterBalance, curriculumOrder, qualityClassifier, qualityTopkPerSource)

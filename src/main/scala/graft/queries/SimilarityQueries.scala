@@ -1138,7 +1138,7 @@ object SimilarityQueries {
           hashBucket(concat(col("vec_id").cast("string"), lit(":" + t)),
             "graft-km", 16).cast("double").as(s"x$t")): _*)
       // bounded deterministic driver sample — the Ivf.build collect shape
-      val sample: Array[Array[Double]] = pts.orderBy("vec_id").collect() // bounded: ≤ nC sample rows
+      val sample: Array[Array[Double]] = pts.orderBy("vec_id").collect() // bounded: ≤ kmN sample rows
         .map(r => Array.tabulate(kmDim)(t => r.getDouble(1 + t)))
       val centers = graft.operators.Ivf.lloydIterations(sample, kmInitCenters, kmIters)
       // engine-side final assignment through the real argmin (float cast

@@ -898,6 +898,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(round(c).toSeq == base.toSeq, s"chunks=$c diverged from unchunked")
   }
 
+  test("nnDescent proposal pack: (q,w)↔long round-trips across the 32-bit boundary") {
+    // the proposal dedup ships shiftleft(q,32)|w — bijective iff ids are
+    // nonnegative and < 2³²; pin the exact boundary values, including
+    // pairs whose packed long is NEGATIVE (q ≥ 2³¹), which is where a
+    // signed shift-right would corrupt the unpack
+    import TestSpark.spark.implicits._
+    val pairs = Seq((0L, 0L), (0L, 4294967295L), (1L, 2147483648L),
+      (2147483647L, 1L), (2147483648L, 2147483647L), (4294967295L, 4294967295L))
+    val got = pairs.toDF("q", "w")
+      .select(shiftleft(col("q"), 32).bitwiseOR(col("w")).as("qc"))
+      .select(shiftrightunsigned(col("qc"), 32).as("q"),
+        col("qc").bitwiseAND(lit(0xFFFFFFFFL)).as("w"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == pairs)
+  }
+
+  test("nnDescentRound: packed proposal exchange is id-shift-equivariant (ids above 2^31)") {
+    // end-to-end pin that the packed path survives ids whose packed long
+    // is negative: shifting every vec_id by 2³¹ must shift the output
+    // ids and change NOTHING else (codes/sims depend only on embeddings;
+    // all tie-breaks are order-preserving under a constant shift)
+    val sf = "/root/testdata/sf0.001"
+    val shift = 2147483648L // 2^31
+    val embBase = graft.queries.Tables.table(TestSpark.spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planes = Similarity.md5Planes(63, 1, 64, "graft-chunk-test")
+    val codeSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      Similarity.hammingSimWords(a, b, 1, 63)
+    def graph(emb: org.apache.spark.sql.DataFrame) = {
+      val codes = emb.select(col("vec_id"),
+        Similarity.projectionCodes(col("embedding"), planes).as("code")).localCheckpoint()
+      val seed = Similarity.hammingShortlistTopK(
+        Similarity.lshCandidatePairsPlanes(emb,
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          Similarity.md5Planes(4, 4, 64)),
+        emb, codes, k = 8, shortlist = 24, codeSim = codeSim).localCheckpoint()
+      Similarity.nnDescentRound(seed, emb, codes, k = 8, shortlist = 24,
+          codeSim = codeSim)
+        .select("qid", "vec_id", "sim", "rank")
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    }
+    val base = graph(embBase)
+    val shifted = graph(embBase.select((col("vec_id") + shift).as("vec_id"), col("embedding")))
+    assert(base.nonEmpty)
+    assert(shifted.toSeq == base.map(r => (r._1 + shift, r._2 + shift, r._3, r._4)).toSeq,
+      "packed exchange diverged under the 2^31 id shift")
+  }
+
   test("lshCalibrationReport: verify-join chunking is exact (report identical for chunks 0/1/3/7)") {
     // the id_a-sliced verify join (single-JVM working-set bound) must be a
     // pure materialization schedule: tj is a per-pair function and the

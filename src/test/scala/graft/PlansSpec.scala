@@ -666,7 +666,8 @@ class PlansSpec extends AnyFunSuite {
     for ((first, second) <- Seq(
         "bpe_train_oracle" -> "bpe_train_fertility",
         "wordpiece_train_oracle" -> "wordpiece_train_fertility",
-        "unigram_train_oracle" -> "unigram_train_fertility")) {
+        "unigram_train_oracle" -> "unigram_train_fertility",
+        "unigram_train_em_oracle" -> "unigram_train_em_fertility")) {
       SparkEntry.queries(first)(spark, sf) // build = train once, memoized
       spark.sparkContext.addSparkListener(listener)
       try {

@@ -126,4 +126,65 @@ class SourceAuditSpec extends AnyFunSuite {
       "driver-side action without a '// bounded:' justification:\n" +
         unmarked.mkString("\n"))
   }
+
+  /** Rot detector for '// bounded:' justifications: a marker that NAMES a
+    * variable (camelCase or underscored token, e.g. "≤ sampleCap rows")
+    * is only evidence while that variable still exists at the call site —
+    * a rename or code move leaves the comment describing nothing. Flag
+    * markers whose every named variable is absent from the surrounding
+    * ±5 lines (comment-only lines and the justification text itself
+    * excluded — a bound restated in prose must not self-certify). Markers
+    * that name no variable ("1-row argmax", "#lists centroid rows") pass
+    * vacuously: they state shape, not a binding, and cannot rot this way.
+    * Same philosophy as PlansSpec's whitelist-must-match rule. */
+  private def rottedBoundedMarkers(lines: Vector[String],
+                                   flags: Vector[Boolean]): Seq[(Int, String)] = {
+    val ident = """[A-Za-z][A-Za-z0-9_]*""".r
+    def namedVars(just: String): Seq[String] =
+      ident.findAllIn(just).toSeq.filter(t =>
+        t.contains("_") || t.matches("""[a-z]+[A-Z][A-Za-z0-9]*"""))
+    for {
+      (l, i) <- lines.zipWithIndex.toSeq
+      mIdx = l.indexOf("bounded:")
+      if mIdx >= 0 && (l.contains("// bounded:") || flags(i))
+      vars = namedVars(l.substring(mIdx + "bounded:".length))
+      if vars.nonEmpty
+      window = (math.max(0, i - 5) to math.min(lines.length - 1, i + 5))
+        .map(j =>
+          if (j == i) l.substring(0, mIdx)
+          else if (flags(j)) "" // a variable named only in comments can rot too
+          else lines(j))
+        .mkString("\n")
+      if !vars.exists(v =>
+        ("""(?s).*\b""" + java.util.regex.Pattern.quote(v) + """\b.*""").r.matches(window))
+    } yield (i + 1, vars.mkString(","))
+  }
+
+  test("'// bounded:' justifications naming a variable must still bind within 5 lines") {
+    val rotted = for {
+      (f, lines) <- sources
+      flags = commentFlags(lines)
+      (line, vars) <- rottedBoundedMarkers(lines, flags)
+    } yield s"$f:$line (names: $vars)"
+    assert(rotted.isEmpty,
+      "rotted '// bounded:' marker — named variable absent from the " +
+        "surrounding 5 lines:\n" + rotted.mkString("\n"))
+  }
+
+  test("the bounded-marker rot detector flags a deliberately rotted marker") {
+    // healthy: the named bound appears on the action line itself
+    val healthy = Vector(
+      "  val pts = vectors.limit(sampleCap)",
+      "    .collect() // bounded: ≤ sampleCap rows")
+    assert(rottedBoundedMarkers(healthy, commentFlags(healthy)).isEmpty)
+    // rotted: the justification names fooCap, which exists nowhere nearby
+    // (the variable was renamed but the comment kept the old name)
+    val rotted = Vector(
+      "  val pts = vectors.limit(barMax)",
+      "    .collect() // bounded: ≤ fooCap rows")
+    assert(rottedBoundedMarkers(rotted, commentFlags(rotted)).map(_._1) == Seq(2))
+    // vacuous: no named variable — shape-only justifications never rot
+    val shapeOnly = Vector("  df.agg(max(col(\"x\"))).head() // bounded: 1-row agg")
+    assert(rottedBoundedMarkers(shapeOnly, commentFlags(shapeOnly)).isEmpty)
+  }
 }

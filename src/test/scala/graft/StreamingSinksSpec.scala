@@ -194,6 +194,33 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming sessionize EXACTLY equals the stream_sessionize batch twin (no-timeout regime)") {
+    // With a watermark delay wider than the data's ~30-day span no
+    // event-time timeout ever fires, so streamingSessionize's emitted set
+    // is exactly the sessions closed by a successor — each user's
+    // non-final sessions — which is the registered (DuckDB-oracled)
+    // stream_sessionize batch twin. Row-for-row equality across three
+    // time-ordered microbatches certifies the flatMapGroupsWithState
+    // path's exact output; the oracle certifies the batch side.
+    val want = SparkEntry.queries("stream_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n_events", "session_start_epoch", "session_end_epoch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val stream = EventStream.readEventStream(spark, timeOrderedStreamDir())
+    val q = EventStream.streamingSessionize(stream, 600L, "40 days")
+      .writeStream
+      .format("memory").queryName("sess_exact")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_exact").as[(Long, Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate session emissions")
+    assert(got.toSet == want,
+      s"stream != batch twin: spurious ${got.toSet.diff(want).take(3)}, " +
+        s"missing ${want.diff(got.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream attribution join (watermarked both sides) equals batch") {
     val want = SparkEntry.queries("stream_interval_join")(spark, "/root/testdata/sf0.001")
       .select("user_id", "click_id", "view_id")
