@@ -415,7 +415,7 @@ object Similarity {
                      k: Int, shortlist: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      codeSim: (Column, Column) => Column = hammingSim,
-                     chunks: Int = 1): DataFrame = {
+                     chunks: Int = 1, packIds: Boolean = true): DataFrame = {
     require(chunks >= 1, s"chunks must be >= 1, got $chunks")
     val fwd = topk.select(col("qid").as("a"), col(idCol).as("b"))
     val rev = topk
@@ -439,13 +439,20 @@ object Similarity {
       // UnsafeRow (16 B vs 24 B) and the partial/final dedup aggregates
       // hash one word instead of two. Unpacking restores the exact
       // (qid, id) longs, so downstream rows are bit-identical.
-      val cand = own.select(col("a").as("q"), col("b").as("u"))
+      val raw = own.select(col("a").as("q"), col("b").as("u"))
         .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
         .filter(col("q") =!= col("w"))
-        .select(shiftleft(col("q"), 32).bitwiseOR(col("w")).as("qc"))
-        .distinct()
-        .select(shiftrightunsigned(col("qc"), 32).as("qid"),
-          col("qc").bitwiseAND(lit(0xFFFFFFFFL)).as(idCol))
+      // packIds=false is a MEASUREMENT knob only (same-window A/B of the
+      // exchange packing — the chunking-knob precedent), never a shipped
+      // configuration; both paths produce identical rows.
+      val cand =
+        if (packIds)
+          raw.select(shiftleft(col("q"), 32).bitwiseOR(col("w")).as("qc"))
+            .distinct()
+            .select(shiftrightunsigned(col("qc"), 32).as("qid"),
+              col("qc").bitwiseAND(lit(0xFFFFFFFFL)).as(idCol))
+        else
+          raw.select(col("q").as("qid"), col("w").as(idCol)).distinct()
       val pre = slice.fold(topk)(c => topk.filter(pmod(col("qid"), lit(chunks)) === c))
         .select(col("qid"), col(idCol), col("sim"))
       hammingShortlistTopK(cand, emb, codes, k, shortlist, preScored = Some(pre),

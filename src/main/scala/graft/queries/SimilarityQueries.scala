@@ -232,6 +232,11 @@ object SimilarityQueries {
   private val knnChunkProposals: Long =
     sys.env.get("SPARK_GRAFT_KNN_CHUNK_PROPOSALS").map(_.toLong)
       .getOrElse(96000000L)
+  // Measurement-only A/B knob for the packed proposal exchange
+  // (SPARK_GRAFT_KNN_PACK=0 reverts to two-column proposal rows; rows
+  // are identical either way — spec-pinned). Never set in shipped runs.
+  private val knnPackProposals: Boolean =
+    sys.env.get("SPARK_GRAFT_KNN_PACK").forall(_ != "0")
   private lazy val knnCodePlanes =
     Similarity.md5Planes(knnCodeBitsPerWord, knnCodeWords, 64, "graft-knn-code")
 
@@ -292,7 +297,7 @@ object SimilarityQueries {
         .localCheckpoint() // each round reads the previous once
       for (_ <- 1 to knnDescentRounds)
         topk = Similarity.nnDescentRound(topk, emb, codes, knnInternalK, knnShortlist,
-            codeSim = codeSim, chunks = descentChunks)
+            codeSim = codeSim, chunks = descentChunks, packIds = knnPackProposals)
           .localCheckpoint()
       val fwd = topk.filter(col("qid") < col("vec_id") && col("rank") <= annK)
         .select(col("qid").as("src"), col("vec_id").as("dst"),

@@ -896,6 +896,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(base.nonEmpty)
     for (c <- Seq(3, 7))
       assert(round(c).toSeq == base.toSeq, s"chunks=$c diverged from unchunked")
+    // the measurement-only unpacked path (SPARK_GRAFT_KNN_PACK=0 A/B
+    // knob) must also be row-identical to the shipped packed exchange
+    val unpacked = Similarity
+      .nnDescentRound(seed, emb, codes, k = 8, shortlist = 24,
+        codeSim = codeSim, packIds = false)
+      .select("qid", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(unpacked.toSeq == base.toSeq, "unpacked A/B path diverged from packed")
   }
 
   test("nnDescent proposal pack: (q,w)↔long round-trips across the 32-bit boundary") {
