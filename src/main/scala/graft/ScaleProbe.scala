@@ -120,6 +120,22 @@ object ScaleProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 10
 
+    // Per-replica affine COORDINATE PERMUTATION for embedding corpora:
+    // j = (i·mult(r) + shift(r)) mod 64 with mult = 2·((r >> 6) mod 32)+1
+    // (odd ⇒ bijective mod 2^k) and shift = r mod 64 — 32 multipliers ×
+    // 64 shifts = 2048 DISTINCT permutations walked in a 2048-cycle.
+    // The original pairing (mult = 2r+1, shift = r) had PERIOD 64: mult
+    // and mult+64 act identically mod 64, so replica r ≥ 64 duplicated
+    // replica r−64 EXACTLY (cross-band cosine 1.0) and a 100× corpus
+    // carried 36 twin band pairs — an adversarial near-copy corpus, not
+    // scale (the same artifact class the text salt's affine family note
+    // documents). Replicas 0–63 keep the identity multiplier, so every
+    // ≤ 64× row measured before the fix is unaffected; A/B and topology
+    // ratios at 100× shared the aliased corpus on both sides and stand.
+    def permuteCoord(rep: org.apache.spark.sql.Column,
+                     i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((i * ((shiftright(rep, 6) % 32) * 2 + 1) + rep % 64) % 64) + 1
+
     def docs(m: Int) = replicate(
       spark.read.parquet(s"$dir/documents.parquet"), m, "doc_id", saltText = true)
     def manifest(m: Int) = replicate(
@@ -542,16 +558,15 @@ object ScaleProbe {
         // replica's clusters alias into the same buckets (p ≈ 0.35/table
         // × 96 tables) and candidate volume goes quadratic in replicas —
         // the first 20× run measured exactly that artifact (wall 260×),
-        // an adversarial corpus of near-copies, not scale. j = (i·(2r+1)
-        // + r) mod 64 is a bijection for every r (odd multiplier, 2^k
-        // modulus); replica 0 is the identity.
+        // an adversarial corpus of near-copies, not scale. Permutation
+        // family + its 2048-replica period: [[permuteCoord]].
+        require(m <= 2048, s"coordinate-permutation salt has period 2048, got $m")
         val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
         val rep = (col("vec_id") / 100000000L).cast("int")
         val corpus = emb0.withColumn("embedding",
           transform(col("embedding"), (_, i) =>
-            element_at(col("embedding"),
-              ((i * (rep * 2 + 1) + rep) % 64) + 1)))
+            element_at(col("embedding"), permuteCoord(rep, i))))
         noop(graft.queries.SimilarityQueries.knnGraphEdges(corpus))
       },
       "coreset_kcenter" -> { m =>
@@ -579,13 +594,13 @@ object ScaleProbe {
         // routing cells, growing occupancy ∝ replicas — an adversarial
         // near-copy corpus, not scale. The query's own %10 planted twins
         // still fire the prune per replica.
+        require(m <= 2048, s"coordinate-permutation salt has period 2048, got $m")
         val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
         val rep = (col("vec_id") / 100000000L).cast("int")
         val base = emb0.withColumn("embedding",
           transform(col("embedding"), (_, i) =>
-            element_at(col("embedding"),
-              ((i * (rep * 2 + 1) + rep) % 64) + 1)))
+            element_at(col("embedding"), permuteCoord(rep, i))))
           .localCheckpoint(false)
         // Twin offset derived from the per-replica max id (mirrors the
         // registered query's max(vec_id)+1) — a fixed 1e6 offset would
