@@ -23,7 +23,7 @@ object MemoProbe {
       builder.config("spark.executor.extraClassPath",
         graft.ops.ExecClasspath.absolute)
       builder.config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
+        graft.ops.ExecMem.resolve(master))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -88,7 +88,7 @@ object ScaleProbe {
       builder.config("spark.executor.extraClassPath",
         graft.ops.ExecClasspath.absolute)
       builder.config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
+        graft.ops.ExecMem.resolve(master))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -567,7 +567,21 @@ object ScaleProbe {
         val corpus = emb0.withColumn("embedding",
           transform(col("embedding"), (_, i) =>
             element_at(col("embedding"), permuteCoord(rep, i))))
-        noop(graft.queries.SimilarityQueries.knnGraphEdges(corpus))
+        // DENSIFY replica ids (rep·nBase + orig) so the id domain stays
+        // < 2³² at every tier and the probe measures the SHIPPED packed
+        // proposal exchange: the r12 1e8-stride salt exceeded the pack
+        // domain above 43 replicas, so the 50×/100× tiers silently ran a
+        // corrupted pack (ADVICE r12); with the pack-domain guard they
+        // would now fall back unpacked — either way not the shipped
+        // config. Bijective per replica (orig < 1e8 by construction, and
+        // orig < nBase ≤ 1e8 for the parquet ids), so the graph is the
+        // same up to id relabeling.
+        val nBase = spark.read.parquet(s"$dir/embeddings.parquet")
+          .agg(max(col("vec_id"))).head().getLong(0) + 1L // bounded: 1-row agg
+        val dense = corpus.withColumn("vec_id",
+          (col("vec_id") / 100000000L).cast("long") * nBase +
+            col("vec_id") % 100000000L)
+        noop(graft.queries.SimilarityQueries.knnGraphEdges(dense))
       },
       "coreset_kcenter" -> { m =>
         // greedy k-center via the SHARED chain: k bounded rounds of one

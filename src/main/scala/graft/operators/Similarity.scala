@@ -393,10 +393,16 @@ object Similarity {
     * n·shortlist COSINES and n·(2k)² 8-byte code rows through the
     * shuffle — the constant that kept the 20× probe's scored join from
     * fitting cache when proposals carried full vectors. The proposal
-    * dedup exchange itself ships PACKED single-long (q, w) rows
-    * (precondition: ids nonnegative and < 2³², which every caller's
-    * row-count-derived or parquet ids satisfy; the pack is bijective on
-    * that domain and spec-pinned at the boundary). Recall strictly
+    * dedup exchange itself ships PACKED single-long (q, w) rows when the
+    * id domain permits: the pack is bijective only for nonnegative ids
+    * < 2³², so the domain is VERIFIED at build time — callers that know
+    * their id range pass `idBound` (one driver-side min/max, computed
+    * once per chain instead of per round); otherwise one cheap 1-row agg
+    * over `topk` derives it. Out-of-domain ids fall back to the unpacked
+    * exchange with a loud stderr warning — rows are identical either
+    * way, only the exchange width changes. (The r12 probe corpus salted
+    * ids by replica·10⁸, exceeding 2³² above 43 replicas; the unguarded
+    * pack silently merged distinct proposals there.) Recall strictly
     * never decreases (the old list is always in the candidate union).
     * Deterministic and SQL-replayable end to end.
     *
@@ -415,8 +421,26 @@ object Similarity {
                      k: Int, shortlist: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      codeSim: (Column, Column) => Column = hammingSim,
-                     chunks: Int = 1, packIds: Boolean = true): DataFrame = {
+                     chunks: Int = 1, packIds: Boolean = true,
+                     idBound: Option[(Long, Long)] = None): DataFrame = {
     require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    // Every id entering the proposal exchange is a value of topk.qid or
+    // topk.<idCol> (the adjacency is built from exactly those columns),
+    // so the pack-domain check bounds those two columns.
+    val pack = packIds && {
+      val (lo, hi) = idBound.getOrElse {
+        // bounded: 1-row min/max agg over the (caller-checkpointed) topk
+        val r = topk.agg(min(least(col("qid"), col(idCol))),
+          max(greatest(col("qid"), col(idCol)))).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
+      val ok = lo >= 0L && hi <= 0xFFFFFFFFL
+      if (!ok)
+        System.err.println(s"[graft] nnDescentRound: id range [$lo, $hi] " +
+          "exceeds the packable domain [0, 2^32); shipping the proposal " +
+          "exchange UNPACKED (rows identical, exchange 24B/row vs 16B)")
+      ok
+    }
     val fwd = topk.select(col("qid").as("a"), col(idCol).as("b"))
     val rev = topk
       .withColumn("rr", row_number().over(
@@ -432,13 +456,13 @@ object Similarity {
       // The proposal dedup is the round's DOMINANT exchange (n·(2k)²
       // bare-id rows; ~640 M at the 100× probe — the SerDe tax that
       // flipped the 4-executor topology against knn_graph, SCALE.md).
-      // Pack (q, w) into ONE long before it: ids are nonnegative and
-      // < 2³² (bijective pack — asserted cheap on the driver via the
-      // count bound below being meaningful only for such ids; spec-pinned
-      // at the 2³²−1 boundary), so each shuffle row is a single-field
-      // UnsafeRow (16 B vs 24 B) and the partial/final dedup aggregates
-      // hash one word instead of two. Unpacking restores the exact
-      // (qid, id) longs, so downstream rows are bit-identical.
+      // Pack (q, w) into ONE long before it when `pack` verified the id
+      // domain (nonnegative, < 2³² — spec-pinned at the 2³²−1 boundary
+      // AND at the out-of-domain fallback), so each shuffle row is a
+      // single-field UnsafeRow (16 B vs 24 B) and the partial/final
+      // dedup aggregates hash one word instead of two. Unpacking
+      // restores the exact (qid, id) longs, so downstream rows are
+      // bit-identical.
       val raw = own.select(col("a").as("q"), col("b").as("u"))
         .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
         .filter(col("q") =!= col("w"))
@@ -446,7 +470,7 @@ object Similarity {
       // exchange packing — the chunking-knob precedent), never a shipped
       // configuration; both paths produce identical rows.
       val cand =
-        if (packIds)
+        if (pack)
           raw.select(shiftleft(col("q"), 32).bitwiseOR(col("w")).as("qc"))
             .distinct()
             .select(shiftrightunsigned(col("qc"), 32).as("qid"),

@@ -287,6 +287,15 @@ object SimilarityQueries {
       val codes = emb.select(col("vec_id"),
         Similarity.projectionCodes(col("embedding"), knnCodePlanes).as("code"))
         .localCheckpoint()
+      // Pack-domain bound for the descent rounds, computed ONCE over the
+      // tiny checkpointed code table (every qid/vec_id in every round is
+      // an emb vec_id): rounds skip their per-round topk agg. bounded:
+      // 1-row min/max agg.
+      val idRange = {
+        val r = codes.agg(org.apache.spark.sql.functions.min(col("vec_id")),
+          org.apache.spark.sql.functions.max(col("vec_id"))).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
       val codeSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
         Similarity.hammingSimWords(a, b, knnCodeWords, knnCodeBitsPerWord)
       val seedPairs = Similarity.lshCandidatePairsPlanes(emb,
@@ -297,7 +306,8 @@ object SimilarityQueries {
         .localCheckpoint() // each round reads the previous once
       for (_ <- 1 to knnDescentRounds)
         topk = Similarity.nnDescentRound(topk, emb, codes, knnInternalK, knnShortlist,
-            codeSim = codeSim, chunks = descentChunks, packIds = knnPackProposals)
+            codeSim = codeSim, chunks = descentChunks, packIds = knnPackProposals,
+            idBound = Some(idRange))
           .localCheckpoint()
       val fwd = topk.filter(col("qid") < col("vec_id") && col("rank") <= annK)
         .select(col("qid").as("src"), col("vec_id").as("dst"),

@@ -954,6 +954,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "packed exchange diverged under the 2^31 id shift")
   }
 
+  test("nnDescentRound: pack guard — ids at/above 2^32 fall back unpacked, rows still exact") {
+    // shiftleft(q,32)|w is bijective ONLY for ids < 2³²: above it, w's
+    // high bits bleed into q and distinct() merges distinct proposals
+    // (the r12 probe-salt corruption, ADVICE r12). The build-time domain
+    // check must catch such ids — whether derived by the fallback topk
+    // agg or supplied via idBound — route the exchange unpacked, and
+    // leave the output exactly shift-equivariant.
+    val sf = "/root/testdata/sf0.001"
+    val shift = 5000000000L // > 2^32: packing would corrupt
+    val embBase = graft.queries.Tables.table(TestSpark.spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planes = Similarity.md5Planes(63, 1, 64, "graft-chunk-test")
+    val codeSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      Similarity.hammingSimWords(a, b, 1, 63)
+    def graph(emb: org.apache.spark.sql.DataFrame,
+              idBound: Option[(Long, Long)], packIds: Boolean) = {
+      val codes = emb.select(col("vec_id"),
+        Similarity.projectionCodes(col("embedding"), planes).as("code")).localCheckpoint()
+      val seed = Similarity.hammingShortlistTopK(
+        Similarity.lshCandidatePairsPlanes(emb,
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          Similarity.md5Planes(4, 4, 64)),
+        emb, codes, k = 8, shortlist = 24, codeSim = codeSim).localCheckpoint()
+      Similarity.nnDescentRound(seed, emb, codes, k = 8, shortlist = 24,
+          codeSim = codeSim, packIds = packIds, idBound = idBound)
+        .select("qid", "vec_id", "sim", "rank")
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    }
+    val base = graph(embBase, idBound = None, packIds = false)
+    assert(base.nonEmpty)
+    val expected = base.map(r => (r._1 + shift, r._2 + shift, r._3, r._4)).toSeq
+    val embBig = embBase.select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    // guard via the fallback topk agg (no idBound supplied)
+    assert(graph(embBig, idBound = None, packIds = true).toSeq == expected,
+      "agg-derived guard failed to protect ids above 2^32")
+    // guard via a caller-supplied out-of-domain idBound
+    val hi = embBase.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head().getLong(0) + shift
+    assert(graph(embBig, idBound = Some((shift, hi)), packIds = true).toSeq == expected,
+      "idBound-supplied guard failed to protect ids above 2^32")
+    // and an in-domain idBound still packs correctly (rows unchanged)
+    val hiSmall = hi - shift
+    assert(graph(embBase, idBound = Some((0L, hiSmall)), packIds = true).toSeq == base.toSeq,
+      "in-domain idBound path diverged from the unpacked baseline")
+  }
+
   test("lshCalibrationReport: verify-join chunking is exact (report identical for chunks 0/1/3/7)") {
     // the id_a-sliced verify join (single-JVM working-set bound) must be a
     // pure materialization schedule: tj is a per-pair function and the

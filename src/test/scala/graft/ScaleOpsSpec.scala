@@ -164,4 +164,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       .split(java.io.File.pathSeparator).filter(_.nonEmpty)
     assert(entries.length == raw.length)
   }
+
+  test("ExecMem.resolve: derives the default from the master's worker memory, fails fast on oversize") {
+    import graft.ops.ExecMem
+    // no env override: default is min(20 GiB, worker memory) — the r12
+    // footgun was a 20g default silently deadlocking 13312 MB workers
+    assert(ExecMem.resolve("local-cluster[4,8,13312]", Map.empty) == "13312m")
+    assert(ExecMem.resolve("local-cluster[2,16,26624]", Map.empty) == "20480m")
+    assert(ExecMem.resolve("local-cluster[ 4 , 8 , 13312 ]", Map.empty) == "13312m")
+    // unparseable / non-cluster masters keep the 20 GiB default
+    assert(ExecMem.resolve("local[32]", Map.empty) == "20480m")
+    // explicit value within the worker budget passes through verbatim
+    assert(ExecMem.resolve("local-cluster[4,8,13312]",
+      Map("SPARK_GRAFT_EXEC_MEM" -> "12g")) == "12g")
+    assert(ExecMem.resolve("local-cluster[2,16,26624]",
+      Map("SPARK_GRAFT_EXEC_MEM" -> "24g")) == "24g")
+    // oversize explicit value fails FAST instead of hanging the launch
+    val e = intercept[IllegalArgumentException] {
+      ExecMem.resolve("local-cluster[4,8,13312]",
+        Map("SPARK_GRAFT_EXEC_MEM" -> "20g"))
+    }
+    assert(e.getMessage.contains("worker memory"))
+  }
 }
