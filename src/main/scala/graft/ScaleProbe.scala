@@ -278,30 +278,13 @@ object ScaleProbe {
           .withColumn("est", Dedup.kmvJaccardEst(col("ha"), col("hb"), 32)))
       },
       "dedup_corpus" -> { m =>
-        // the composed exact → minhash-LSH → components chain (the
-        // pipeline_dedup_corpus shape, thresholds included)
-        val d = graft.ops.Parallelism.ensure(docs(m))
-          .select(col("doc_id"), col("text"))
-        val keyed = d.withColumn("ch", md5(Dedup.bagOfWordsKey(col("text"))))
-        val groups = keyed.groupBy("ch").agg(min(col("doc_id")).as("keep_id"))
-        val surv = keyed.join(groups, "ch").filter(col("doc_id") === col("keep_id"))
-        val sh = surv.select(col("doc_id"),
-            array_sort(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("sh"))
-          .localCheckpoint(false)
-        val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-          .select("doc_id", "sig").localCheckpoint(false)
-        val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 8, 4, replayable = true)
-          .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
-          .filter(col("est") >= 0.35)
-        val edges = pairs
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-          .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
-          .filter(col("inter").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double") >= 0.5)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-        noop(Components.connectedComponents(
-          surv.select(col("doc_id").as("id")), edges))
+        // the composed exact → minhash-LSH → components → verdict chain
+        // via the SHARED stage builder — the probe measures EXACTLY the
+        // registered pipeline_dedup_corpus plan (r13: the previous
+        // inline replica stopped at components and kept the pre-fusion
+        // two-barrier checkpoint shape, so its 50×/100× rows priced a
+        // superseded plan)
+        noop(graft.queries.PipelineQueries.dedupCorpusVerdicts(docs(m)))
       },
       "incremental_dedup" -> { m =>
         // the dedup_incremental shape via the SHARED stage builder: a

@@ -513,23 +513,49 @@ object PipelineQueries {
       ORDER BY wk.doc_id"""
   }
 
-  /** The END-TO-END dedup pipeline a 100 TB crawl corpus actually runs,
-    * composed as ONE oracle-checked query: (1) exact bag-of-words dedup
-    * (one hash agg), (2) md5-minhash + LSH near-dup candidate pairs over
-    * the exact-survivors only (narrow-map signatures, one band-join
-    * shuffle, true-Jaccard verification on candidates — never O(n²)),
-    * (3) connected components over the verified edges (bounded label
+  /** Measurement knob (never a shipped configuration): with
+    * SPARK_GRAFT_CKPT_SER=1 the dedup-corpus chain's checkpoints store
+    * MEMORY_AND_DISK_SER, so cross-executor block fetches ship
+    * pre-serialized bytes instead of paying per-fetch serialization on
+    * the holder — the A/B that prices the composed chain's
+    * checkpoint-traffic mechanism (r12: 1.96× cluster/single task-CPU at
+    * 100×, shuffle volume itself small). Values are identical either
+    * way; only block storage format changes. */
+  private def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (sys.env.get("SPARK_GRAFT_CKPT_SER").contains("1"))
+      df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint()
+
+  /** The END-TO-END dedup-corpus chain, shared by the registered query
+    * and ScaleProbe's `dedup_corpus` family (the probe measures exactly
+    * the shipped plan): (1) exact bag-of-words dedup (one hash agg),
+    * (2) md5-minhash + LSH near-dup candidate pairs over the
+    * exact-survivors only (narrow-map signatures, one band-join shuffle,
+    * true-Jaccard verification on candidates — never O(n²)), (3)
+    * connected components over the verified edges (bounded label
     * rounds), (4) a per-document verdict: `dup_exact` (lost its content
     * group), `dup_near` (survivor absorbed into a near-dup cluster), or
     * `kept`, each with its ultimate canonical representative. The three
     * stages reuse [[graft.operators.Dedup]]/[[graft.operators.Components]]
     * exactly as the standalone queries do — this row set is the proof
-    * the operators COMPOSE. */
-  val pipelineDedupCorpus = QueryDef("pipeline_dedup_corpus",
-    (s, dir) => {
+    * the operators COMPOSE.
+    *
+    * Checkpoint discipline (the r12 cluster-tax finding): the chain
+    * materializes ONE corpus-sized barrier, and raw text is dropped AT
+    * that barrier — survivors' sorted shingles are computed on the way
+    * in (null for exact-dups), so the verdict join and all three
+    * shingle consumers re-read narrow (doc_id, source, keep_id, sh)
+    * blocks and the text column never crosses a process boundary after
+    * the barrier. The previous shape checkpointed text-for-all-docs AND
+    * shingles-for-survivors as two separate barriers; on a 4-executor
+    * topology every downstream read of those blocks paid cross-process
+    * serialization of the widest columns, measured at 1.96× single-JVM
+    * task-CPU at the 100× tier. */
+  def dedupCorpusVerdicts(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import graft.functions.TextFunctions._
       import graft.operators.Dedup
-      val docs = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+      val docs = graft.ops.Parallelism.ensure(docsIn)
         .select(col("doc_id"), col("source"), col("text"))
       // NOT checkpointed: the content key is a narrow codegen'd map riding
       // the scan — recomputing it on both the agg and join branches is
@@ -537,14 +563,14 @@ object PipelineQueries {
       val keyed = docs
         .withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
       val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
-      val withKeep = keyed.join(groups, "content_hash").localCheckpoint()
-      val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
-        .select(col("doc_id"), col("text"))
-      val sh = survivors
-        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint() // signatures + both verification joins
-      val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-        .select("doc_id", "sig").localCheckpoint()
+      val withKeep = ckpt(keyed.join(groups, "content_hash")
+        .select(col("doc_id"), col("source"), col("keep_id"),
+          when(col("doc_id") === col("keep_id"),
+            array_sort(wordShingles(col("text"), 2))).as("sh")))
+      val sh = withKeep.filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("sh"))
+      val sigs = ckpt(Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
+        .select("doc_id", "sig"))
       // Estimate pre-screen BEFORE the exact-verify join: the signature
       // estimate lives on the pair rows already (zero extra shuffle), and
       // the verify join ships two full shingle arrays per surviving pair
@@ -566,7 +592,7 @@ object PipelineQueries {
         .filter(col("tj") >= 0.5)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val comps = graft.operators.Components.connectedComponents(
-        survivors.select(col("doc_id").as("id")), edges)
+        sh.select(col("doc_id").as("id")), edges)
       withKeep.join(comps, withKeep("keep_id") === comps("id"))
         .select(col("doc_id"), col("source"),
           when(col("doc_id") =!= col("keep_id"), lit("dup_exact"))
@@ -574,7 +600,10 @@ object PipelineQueries {
             .otherwise(lit("kept")).as("status"),
           col("comp").as("canonical_id"))
         .orderBy("doc_id")
-    },
+  }
+
+  val pipelineDedupCorpus = QueryDef("pipeline_dedup_corpus",
+    (s, dir) => dedupCorpusVerdicts(table(s, dir, "documents")),
     Some(dedupCorpusOracleSql))
 
   private def bgCurationOracleSql: String = {
