@@ -221,6 +221,68 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming sessionize timeout eviction: exact emitted set on a hand-computed watermark fixture") {
+    // Pins the EVENT-TIME-TIMEOUT branch exactly (the no-timeout regime is
+    // certified by the batch-twin test above; this one makes the watermark
+    // provably cross known session gaps BETWEEN microbatches). gap = 100 s,
+    // delay = 10 s, one file per trigger, four files:
+    //   f0: u1@1000,1050  u2@1000  u3@1000  u99@1050
+    //   f1: u2@1060  u3@2000  u99@2000
+    //   f2: u99@3000
+    //   f3: u99@4000
+    // Watermark for batch N = max event time through batch N-1, minus 10 s:
+    //   b0 wm=0       all sessions open, nothing emitted
+    //   b1 wm=1040    no timeout ≤ 1040; u3/u99 gaps close by SUCCESSOR:
+    //                 emit (3,1,1000,1000), (99,1,1050,1050)
+    //   b2 wm=1990    TIMEOUTS fire for u1 (1150.001 < wm) and u2
+    //                 (1160.001 < wm): emit (1,2,1000,1050), (2,2,1000,1060);
+    //                 u99@3000 closes by successor: emit (99,1,2000,2000)
+    //   b3 wm=2990    TIMEOUT fires for u3's second session (2100.001 < wm):
+    //                 emit (3,1,2000,2000); u99@4000 closes by successor:
+    //                 emit (99,1,3000,3000)
+    //   u99's final (4000,4000,1) times out at 4100.001 > any reachable
+    //   watermark (3990) — it must NOT be emitted.
+    // Any drift in the timeout rule (wrong timestamp, never firing, firing
+    // at/before the watermark boundary, emitting the still-open session)
+    // breaks exactly one of these assertions.
+    val fixtureDir = Files.createTempDirectory("graft_sess_timeout")
+    val batches = Seq(
+      Seq((1L, 1000L), (1L, 1050L), (2L, 1000L), (3L, 1000L), (99L, 1050L)),
+      Seq((2L, 1060L), (3L, 2000L), (99L, 2000L)),
+      Seq((99L, 3000L)),
+      Seq((99L, 4000L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("user_id", "sec")
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+      df.coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/tmp_$i")
+      val f = new java.io.File(s"$fixtureDir/tmp_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, fixtureDir.resolve(f"$i%03d.parquet"))
+      Thread.sleep(5) // distinct mod times → deterministic file order
+    }
+    val stream = EventStream.readEventStream(spark, fixtureDir.toString)
+    val q = EventStream.streamingSessionize(stream, gapSec = 100L, "10 seconds")
+      .writeStream
+      .format("memory").queryName("sess_timeout")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_timeout")
+      .as[(Long, Long, Long, Long)].collect()
+    val want = Set(
+      (1L, 2L, 1000L, 1050L),  // timeout-closed in b2
+      (2L, 2L, 1000L, 1060L),  // timeout-closed in b2 (extended across b0/b1)
+      (3L, 1L, 1000L, 1000L),  // successor-closed in b1
+      (3L, 1L, 2000L, 2000L),  // timeout-closed in b3
+      (99L, 1L, 1050L, 1050L), // successor-closed in b1
+      (99L, 1L, 2000L, 2000L), // successor-closed in b2
+      (99L, 1L, 3000L, 3000L)) // successor-closed in b3
+    assert(got.length == got.toSet.size, s"duplicate emissions: ${got.mkString(",")}")
+    assert(got.toSet == want,
+      s"spurious=${got.toSet.diff(want).take(3)} missing=${want.diff(got.toSet).take(3)}")
+  }
+
   test("stream-stream attribution join (watermarked both sides) equals batch") {
     val want = SparkEntry.queries("stream_interval_join")(spark, "/root/testdata/sf0.001")
       .select("user_id", "click_id", "view_id")
