@@ -37,23 +37,15 @@ object ScaleProbe {
                         saltText: Boolean): DataFrame = {
     if (mult <= 1) return df
     // per-replica alphabet permutation from the AFFINE family
-    // x → a·x + b (mod 26) with a coprime to 26: 12 multipliers × 26
-    // shifts = 312 distinct permutations, so up to 312 replicas are
-    // pairwise shingle-disjoint (two replicas share a shingle only if
-    // their permutations coincide). A plain rotation family has only 26
-    // members — replica 26 would alias replica 0 and the probe would
-    // measure an adversarial near-copy corpus, not scale.
-    val coprime = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(!saltText || mult <= coprime.length * 26,
-      s"text-salted replication supports at most ${coprime.length * 26} replicas, got $mult")
+    // ([[graft.ops.ProbeSalts.textPermutation]] — 312 distinct members,
+    // orbit-distinctness spec-verified by the salt-period law): up to
+    // 312 replicas are pairwise shingle-disjoint. A plain rotation
+    // family has only 26 members — replica 26 would alias replica 0 and
+    // the probe would measure an adversarial near-copy corpus, not scale.
+    import graft.ops.ProbeSalts
+    require(!saltText || mult <= ProbeSalts.textFamilySize,
+      s"text-salted replication supports at most ${ProbeSalts.textFamilySize} replicas, got $mult")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def affine(r: Int): String = {
-      // enumerate shifts first: replicas 0..25 are exactly the rotation
-      // family earlier probe rows were measured with (r = 0 identity)
-      val a = coprime(r / 26)
-      val b = r % 26
-      alpha.indices.map(x => alpha((a * x + b) % 26)).mkString
-    }
     val reps = df.withColumn("_rep", explode(lit((0 until mult).toArray)))
     val shifted = reps.withColumn(idCol, col(idCol) + col("_rep").cast("long") * 100000000L)
     val salted =
@@ -62,7 +54,7 @@ object ScaleProbe {
         // deterministic, length-preserving, token-statistics-isomorphic
         (0 until mult).foldLeft(col("text")) { (c, r) =>
           when(col("_rep") === r,
-            translate(col("text"), alpha, affine(r))).otherwise(c)
+            translate(col("text"), alpha, ProbeSalts.textPermutation(r))).otherwise(c)
         })
     salted.drop("_rep")
   }
@@ -134,7 +126,7 @@ object ScaleProbe {
     // ratios at 100× shared the aliased corpus on both sides and stand.
     def permuteCoord(rep: org.apache.spark.sql.Column,
                      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      ((i * ((shiftright(rep, 6) % 32) * 2 + 1) + rep % 64) % 64) + 1
+      graft.ops.ProbeSalts.coordPermutation(rep, i)
 
     def docs(m: Int) = replicate(
       spark.read.parquet(s"$dir/documents.parquet"), m, "doc_id", saltText = true)
@@ -246,8 +238,8 @@ object ScaleProbe {
         val rep = (col("vec_id") / 100000000L).cast("int")
         val base = emb0.withColumn("embedding",
           transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+            (x.cast("double") *
+              graft.ops.ProbeSalts.directionFactor(rep, i)).cast("float")))
           .localCheckpoint(false)
         val planted = base.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -392,8 +384,8 @@ object ScaleProbe {
         val rep = (col("vec_id") / 100000000L).cast("int")
         val base = emb0.withColumn("embedding",
           transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+            (x.cast("double") *
+              graft.ops.ProbeSalts.directionFactor(rep, i)).cast("float")))
           .localCheckpoint(false)
         noop(graft.queries.DatasetQueries.decontaminationVerdicts(base))
       },
@@ -576,8 +568,8 @@ object ScaleProbe {
         val rep = (col("vec_id") / 100000000L).cast("int")
         val corpus = emb0.withColumn("embedding",
           transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (((i * (rep + 1)) % 23) - 11).cast("double") * 0.07)).cast("float")))
+            (x.cast("double") *
+              graft.ops.ProbeSalts.directionFactor(rep, i)).cast("float")))
         noop(graft.queries.SimilarityQueries.coresetCenters(corpus))
       },
       "semdedup" -> { m =>

@@ -165,6 +165,60 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(entries.length == raw.length)
   }
 
+  test("salt-period law: every probe salt family's claimed size is its real period") {
+    // The r12 lesson, promoted to a law: a salt family whose nominal size
+    // exceeds its real period silently turns a scale probe into an
+    // adversarial near-copy corpus. For each family, materialize the FULL
+    // orbit (claimed-size members, one vector each) and require exact
+    // pairwise distinctness — plus, where the period is the documented
+    // bound, that the first out-of-family member really does alias.
+    import graft.ops.ProbeSalts
+    def assertDistinctOrbit(name: String, claimed: Int, member: Int => Seq[Any]): Unit = {
+      val orbit = (0 until claimed).map(member)
+      val firstDup = orbit.zipWithIndex.groupBy(_._1).values
+        .filter(_.size > 1).map(_.map(_._2)).headOption
+      assert(orbit.distinct.size == claimed,
+        s"$name: claimed family size $claimed but members ${firstDup.getOrElse(Nil)} alias")
+    }
+    // text alphabet permutations: 312 distinct, replica 0 = identity
+    assertDistinctOrbit("textPermutation", ProbeSalts.textFamilySize,
+      r => Seq(ProbeSalts.textPermutation(r)))
+    assert(ProbeSalts.textPermutation(0) == "abcdefghijklmnopqrstuvwxyz")
+    // embedding coordinate permutations: evaluate the Column formula over
+    // the full (rep, i) grid and check 2048 distinct index vectors
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    def orbitOf(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                claimed: Int): Map[Int, Seq[Int]] =
+      spark2.range(claimed.toLong).select(col("id").cast("int").as("rep"))
+        .withColumn("i", explode(lit((0 until 64).toArray)))
+        .select(col("rep"), col("i"), f(col("rep"), col("i")).cast("int").as("j"))
+        .as[(Int, Int, Int)].collect()
+        .groupBy(_._1).map { case (r, rows) =>
+          r -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+    val coordOrbit = orbitOf(ProbeSalts.coordPermutation, ProbeSalts.coordFamilySize)
+    assertDistinctOrbit("coordPermutation", ProbeSalts.coordFamilySize, coordOrbit(_))
+    // each member must also be a BIJECTION of 1..64 (geometry-preserving)
+    coordOrbit.foreach { case (r, v) =>
+      assert(v.sorted == (1 to 64), s"coordPermutation($r) is not a bijection")
+    }
+    // the deliberately aliased pre-r12 pairing MUST fail the law at its
+    // real period (64): the negative case that proves the law detects
+    val aliased = orbitOf(ProbeSalts.coordPermutationAliased, 128)
+    assert((0 until 128).map(aliased(_)).distinct.size < 128,
+      "negative case failed: the aliased family read as distinct")
+    assert(aliased(64) == aliased(0), "aliased family's period moved from 64")
+    assertDistinctOrbit("coordPermutationAliased(≤64)", 64, aliased(_))
+    // direction (amplitude) salt: 23 distinct factor vectors, and the
+    // documented period bound is REAL — replica 23 aliases replica 0
+    val dirOrbit = orbitOf((r, i) =>
+      (ProbeSalts.directionFactor(r, i) * 1e9).cast("long"), 24)
+    assertDistinctOrbit("directionFactor", ProbeSalts.directionFamilySize, dirOrbit(_))
+    assert(dirOrbit(23) == dirOrbit(0),
+      "direction salt's documented period-23 bound is no longer the alias point")
+  }
+
   test("ExecMem.resolve: derives the default from the master's worker memory, fails fast on oversize") {
     import graft.ops.ExecMem
     // no env override: default is min(20 GiB, worker memory) — the r12
