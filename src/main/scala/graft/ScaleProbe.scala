@@ -124,9 +124,17 @@ object ScaleProbe {
     // documents). Replicas 0–63 keep the identity multiplier, so every
     // ≤ 64× row measured before the fix is unaffected; A/B and topology
     // ratios at 100× shared the aliased corpus on both sides and stand.
+    // SPARK_GRAFT_SALT_ALIASED=1 is a MEASUREMENT knob: it swaps in the
+    // period-64 pre-r12 pairing so a same-window fixed-vs-aliased corpus
+    // CPU pair can close the r12 watch item (the aliased corpus's twin
+    // bands are geometry, not ids — the densified ids and the pack
+    // guard apply to both sides, so the pair prices corpus geometry
+    // alone). Never a shipped configuration.
     def permuteCoord(rep: org.apache.spark.sql.Column,
                      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.ops.ProbeSalts.coordPermutation(rep, i)
+      if (sys.env.get("SPARK_GRAFT_SALT_ALIASED").contains("1"))
+        graft.ops.ProbeSalts.coordPermutationAliased(rep, i)
+      else graft.ops.ProbeSalts.coordPermutation(rep, i)
 
     def docs(m: Int) = replicate(
       spark.read.parquet(s"$dir/documents.parquet"), m, "doc_id", saltText = true)
@@ -605,6 +613,17 @@ object ScaleProbe {
               (x.cast("double") * (lit(1.0) + ((i % 5) - 2).cast("double") / lit(1000.0)))
                 .cast("float")).as("embedding"))
         noop(graft.queries.DatasetQueries.semdedupVerdicts(base.unionByName(planted)))
+      },
+      "dispatch_floor" -> { m =>
+        // per-task dispatch floor (r12 verdict task 6): a data-free
+        // narrow map across 32·m one-row tasks. (wall(m)−wall(1)) /
+        // (32·(m−1)) is the scheduler+launch+result cost a tiny-stage
+        // query pays PER TASK on the chosen topology — the direct price
+        // of the cluster sweep's 1.6-3.7× narrow-map readings (all
+        // sub-1.5 s absolute). No shuffle, no scan: the job is pure
+        // dispatch.
+        noop(spark.range(0L, 32L * m, 1L, 32 * m)
+          .select((col("id") * 2 + 1).as("x")))
       },
       "cluster_assign" -> { m =>
         // nearest-centroid assignment (the shipped argmax entries): one

@@ -429,9 +429,8 @@ object Similarity {
     // so the pack-domain check bounds those two columns.
     val pack = packIds && {
       val (lo, hi) = idBound.getOrElse {
-        // bounded: 1-row min/max agg over the (caller-checkpointed) topk
         val r = topk.agg(min(least(col("qid"), col(idCol))),
-          max(greatest(col("qid"), col(idCol)))).head()
+          max(greatest(col("qid"), col(idCol)))).head() // bounded: 1-row min/max agg over the (caller-checkpointed) topk
         if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       }
       val ok = lo >= 0L && hi <= 0xFFFFFFFFL

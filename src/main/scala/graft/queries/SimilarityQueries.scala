@@ -289,11 +289,10 @@ object SimilarityQueries {
         .localCheckpoint()
       // Pack-domain bound for the descent rounds, computed ONCE over the
       // tiny checkpointed code table (every qid/vec_id in every round is
-      // an emb vec_id): rounds skip their per-round topk agg. bounded:
-      // 1-row min/max agg.
+      // an emb vec_id): rounds skip their per-round topk agg.
       val idRange = {
         val r = codes.agg(org.apache.spark.sql.functions.min(col("vec_id")),
-          org.apache.spark.sql.functions.max(col("vec_id"))).head()
+          org.apache.spark.sql.functions.max(col("vec_id"))).head() // bounded: 1-row min/max agg
         if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       }
       val codeSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
