@@ -398,7 +398,14 @@ object Similarity {
     * < 2³², so the domain is VERIFIED at build time — callers that know
     * their id range pass `idBound` (one driver-side min/max, computed
     * once per chain instead of per round); otherwise one cheap 1-row agg
-    * over `topk` derives it. Out-of-domain ids fall back to the unpacked
+    * over `topk` derives it. PRECONDITION when `idBound` is None and
+    * `packIds` is true: `topk` must be checkpointed (or otherwise cheap
+    * to execute), because the derivation agg EXECUTES `topk` eagerly at
+    * build time — an uncheckpointed deep lineage re-runs in full, once
+    * per round in a multi-round loop. Multi-round callers should derive
+    * the bound once from the id SOURCE and thread it through every
+    * round (the in-repo chain does: knnGraphEdges computes the corpus
+    * id range one time and passes it to all rounds). Out-of-domain ids fall back to the unpacked
     * exchange with a loud stderr warning — rows are identical either
     * way, only the exchange width changes. (The r12 probe corpus salted
     * ids by replica·10⁸, exceeding 2³² above 43 replicas; the unguarded

@@ -33,6 +33,10 @@ object ProbeSalts {
     * coincide, so pairwise distinctness of the orbit IS the
     * shingle-disjointness claim. */
   def textPermutation(r: Int): String = {
+    require(0 <= r && r < textFamilySize,
+      s"text-permutation replica $r outside the family [0, $textFamilySize)" +
+        " — more replicas than the affine family has distinct members" +
+        " would alias and measure a near-copy corpus, not scale")
     val a = textCoprime(r / 26)
     val b = r % 26
     alpha.indices.map(x => alpha((a * x + b) % 26)).mkString

@@ -522,7 +522,7 @@ object PipelineQueries {
     * 100×, shuffle volume itself small). Values are identical either
     * way; only block storage format changes. */
   private def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (sys.env.get("SPARK_GRAFT_CKPT_SER").contains("1"))
+    if (graft.ops.MeasurementKnobs.get("SPARK_GRAFT_CKPT_SER").contains("1"))
       df.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else df.localCheckpoint()
@@ -606,7 +606,7 @@ object PipelineQueries {
       // SPARK_GRAFT_SORT_CKPT=1 the verdict frame materializes once and
       // the sort samples the (narrow) checkpoint instead.
       val sorted =
-        if (sys.env.get("SPARK_GRAFT_SORT_CKPT").contains("1"))
+        if (graft.ops.MeasurementKnobs.get("SPARK_GRAFT_SORT_CKPT").contains("1"))
           verdicts.localCheckpoint()
         else verdicts
       sorted.orderBy("doc_id")

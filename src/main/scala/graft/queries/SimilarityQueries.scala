@@ -229,14 +229,16 @@ object SimilarityQueries {
   // ~1.5 GB through the scored join per slice): sf0.1's 2000 vectors
   // (3.2M proposals) stay single-slice, the 50× probe's 100k vectors
   // (160M) slice ~2x-per-48g-heap. Overridable for probe experiments.
-  private val knnChunkProposals: Long =
-    sys.env.get("SPARK_GRAFT_KNN_CHUNK_PROPOSALS").map(_.toLong)
-      .getOrElse(96000000L)
+  private def knnChunkProposals: Long =
+    graft.ops.MeasurementKnobs.get("SPARK_GRAFT_KNN_CHUNK_PROPOSALS")
+      .map(_.toLong).getOrElse(96000000L)
   // Measurement-only A/B knob for the packed proposal exchange
   // (SPARK_GRAFT_KNN_PACK=0 reverts to two-column proposal rows; rows
-  // are identical either way — spec-pinned). Never set in shipped runs.
-  private val knnPackProposals: Boolean =
-    sys.env.get("SPARK_GRAFT_KNN_PACK").forall(_ != "0")
+  // are identical either way — pinned by the knob-registry law). Never
+  // set in shipped runs. `def` (not val): the registry law flips knobs
+  // in-JVM, so gated sites must re-read per query build.
+  private def knnPackProposals: Boolean =
+    graft.ops.MeasurementKnobs.get("SPARK_GRAFT_KNN_PACK").forall(_ != "0")
   private lazy val knnCodePlanes =
     Similarity.md5Planes(knnCodeBitsPerWord, knnCodeWords, 64, "graft-knn-code")
 

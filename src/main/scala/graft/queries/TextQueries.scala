@@ -1138,8 +1138,9 @@ object TextQueries {
     * arrays. Registered sfs (≤ ~50k docs) stay one slice; the 50× probe
     * corpus (250k salted docs) slices 3× per JVM. Override for probe
     * experiments. */
-  private val lshVerifyChunkDocs: Long =
-    sys.env.get("SPARK_GRAFT_LSH_CHUNK_DOCS").map(_.toLong).getOrElse(100000L)
+  private def lshVerifyChunkDocs: Long =
+    graft.ops.MeasurementKnobs.get("SPARK_GRAFT_LSH_CHUNK_DOCS")
+      .map(_.toLong).getOrElse(100000L)
 
   /** Shared calibration stages — the REGISTERED query and ScaleProbe both
     * call this on a (doc_id, text) frame.
