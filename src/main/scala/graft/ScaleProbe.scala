@@ -566,6 +566,57 @@ object ScaleProbe {
             col("vec_id") % 100000000L)
         noop(graft.queries.SimilarityQueries.knnGraphEdges(dense))
       },
+      "recall_tiers" -> { m =>
+        // Recall-at-scale (r13 verdict task 1): the registered retrieval
+        // tiers at EXACTLY the ann_recall_tiers configurations (SHARED
+        // builder SimilarityQueries.recallProbeTiers — the probe cannot
+        // drift from the certified machinery) scored against exact
+        // brute-force truth on a BOUNDED fixed query sample while the
+        // corpus scales m×. Throughput tiers answer "does it stay fast";
+        // this family answers the other 100 TB ANN question: does RECALL
+        // survive the occupancy/probe-ratio shift of a bigger corpus.
+        // Corpus salt = knn_graph's coordinate permutation (within-
+        // replica geometry bit-preserved, cross-replica cosine ~0) with
+        // densified ids. Prints RECALL lines; this family's timing
+        // columns time the whole recall computation, not a shipped query.
+        require(m <= 2048, s"coordinate-permutation salt has period 2048, got $m")
+        val emb0 = replicate(spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m, "vec_id", saltText = false)
+        val rep = (col("vec_id") / 100000000L).cast("int")
+        val corpus = emb0.withColumn("embedding",
+          transform(col("embedding"), (_, i) =>
+            element_at(col("embedding"), permuteCoord(rep, i))))
+        val nBase = spark.read.parquet(s"$dir/embeddings.parquet")
+          .agg(max(col("vec_id"))).head().getLong(0) + 1L // bounded: 1-row agg
+        val emb = corpus.withColumn("vec_id",
+          (col("vec_id") / 100000000L).cast("long") * nBase +
+            col("vec_id") % 100000000L)
+          .localCheckpoint(false)
+        val k = graft.queries.SimilarityQueries.recallProbeK
+        // fixed bounded query sample: every 50th ORIGINAL id from the
+        // first (up to) 10 replicas — ≤ ~400 queries at every scale, so
+        // the exact brute-force truth stays a bounded slice (400 × n
+        // cosines) while the CORPUS side grows m×
+        val qReps = math.min(m, 10).toLong
+        val q = emb.filter((col("vec_id") % nBase) % 50 === 0 &&
+            col("vec_id") < lit(nBase * qReps))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          .localCheckpoint(false)
+        val nQ = q.count()
+        val truth = graft.operators.Similarity.bruteForceTopK(emb, q, k)
+          .select(col("qid"), col("vec_id")).localCheckpoint(false)
+        for ((tier, topk) <- graft.queries.SimilarityQueries.recallProbeTiers(emb, q)) {
+          val r = topk.select(col("qid"), col("vec_id"))
+            .join(truth, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(truth.agg(count(lit(1)).as("total"))))
+            .select(col("hits"), col("total"),
+              expr("hits * 1000000 div total").as("recall_ppm"))
+            .head() // bounded: 1-row recall agg
+          println(s"RECALL m=$m tier=$tier k=$k queries=$nQ hits=${r.getLong(0)} " +
+            s"total=${r.getLong(1)} recall_ppm=${r.getLong(2)}")
+        }
+      },
       "coreset_kcenter" -> { m =>
         // greedy k-center via the SHARED chain: k bounded rounds of one
         // narrow broadcast pass + a TakeOrdered top-1 — cost is k·O(n)

@@ -1757,6 +1757,38 @@ object SimilarityQueries {
     },
     Some(tiersOracleSql))
 
+  /** The scale-relevant retrieval tiers at EXACTLY the registered
+    * `ann_recall_tiers` configurations, exposed for the recall-at-scale
+    * probe (ScaleProbe `recall_tiers`, r13 verdict task 1) so the probe
+    * cannot drift from the certified machinery: lsh = the corpus-sized
+    * auto-depth ([[lshDepth]] from a COUNT — the depth the corpus
+    * SELECTS grows with scale); ivf / ivfpq = the md5-center index at
+    * `tiersIvfProbe` of its 8 lists; binary = the [[scaledShortlist]]
+    * Hamming funnel; pq-inside-ivfpq = the [[sampledPqCb]] codebooks.
+    * Unlike `ann_recall_tiers` the QUERY SAMPLE is caller-supplied —
+    * the probe holds it bounded (exact brute-force truth stays a
+    * bounded slice) while the corpus scales 50-100×. Returns
+    * (tier, top-k frame) pairs ranked to [[recallProbeK]]. */
+  def recallProbeTiers(emb: org.apache.spark.sql.DataFrame,
+                       q: org.apache.spark.sql.DataFrame)
+      : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val k = annK
+    val n = Similarity.corpusCount(emb)
+    val sl = scaledShortlist(n)
+    val lshPm = { val (p, t) = lshDepth(n); Similarity.md5Planes(p, t, 64) }
+    val lsh = Similarity.lshTopKPlanes(emb, q, k, lshPm)
+    val index = graft.operators.Ivf.fromCenters(emb, ivfOracleCenters)
+    val ivf = graft.operators.Ivf.topK(index, q, k, nProbe = tiersIvfProbe)
+    val cb = sampledPqCb(emb, tiersPqCentroids)
+    val ivfpq = graft.operators.Pq.ivfPqTopK(index, cb, q, k,
+      nProbe = tiersIvfProbe, shortlist = sl)
+    val bin = binaryTopK(emb, q, k, sl)
+    Seq("binary" -> bin, "ivf" -> ivf, "ivfpq" -> ivfpq, "lsh" -> lsh)
+  }
+
+  /** k the recall probe's tiers rank to (= the registered `annK`). */
+  def recallProbeK: Int = annK
+
   val defs: Seq[QueryDef] = Seq(cosineTopK, dedupEmbeddingCosine, annLshTopK, knnGraphQ,
     coresetKcenterQ,
     annIvfTopK, annIvfTopKOracle, annFilteredTopK, annIvfPersisted, annIvfIncremental,
