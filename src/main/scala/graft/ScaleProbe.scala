@@ -170,13 +170,22 @@ object ScaleProbe {
         noop(Components.connectedComponents(nodes, edges))
       },
       "frame_mining" -> { m =>
+        // the composed E3 chain via the SHARED stage builder (replica id
+        // offsets are divisible by 100, so the %100 sample fraction is
+        // exactly scale-invariant)
         val mf = manifest(m).filter(col("video_id") % 100 === 0)
           .withColumn("total_frames", floor(col("total_duration") * 24).cast("long"))
           .select("video_id", "total_frames")
-        noop(new graft.pipelines.FrameMining(
-          () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
-          () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
-          .run(mf))
+        noop(graft.queries.PipelineQueries.frameMiningRun(mf))
+      },
+      "bg_curation" -> { m =>
+        // the composed E4 chain via the SHARED stage builder: the
+        // part-derived image frame replicates with offset ids while h/w
+        // keep the ORIGINAL key's values, so every gate's pass-fraction
+        // is exactly scale-invariant and survivor volume scales with m
+        noop(graft.queries.PipelineQueries.bgCurationSummary(
+          replicate(graft.queries.PipelineQueries.bgCurationImages(spark, dir),
+            m, "image_id", saltText = false)))
       },
       "line_dedup" -> { m =>
         // the dedup_lines core: aligned 10-token segments → corpus count →

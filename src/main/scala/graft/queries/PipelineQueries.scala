@@ -146,6 +146,18 @@ object PipelineQueries {
     },
     Some(captionOracleSql))
 
+  /** Shared E3 chain on a (video_id, total_frames) manifest — the
+    * REGISTERED query and ScaleProbe's `frame_mining` family both call
+    * this (same shared-builder discipline as [[dedupCorpusVerdicts]] /
+    * [[bgCurationSummary]]: the probe measures exactly the shipped
+    * two-phase plan). */
+  def frameMiningRun(manifest: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    new FrameMining(
+      () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
+      () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
+      .run(manifest)
+
   /** E3 two-phase frame mining (greedy fold inside → rows-only). */
   val pipelineFrameMining = QueryDef("pipeline_frame_mining",
     (s, dir) => {
@@ -153,10 +165,7 @@ object PipelineQueries {
         .filter(col("video_id") % 100 === 0)
         .withColumn("total_frames", floor(col("total_duration") * 24).cast("long"))
         .select("video_id", "total_frames")
-      new FrameMining(
-        () => new Models.FakePersonDetector, () => new Models.FakeFaceDetector,
-        () => new Models.FakeFaceQualityScorer, () => new Models.FakeFaceEmbedder())
-        .run(manifest)
+      frameMiningRun(manifest)
     },
     None)
 
@@ -291,19 +300,34 @@ object PipelineQueries {
     () => new Models.FakeRelighter,
     new graft.sources.Sinks.LocalFsStore("/tmp/graft_bg_out"))
 
+  /** The part-derived synthetic image frame the E4 queries run on —
+    * shared by the registered query and ScaleProbe's `bg_curation`
+    * family (the probe replicates THIS frame, so replica h/w carry the
+    * original key's values and gate pass-fractions are exactly
+    * scale-invariant). */
+  def bgCurationImages(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    table(s, dir, "part").select(
+      col("p_partkey").as("image_id"),
+      format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
+      (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
+      (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
+
+  /** Shared E4 chain (resolution gate → detect → box gates → per-box
+    * model stages → persons assembly → summary sort) — the REGISTERED
+    * query and ScaleProbe's `bg_curation` family both call this, so the
+    * probe measures exactly the shipped plan (the r13 dedup-corpus
+    * lesson: an inline probe replica rots when the query's shape moves). */
+  def bgCurationSummary(images: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bgPipeline().run(images)
+      .select("image_id", "h", "w", "max_area", "area_ratio", "n_persons")
+      .orderBy("image_id")
+
   /** E4 image curation end-to-end (fake models → rows-only; the relational
     * subset is oracle-checked by `bg_save_paths`). */
   val pipelineBgCuration = QueryDef("pipeline_bg_curation",
-    (s, dir) => {
-      val images = table(s, dir, "part").select(
-        col("p_partkey").as("image_id"),
-        format_string("/imgs/part_%d.jpg", col("p_partkey")).as("image_path"),
-        (lit(400L) + (col("p_partkey") * 37) % 1200).as("h"),
-        (lit(600L) + (col("p_partkey") * 53) % 1600).as("w"))
-      bgPipeline().run(images)
-        .select("image_id", "h", "w", "max_area", "area_ratio", "n_persons")
-        .orderBy("image_id")
-    },
+    (s, dir) => bgCurationSummary(bgCurationImages(s, dir)),
     None)
 
   /** E4 relational subset, oracle-green: synthetic person boxes from pure
