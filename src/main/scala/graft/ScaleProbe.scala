@@ -74,6 +74,10 @@ object ScaleProbe {
     val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k2=v2": extra session confs for probe A/Bs
+    // (checkpoint-block locality / codegen-method-size experiments)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     if (master.startsWith("local-cluster")) {
       // worker-launched executors need this build's classes (the probe
       // ships native-kernel Expressions and operator closures to tasks)

@@ -82,6 +82,8 @@ object MeasurementKnobs {
     "SPARK_GRAFT_ONLY" -> "bench query filter (harness config)",
     "SPARK_GRAFT_REPEATS" -> "bench repeat count (harness config)",
     "SPARK_GRAFT_BENCH_OUT" -> "bench artifact path (harness config)",
+    "SPARK_GRAFT_CONF" ->
+      "generic extra-session-conf passthrough for probe A/Bs (session config)",
     "SPARK_GRAFT_SALT_ALIASED" ->
       "swaps in the deliberately period-aliased probe corpus — changes the INPUT by design (negative-control geometry), so value-identity cannot apply")
 }
