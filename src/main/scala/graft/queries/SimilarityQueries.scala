@@ -79,23 +79,68 @@ object SimilarityQueries {
     * 20× probe's fixed-depth saturation lever, now always on): planes
     * grow one per corpus doubling past the base occupancy
     * ([[Similarity.autoPlanesExact]] — exact-integer rule from a COUNT,
-    * so the oracle replays the choice), and tables grow
-    * `lshTablesPerExtraPlane` per extra plane to hold the recall floor
+    * so the oracle replays the choice), and tables follow the TWO-REGIME
+    * growth law [[lshTablesFor]] to hold the recall floor
     * (per-plane agreement probability is fixed by the similarity, so
     * deeper AND-conjunctions need more OR-tables — the standard (k, L)
     * LSH tradeoff; `ann_recall_tiers` certifies the floor at whatever depth
     * the corpus selects). 12 tables per extra plane is recall-measured
     * on the overlapping-cluster test embeddings: at sf0.1 (depth 5)
     * 24 tables gave 0.89 — under the floor — 36 gave 0.97. Candidate
-    * work ~ L·n²/2^planes, so with L linear in log n and 2^planes
-    * linear in n, total work stays ~n·log n as the corpus grows —
-    * against n² at any fixed depth. */
+    * work ~ L·n²/2^planes, so with 2^planes linear in n, per-point
+    * work stays ~L as the corpus grows — against n² at any fixed depth. */
   private val lshMaxPlanes = 24
   private val lshTablesPerExtraPlane = 12
+
+  /** Table count for `planes` — the r14 recall-at-scale law. Per-table
+    * collision probability for a neighbor at per-plane agreement p is
+    * p^planes, so holding a recall floor needs tables × (1/p) PER EXTRA
+    * PLANE — geometric, not linear. The r14 50×/100× recall probe
+    * measured the linear rule's failure directly: recall@5 0.97 at
+    * depth 5 / 36 tables (sf0.1) fell to 0.697 at depth 11 / 108 and
+    * 0.619 at depth 12 / 120, and the fitted per-table collisions
+    * (0.0928 → 0.0110 → 0.0080) give measured per-plane agreement
+    * p ≈ 0.70–0.73 (≈ 60°–65° neighbors — this corpus is deliberately
+    * hard). The law: tables = min(1024, max(linear, lshTables·(3/2)^e))
+    * with e = planes − lshPlanes — the 3/2 base is 1/p at the p = 2/3
+    * design point, slightly over-provisioned for the measured 0.70+.
+    * max() keeps every registered scale (e ≤ 2 at sf ≤ 0.1) EXACTLY on
+    * the measured linear calibration — the oracle-certified configs are
+    * unchanged; the geometric branch takes over from e = 5 (n > 16k
+    * vectors, probe scales — re-probed at 50×/100×: recall restored to
+    * 0.96+ from 0.697/0.619). Integer-exact ((12·3^e) div 2^e) so the
+    * SQL twin [[lshTablesSql]] replays it bit-for-bit. The 1024 cap is
+    * reached at e = 11 (n > 1M vectors at 60° neighbors): past it this
+    * corpus class should route to the binary/ivf tiers (whose n/4
+    * shortlist law HOLDS recall at scale — measured 0.98+ at 100×) or
+    * the knn graph; separable real-corpus structure sustains the floor
+    * at far smaller L (the ivfProbe note above). */
+  private def lshTablesFor(planes: Int): Int = {
+    val e = planes - lshPlanes
+    var pow3 = 1L
+    for (_ <- 0 until e) pow3 *= 3L
+    val linear = lshTables + lshTablesPerExtraPlane * e
+    val geometric = ((lshTables.toLong * pow3) / (1L << e)).toInt
+    math.min(1024, math.max(linear, geometric))
+  }
+
+  /** DuckDB twin of [[lshTablesFor]] over the `depth` CTE's `planes`
+    * column — same integer operations, same truncation (POWER(3, e) is
+    * an exact integer in double up to e = 21, and `//` matches Scala's
+    * Long division on nonnegative values). */
+  private def lshTablesSql: String =
+    s"""LEAST(1024, GREATEST(
+         $lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes),
+         ($lshTables * CAST(POWER(3, planes - $lshPlanes) AS BIGINT))
+           // CAST(POWER(2, planes - $lshPlanes) AS BIGINT)))"""
+
   private def lshDepth(n: Long): (Int, Int) = {
     val planes = Similarity.autoPlanesExact(n, 64L, lshPlanes, lshMaxPlanes)
-    (planes, lshTables + lshTablesPerExtraPlane * (planes - lshPlanes))
+    (planes, lshTablesFor(planes))
   }
+
+  /** Spec seam for the table-growth law ([[lshTablesFor]] is private). */
+  private[graft] def lshDepthForCount(n: Long): (Int, Int) = lshDepth(n)
 
   /** The md5-derived replayable hyperplanes shared by `ann_lsh_topk` and
     * `ann_recall_tiers`, at the corpus-sized depth (one bounded count pass). */
@@ -123,8 +168,7 @@ object SimilarityQueries {
     * constant because NN-descent, not table growth, carries its
     * recall). */
   private def lshRankCtes(qFilter: String,
-                          tablesSql: String =
-                            s"$lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes)"): String =
+                          tablesSql: String = lshTablesSql): String =
     s"""${lshCandCtes(qFilter, tablesSql)},
       pairs AS (SELECT cand.qid, cand.vec_id,
           CASE WHEN a.nrm > 0 AND b.nrm > 0
@@ -151,7 +195,7 @@ object SimilarityQueries {
       pl AS (SELECT tt.t AS t, tj.j AS j,
                list(CAST(('0x' || substring(md5('graft-lsh:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
                     ORDER BY ti.i) AS hs
-             FROM generate_series(0, 263) tt(t),
+             FROM generate_series(0, 1023) tt(t),
                   generate_series(0, ${lshMaxPlanes - 1}) tj(j),
                   generate_series(0, 63) ti(i), dt
              WHERE tt.t < dt.tables AND tj.j < dt.planes
@@ -1519,13 +1563,12 @@ object SimilarityQueries {
       depth AS (SELECT LEAST($lshMaxPlanes, GREATEST($lshPlanes,
           (SELECT MIN(p) FROM generate_series(0, 40) g(p)
            WHERE (CAST(64 AS BIGINT) << p) >= (SELECT n FROM nn)))) AS planes),
-      dt AS (SELECT planes,
-               $lshTables + $lshTablesPerExtraPlane * (planes - $lshPlanes) AS tables
+      dt AS (SELECT planes, $lshTablesSql AS tables
              FROM depth),
       pl AS (SELECT tt.t AS t, tj.j AS j,
                list(CAST(('0x' || substring(md5('graft-lsh:' || CAST(tt.t AS VARCHAR) || ':' || CAST(tj.j AS VARCHAR) || ':' || CAST(ti.i AS VARCHAR)), 1, 15)) AS BIGINT)
                     ORDER BY ti.i) AS hs
-             FROM generate_series(0, 263) tt(t),
+             FROM generate_series(0, 1023) tt(t),
                   generate_series(0, ${lshMaxPlanes - 1}) tj(j),
                   generate_series(0, 63) ti(i), dt
              WHERE tt.t < dt.tables AND tj.j < dt.planes

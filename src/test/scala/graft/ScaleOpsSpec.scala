@@ -270,6 +270,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("not a Spark memory string"))
   }
 
+  test("LSH table-growth law: registered scales unchanged, geometric past the crossover, capped") {
+    // r14 recall-at-scale finding: the linear tables rule held the 0.9
+    // floor at registered scales but decayed to 0.697/0.619 recall@5 at
+    // the 50x/100x probe depths; per-table collision needs tables x(1/p)
+    // per extra plane (p = per-plane agreement, measured 0.70-0.73).
+    // The law: min(1024, max(linear, 12*(3/2)^e)) — max() pins every
+    // oracle-certified registered config to the measured linear values.
+    import graft.queries.SimilarityQueries.lshDepthForCount
+    assert(lshDepthForCount(20L) == (3, 12))    // sf0.001
+    assert(lshDepthForCount(200L) == (3, 12))   // sf0.01
+    assert(lshDepthForCount(2000L) == (5, 36))  // sf0.1 — the certified floor config
+    // crossover: e=4 ties at 60, e=5 the geometric branch takes over
+    assert(lshDepthForCount(64L << 7) == (7, 60))
+    assert(lshDepthForCount((64L << 7) + 1L) == (8, 91))
+    // the r14 probe tiers (50x/100x of sf0.1 embeddings)
+    assert(lshDepthForCount(100000L) == (11, 307))
+    assert(lshDepthForCount(200000L) == (12, 461))
+    // cap at 1024 (e=11, >1M vectors): past it route to binary/ivf/knn
+    assert(lshDepthForCount(1000000L) == (14, 1024))
+    assert(lshDepthForCount(100000000L)._2 == 1024)
+  }
+
   // ------------------------------------------------------------------
   // Measurement-knob registry law (r13 verdict task 8): ONE law that
   // (a) asserts value-identity for EVERY registered SPARK_GRAFT_*
