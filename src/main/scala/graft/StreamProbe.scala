@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamProbe {
 
+  /** Time-bucket width for splitting `outSpan` ns across `nFiles` files.
+    * Used divide-FIRST: `(ts - outMin) / bucketWidthFor(...)` — the
+    * multiply-first form `(ts - outMin) * nFiles / outSpan` overflows
+    * Long around mult~220 on a 30-day sf0.1 span × 16 files, yielding a
+    * negative bucket that matches no output file and silently drops the
+    * event (r14 ADVICE). Ceil division keeps every offset < outSpan
+    * strictly below nFiles. */
+  private[graft] def bucketWidthFor(outSpan: Long, nFiles: Int): Long =
+    (outSpan + nFiles - 1L) / nFiles
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -83,8 +93,9 @@ object StreamProbe {
     val outSpan = (if (mode == "extend") spanNs + (mult - 1L) * (spanNs + horizonNs)
                    else spanNs) + 1L
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_probe")
+    val bucketWidth = bucketWidthFor(outSpan, nFiles)
     val bucketed = scaled.withColumn("_b",
-      least(lit(nFiles - 1), ((col("ts") - outMin) * nFiles / outSpan).cast("int")))
+      least(lit(nFiles - 1), ((col("ts") - outMin) / bucketWidth).cast("int")))
       .localCheckpoint()
     for (i <- 0 until nFiles) {
       val tmp = s"$streamDir/tmp_$i"
@@ -109,7 +120,11 @@ object StreamProbe {
       s"users=$nUsers spanSec=${spanNs / 1000000000L} gapSec=$gapSec delay=${delay.replace(' ', '_')}")
     var cumIn = 0L
     var maxState = 0L
-    for (p <- q.recentProgress; if p.numInputRows > 0 || p.batchId == 0) {
+    // Print EVERY progress entry: AvailableNow runs a final zero-input
+    // flush batch to advance the watermark — the batch that emits the
+    // last closed sessions — and an input>0 filter would hide its
+    // sink/state activity (the r14 ADVICE finding).
+    for (p <- q.recentProgress) {
       cumIn += p.numInputRows
       val so = p.stateOperators.headOption
       val rows = so.map(_.numRowsTotal).getOrElse(-1L)

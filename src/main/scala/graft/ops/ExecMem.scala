@@ -16,29 +16,40 @@ object ExecMem {
     """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
 
   /** Parse a SPARK_GRAFT_EXEC_MEM value in any Spark-legal byte-string
-    * form ("12g", "20gb", "13312m", "512k", "1t", bare MiB). Sub-MiB
-    * values round UP to 1 MiB so a tiny-but-nonzero value still trips
-    * the oversize check's contrapositive (a 0 would vacuously pass).
-    * Unparseable values fail fast with a readable message instead of a
-    * raw NumberFormatException. */
+    * form ("12g", "20gb", "13312m", "512k", "1t", "104857600b" bare
+    * bytes, bare MiB). Sub-MiB values round UP to 1 MiB so a
+    * tiny-but-nonzero value still trips the oversize check's
+    * contrapositive (a 0 would vacuously pass). Unparseable and
+    * non-positive values fail fast with a readable message instead of a
+    * raw NumberFormatException or a deferred opaque launch error. */
   private[graft] def asMb(v: String): Long = {
     val t0 = v.trim.toLowerCase
-    // Spark accepts both "g" and "gb" suffix spellings — strip the 'b'
-    // unless the string is a bare number (no unit at all).
-    val t = if (t0.endsWith("b") && t0.length > 1 &&
-                !t0.charAt(t0.length - 2).isDigit) t0.dropRight(1) else t0
     def num(s: String): Long =
       try s.toLong
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"SPARK_GRAFT_EXEC_MEM value '$v' is not a Spark memory string " +
-            "(expected <n>[k|m|g|t][b], e.g. 12g, 13312m, 512k)")
+            "(expected <n>[k|m|g|t][b] or <n> bytes + 'b', e.g. 12g, " +
+            "13312m, 512k, 104857600b)")
       }
-    if (t.endsWith("t")) num(t.dropRight(1)) * 1024L * 1024L
-    else if (t.endsWith("g")) num(t.dropRight(1)) * 1024L
-    else if (t.endsWith("m")) num(t.dropRight(1))
-    else if (t.endsWith("k")) (num(t.dropRight(1)) + 1023L) / 1024L
-    else num(t)
+    // Spark accepts both "g" and "gb" suffix spellings, and a bare "b"
+    // bytes suffix ("104857600b") — a digit before the 'b' means bytes.
+    val bareBytes = t0.endsWith("b") && t0.length > 1 &&
+      t0.charAt(t0.length - 2).isDigit
+    val t = if (t0.endsWith("b") && t0.length > 1 && !bareBytes)
+      t0.dropRight(1) else t0
+    val mb =
+      if (bareBytes) (num(t.dropRight(1)) + (1L << 20) - 1L) / (1L << 20)
+      else if (t.endsWith("t")) num(t.dropRight(1)) * 1024L * 1024L
+      else if (t.endsWith("g")) num(t.dropRight(1)) * 1024L
+      else if (t.endsWith("m")) num(t.dropRight(1))
+      else if (t.endsWith("k")) (num(t.dropRight(1)) + 1023L) / 1024L
+      else num(t)
+    require(mb > 0,
+      s"SPARK_GRAFT_EXEC_MEM=$v is not a positive memory size: executors " +
+        "would fail at launch with an opaque Spark error. Use a positive " +
+        "value like 12g or 13312m.")
+    mb
   }
 
   /** The spark.executor.memory value to configure for `master`. */

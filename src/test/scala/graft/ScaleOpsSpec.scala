@@ -268,6 +268,40 @@ class ScaleOpsSpec extends AnyFunSuite {
         Map("SPARK_GRAFT_EXEC_MEM" -> "lots"))
     }
     assert(e3.getMessage.contains("not a Spark memory string"))
+    // r14 ADVICE: Spark-legal bare-bytes values ('104857600b') parse as
+    // bytes (ceil to MiB, never 0), instead of throwing
+    assert(ExecMem.asMb("104857600b") == 100L)
+    assert(ExecMem.asMb("104857601b") == 101L) // ceil, not floor
+    assert(ExecMem.asMb("100b") == 1L)         // sub-MiB bytes round UP
+    // r14 ADVICE: negative values fail fast with the positive-size
+    // message instead of vacuously passing the oversize gate and dying
+    // later in an opaque Spark launch error
+    for (bad <- Seq("-12g", "-1", "-104857600b", "0", "0g")) {
+      val eNeg = intercept[IllegalArgumentException] { ExecMem.asMb(bad) }
+      assert(eNeg.getMessage.contains("not a positive memory size"), s"$bad: ${eNeg.getMessage}")
+    }
+  }
+
+  test("StreamProbe bucket width: divide-first survives spans where multiply-first overflows") {
+    // r14 ADVICE: (ts-outMin)*nFiles overflows Long around mult~220 on a
+    // 30-day ns span × 16 files — the negative bucket id matched no
+    // output file and silently dropped events from the probe stream.
+    val dayNs = 86400L * 1000000000L
+    val outSpan = 250L * 30L * dayNs // the overflow regime: ~6.5e17 ns
+    val nFiles = 16
+    assert((outSpan - 1L) * nFiles < 0L,
+      "precondition lost: this span no longer overflows multiply-first")
+    val w = StreamProbe.bucketWidthFor(outSpan, nFiles)
+    assert(w > 0L)
+    // every in-span offset lands in [0, nFiles); the last lands at the top
+    for (off <- Seq(0L, 1L, outSpan / 2, outSpan - 2L, outSpan - 1L)) {
+      val b = off / w
+      assert(b >= 0L && b < nFiles, s"offset $off → bucket $b out of range")
+    }
+    assert((outSpan - 1L) / w == nFiles - 1L)
+    // and exact-division spans still fill all buckets contiguously
+    val wExact = StreamProbe.bucketWidthFor(1600L, nFiles)
+    assert(wExact == 100L && (0L until 1600L).map(_ / wExact).distinct == (0L until 16L))
   }
 
   test("LSH table-growth law: registered scales unchanged, geometric past the crossover, capped") {
