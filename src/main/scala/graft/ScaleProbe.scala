@@ -616,9 +616,10 @@ object ScaleProbe {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
           .localCheckpoint(false)
         val nQ = q.count()
+        val nCorpus = graft.operators.Similarity.corpusCount(emb)
         val truth = graft.operators.Similarity.bruteForceTopK(emb, q, k)
           .select(col("qid"), col("vec_id")).localCheckpoint(false)
-        for ((tier, topk) <- graft.queries.SimilarityQueries.recallProbeTiers(emb, q)) {
+        for ((tier, topk, scan) <- graft.queries.SimilarityQueries.recallProbeTiers(emb, q)) {
           val r = topk.select(col("qid"), col("vec_id"))
             .join(truth, Seq("qid", "vec_id"), "left_semi")
             .agg(count(lit(1)).as("hits"))
@@ -626,8 +627,18 @@ object ScaleProbe {
             .select(col("hits"), col("total"),
               expr("hits * 1000000 div total").as("recall_ppm"))
             .head() // bounded: 1-row recall agg
+          // measured scan evidence (r14 verdict task 1): total first-stage
+          // candidate rows over the query sample — divide by nQ (not by
+          // present rows: a query with zero candidates counts as zero)
+          val scanCols = scan.map { s =>
+            val tot = s.agg(coalesce(sum(col("cand_rows")), lit(0L)))
+              .head().getLong(0) // bounded: 1-row scan agg
+            val perQ = if (nQ > 0) tot / nQ else 0L
+            val ppm = if (nQ > 0 && nCorpus > 0) tot * 1000000L / nQ / nCorpus else 0L
+            s" cand_per_q=$perQ scan_ppm=$ppm"
+          }.getOrElse("")
           println(s"RECALL m=$m tier=$tier k=$k queries=$nQ hits=${r.getLong(0)} " +
-            s"total=${r.getLong(1)} recall_ppm=${r.getLong(2)}")
+            s"total=${r.getLong(1)} recall_ppm=${r.getLong(2)}$scanCols")
         }
       },
       "coreset_kcenter" -> { m =>

@@ -366,6 +366,26 @@ object Ivf {
     Similarity.rankTopK(paired, k, qidCol, idCol)
   }
 
+  /** Per-query PROBED-CANDIDATE mass — the measured scan-fraction
+    * evidence for the recall-at-scale probe (r14 verdict task 1): how
+    * many corpus rows land in each query's `nProbe` probed lists, i.e.
+    * the rows [[topK]] actually scores. Measured from the real
+    * assignment (one narrow per-list count + a tiny probe join), not a
+    * balanced-lists assumption — md5 centers over clustered corpora can
+    * skew, and a law graded on nProbe/nLists alone would hide it.
+    * Returns one row per query: (qidCol, cand_rows). */
+  def probedCandidateCounts(index: Index, queries: DataFrame, nProbe: Int,
+                            qidCol: String = "qid",
+                            qvecCol: String = "qvec"): DataFrame = {
+    val sizes = index.assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("list_rows"))
+    queries
+      .withColumn("list_id", explode(probeLists(col(qvecCol), index.centers, nProbe)))
+      .join(sizes, Seq("list_id"), "left")
+      .groupBy(qidCol)
+      .agg(sum(coalesce(col("list_rows"), lit(0L))).as("cand_rows"))
+  }
+
   /** METADATA-FILTERED approximate top-k — the filtered-vector-search
     * shape every retrieval service needs (search only docs matching a
     * predicate: a source, a language, a date range). The predicate

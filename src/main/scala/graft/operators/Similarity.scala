@@ -269,16 +269,12 @@ object Similarity {
     // shuffle bytes. No broadcast hints: AQE picks broadcast when the
     // query side is genuinely small (the ann_*_topk probes) and falls
     // back to a shuffle join when it is the corpus.
-    val cb = candidates
-      .select(col(idCol),
-        posexplode(tableBuckets(col(vecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
-    val qb = queries
-      .select(col(qidCol),
-        posexplode(tableBuckets(col(qvecCol), planeMatrix)).as(Seq("table_idx", "bucket")))
-    val candidatePairs = cb.join(qb, Seq("table_idx", "bucket"))
-      .filter(col(idCol) =!= col(qidCol))
-      .select(col(qidCol), col(idCol))
-      .dropDuplicates(qidCol, idCol)
+    // candidate generation is THE shared builder (lshCandidatePairsPlanes)
+    // — the scan-fraction probe counts the same frame this ranks, so the
+    // measured candidate mass can never drift from the shipped join
+    val candidatePairs =
+      lshCandidatePairsPlanes(candidates, queries, planeMatrix,
+        idCol, vecCol, qidCol, qvecCol)
     val paired = candidatePairs
       .join(candidates.select(col(idCol), col(vecCol)), idCol)
       .join(queries.select(col(qidCol), col(qvecCol)), qidCol)

@@ -326,6 +326,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lshDepthForCount(100000000L)._2 == 1024)
   }
 
+  test("sublinear ANN parameter laws: registered scales pinned, sqrt growth, scan fraction falls") {
+    // r14 verdict task 1: scaledShortlist = n/4 and fixed ivf lists/probe
+    // made per-query cost Θ(n) — "a linear scan wearing an index
+    // costume". The laws below follow the lshTablesFor playbook: max/min
+    // branches pin every registered scale EXACTLY on the certified
+    // values; past the crossover the sqrt branch takes over and the scan
+    // FRACTION falls as the corpus grows. The r15 50×/100× recall probe
+    // carries the recall-floor evidence; this pins the arithmetic.
+    import graft.queries.SimilarityQueries.{shortlistForCount,
+      ivfConfigForCount, tiersIvfConfigForCount, isqrt}
+    // isqrt is the IEEE-exact integer root at the regime edges
+    assert(isqrt(0) == 0 && isqrt(1) == 1 && isqrt(3) == 1 && isqrt(4) == 2)
+    assert(isqrt(2000) == 44 && isqrt(100000) == 316 && isqrt(200000) == 447)
+    assert(isqrt((1L << 40) - 1) == 1048575L && isqrt(1L << 40) == 1048576L)
+    // shortlist law: registered scales keep the certified n/4 values
+    assert(shortlistForCount(20) == 100)    // sf0.001
+    assert(shortlistForCount(200) == 100)   // sf0.01
+    assert(shortlistForCount(2000) == 500)  // sf0.1 — the certified config
+    // crossover at n = 16·(4k)² = 6400; sqrt branch at the probe depths
+    assert(shortlistForCount(6400) == 1600)   // both branches agree here
+    assert(shortlistForCount(100000) == 6320) // 20·316: 6.3% scan (was 25%)
+    assert(shortlistForCount(200000) == 8940) // 20·447: 4.5% scan
+    // scan fraction FALLS strictly across doublings past the crossover
+    val slFrac = Seq(10000L, 20000L, 40000L, 100000L, 200000L, 1000000L)
+      .map(n => shortlistForCount(n).toDouble / n)
+    assert(slFrac.sliding(2).forall(p => p(1) < p(0)), slFrac.mkString(","))
+    // tiers (md5-replayable) IVF law: registered 8 lists / probe 4 pinned
+    assert(tiersIvfConfigForCount(20) == ((8, 4)))
+    assert(tiersIvfConfigForCount(200) == ((8, 4)))
+    assert(tiersIvfConfigForCount(2000) == ((8, 4)))
+    // occupancy floor governs 2048 < n < 65536; sqrt beyond
+    assert(tiersIvfConfigForCount(4096) == ((16, 8)))
+    assert(tiersIvfConfigForCount(16384) == ((64, 16)))
+    assert(tiersIvfConfigForCount(100000) == ((316, 34))) // 50× probe depth
+    assert(tiersIvfConfigForCount(200000) == ((447, 42))) // 100× probe depth
+    // production (Lloyd) law: registered 16/12 pinned, same growth shape
+    assert(ivfConfigForCount(20) == ((16, 12)))
+    assert(ivfConfigForCount(2000) == ((16, 12)))
+    assert(ivfConfigForCount(100000) == ((316, 34)))
+    // the 4096-list cap (SQL-twin center-generation bound) binds
+    assert(ivfConfigForCount(3000000000L)._1 == 4096)
+    assert(tiersIvfConfigForCount(3000000000L) == ((4096, 128)))
+    // probed fraction (probe/lists ≈ scanned corpus fraction under
+    // balanced lists) never rises, and falls ~4× by the 100× depth
+    val pf = Seq(2000L, 4096L, 16384L, 65536L, 100000L, 200000L).map { n =>
+      val (l, p) = tiersIvfConfigForCount(n); p.toDouble / l
+    }
+    assert(pf.sliding(2).forall(w => w(1) <= w(0)), pf.mkString(","))
+    assert(pf.last < 0.1 && pf.head == 0.5)
+  }
+
   // ------------------------------------------------------------------
   // Measurement-knob registry law (r13 verdict task 8): ONE law that
   // (a) asserts value-identity for EVERY registered SPARK_GRAFT_*
