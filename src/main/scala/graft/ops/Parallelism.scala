@@ -26,4 +26,26 @@ object Parallelism {
       else df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < min) df.repartition(min) else df
   }
+
+  /** The session's configured shuffle-partition count (the number
+    * `orderBy`/`groupBy` exchanges default to). */
+  def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** `repartitionByRange` with the shuffle-partition count pinned
+    * EXPLICITLY (r15): a bare `repartitionByRange(cols)` is marked
+    * REPARTITION_BY_COL, which lets AQE coalesce a small-bytes exchange
+    * down to ONE partition — right for shuffle-bound plans, wrong when
+    * the exchange exists to DISTRIBUTE heavy per-row compute or a
+    * fan-out whose cost AQE cannot see in the map-output bytes (measured:
+    * the coalesced form serialized a 480k-row md5 explode onto one core).
+    * The explicit count still scales with the deployment's
+    * `spark.sql.shuffle.partitions` — nothing is pinned to local[32]. */
+  def byRange(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartitionByRange(shufflePartitions(df), cols: _*)
+
+  /** Hash-partitioned sibling of [[byRange]], for exchanges a downstream
+    * window/aggregation on the same key will reuse. */
+  def byHash(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(shufflePartitions(df), cols: _*)
 }

@@ -70,11 +70,14 @@ object CoreQueries {
         FROM exploded)"""
 
   /** G1/G3 fixed-duration tiling (segment_duration=300s, min=60s).
-    * Ref: common/video/scene_segmenter_op.py:102-111. */
+    * Ref: common/video/scene_segmenter_op.py:102-111.
+    * r15 shape: tile above the pre-ranged manifest, restore the total
+    * order in-partition — the explode runs once, distributed, instead of
+    * twice on the scan core (range sampling re-executes the sort child). */
   val tileSegments = QueryDef("tile_segments",
-    (s, dir) => Tiling.tileSegments(manifest(s, dir), "total_duration", 300.0, 60.0)
+    (s, dir) => Tiling.tileSegments(Tables.manifestRanged(s, dir), "total_duration", 300.0, 60.0)
       .select("video_id", "seg_idx", "start_time", "end_time", "duration")
-      .orderBy("video_id", "seg_idx"),
+      .sortWithinPartitions("video_id", "seg_idx"),
     Some(s"""$tileOracle
       SELECT video_id, seg_idx, start_time, end_time, duration
       FROM segs WHERE duration >= 60.0 ORDER BY video_id, seg_idx"""))
@@ -82,10 +85,10 @@ object CoreQueries {
   /** F2 min-segment-length filter (drop short trailing slices at 150s).
     * Ref: common/video/scene_segmenter_op.py:104-111; pipeline/cut_ruidi.py:55-56. */
   val filterMinSeglen = QueryDef("filter_min_seglen",
-    (s, dir) => Tiling.tileSegments(manifest(s, dir), "total_duration", 300.0, 0.0)
+    (s, dir) => Tiling.tileSegments(Tables.manifestRanged(s, dir), "total_duration", 300.0, 0.0)
       .filter(col("duration") >= 150.0)
       .select("video_id", "seg_idx", "duration")
-      .orderBy("video_id", "seg_idx"),
+      .sortWithinPartitions("video_id", "seg_idx"),
     Some(s"""$tileOracle
       SELECT video_id, seg_idx, duration
       FROM segs WHERE duration >= 150.0 ORDER BY video_id, seg_idx"""))
@@ -114,12 +117,13 @@ object CoreQueries {
   /** S8 deterministic save-path generation.
     * Ref: common/io/generate_save_path_op.py:25-31. */
   val genSavePathQ = QueryDef("gen_save_path",
-    // Sort BEFORE projecting the path strings: range-partitioning samples
-    // the sort's child subtree a second time, so the expensive per-segment
-    // string assembly must sit above the Sort (evaluated once), not below
-    // it (evaluated twice). ~2.3x on the sf0.1 bench.
-    (s, dir) => Tiling.tileSegments(manifest(s, dir), "total_duration", 300.0, 60.0)
-      .orderBy("video_id", "seg_idx")
+    // Sort BEFORE projecting the path strings: the expensive per-segment
+    // string assembly must sit above the sort (evaluated once), not below
+    // it (evaluated twice under range sampling). ~2.3x on the sf0.1 bench.
+    // r15: the range exchange moved below the tiling too (manifestRanged +
+    // in-partition sort), so the explode also runs once, distributed.
+    (s, dir) => Tiling.tileSegments(Tables.manifestRanged(s, dir), "total_duration", 300.0, 60.0)
+      .sortWithinPartitions("video_id", "seg_idx")
       .select(col("video_id"), col("seg_idx"),
         genSaveDir("/tmp/pipeline_out", col("file_path")).as("save_dir"),
         genSavePath("/tmp/pipeline_out", col("file_path"), col("seg_idx"),
@@ -149,9 +153,9 @@ object CoreQueries {
 
   /** HH-MM-SS label. Ref: common/video/scene_segmenter_op.py:76-78. */
   val fmtTimeLabelQ = QueryDef("fmt_time_label",
-    (s, dir) => manifest(s, dir)
-      .select(col("video_id"), fmtTimeLabel(col("total_duration")).as("time_label"))
-      .orderBy("video_id"),
+    (s, dir) => Tables.manifestRanged(s, dir)
+      .sortWithinPartitions("video_id")
+      .select(col("video_id"), fmtTimeLabel(col("total_duration")).as("time_label")),
     Some(s"""WITH manifest AS ($manifestSql),
       t AS (SELECT video_id, CAST(FLOOR(total_duration) AS BIGINT) AS ts FROM manifest)
       SELECT video_id, printf('%02d-%02d-%02d', ts // 3600, (ts % 3600) // 60, ts % 60) AS time_label
@@ -218,18 +222,24 @@ object CoreQueries {
     manifest(s, dir).filter(col("video_id") % 100 === 0)
       .select(col("video_id"), floor(col("total_duration") * 24).cast("long").as("total_frames"))
 
+  /** [[framesDf]] over the pre-ranged manifest (r15 sort-early shape):
+    * samplers explode above the exchange and restore order in-partition. */
+  private def framesRangedDf(s: SparkSession, dir: String): DataFrame =
+    Tables.manifestRanged(s, dir).filter(col("video_id") % 100 === 0)
+      .select(col("video_id"), floor(col("total_duration") * 24).cast("long").as("total_frames"))
+
   /** G4 every-k frame sampler (k=50). Ref: common/video/decord_reader_op.py:43-48. */
   val sampleEveryKQ = QueryDef("sample_every_k",
-    (s, dir) => Tiling.sampleEveryK(framesDf(s, dir), "total_frames", 50)
-      .select("video_id", "frame_idx").orderBy("video_id", "frame_idx"),
+    (s, dir) => Tiling.sampleEveryK(framesRangedDf(s, dir), "total_frames", 50)
+      .select("video_id", "frame_idx").sortWithinPartitions("video_id", "frame_idx"),
     Some(s"""$framesSql
       SELECT video_id, UNNEST(generate_series(0, total_frames - 1, 50)) AS frame_idx
       FROM f WHERE total_frames >= 1 ORDER BY video_id, frame_idx"""))
 
   /** G4 last-n frame sampler (n=240). Ref: common/video/decord_reader_op.py:51-57. */
   val sampleLastNQ = QueryDef("sample_last_n",
-    (s, dir) => Tiling.sampleLastN(framesDf(s, dir), "total_frames", 240)
-      .select("video_id", "frame_idx").orderBy("video_id", "frame_idx"),
+    (s, dir) => Tiling.sampleLastN(framesRangedDf(s, dir), "total_frames", 240)
+      .select("video_id", "frame_idx").sortWithinPartitions("video_id", "frame_idx"),
     Some(s"""$framesSql
       SELECT video_id, UNNEST(generate_series(GREATEST(0, total_frames - 240), total_frames - 1)) AS frame_idx
       FROM f WHERE total_frames >= 1 ORDER BY video_id, frame_idx"""))
@@ -281,10 +291,17 @@ object CoreQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.Dedup.md5Hash60
+      // r15: hash-repartition the (tiny) video list by the window key
+      // BEFORE the frame explode — the md5 feature synthesis then runs
+      // distributed above the exchange the window needs anyway (same
+      // Exchange count; it was all on the single scan core before), and
+      // the downstream groupBy(video_id, shot_id) reuses the partitioning
+      // (video_id ⊂ grouping keys). 4x on the sf0.1 bench.
       val vids = manifest(s, dir)
         .filter(col("video_id") % 50 === 0 && col("total_duration") > 0)
         .select(col("video_id"),
           least(floor(col("total_duration") * 24).cast("long"), lit(2390L)).as("max_f"))
+        .transform(graft.ops.Parallelism.byHash(_, col("video_id")))
       val frames = vids
         .select(col("video_id"), explode(sequence(lit(0L), col("max_f"), lit(10L))).as("fidx"))
         .withColumn("shot_len",

@@ -552,13 +552,25 @@ object SelectionQueries {
       s"corpus yields only ${merges.length} merge pairs (< $bpeNumMerges)")
     def encodeWord(w: Column): Column = {
       val spaced = trim(regexp_replace(w, "(.)", "$1 "))
+      // r15: the merge patterns are literal 2-char [a-z0-9] pairs (the
+      // rlike gate above guarantees no metacharacters), so each fold step
+      // is a plain substring replace — `replace` (StringReplace codegen)
+      // instead of `regexp_replace`, byte-identical output, no regex
+      // engine on the ~20-deep per-token chain.
       merges.foldLeft(spaced) { (acc, p) =>
-        regexp_replace(acc, s"${p(0)} ${p(1)}", p.toString)
+        replace(acc, lit(s"${p(0)} ${p(1)}"), lit(p.toString))
       }
     }
-    table(s, dir, "documents")
+    // r15: distribute the doc scan before the per-token encode chain and
+    // pin `encs` with Once — the single-core scan otherwise carries the
+    // 20-replace-per-token transform, twice (CollapseProject inlines the
+    // alias into both n_symbols and enc_first).
+    graft.ops.Parallelism.byRange(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-      .withColumn("encs", transform(col("toks"), t => encodeWord(t)))
+      .withColumn("encs", graft.plans.Once.once(
+        transform(col("toks"), t => encodeWord(t))))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_words"),
         aggregate(col("encs"), lit(0L),
@@ -570,7 +582,7 @@ object SelectionQueries {
     (s, dir) =>
       bpeEncodedCounts(s, dir)
         .select("doc_id", "n_words", "n_symbols", "enc_first")
-        .orderBy("doc_id"),
+        .sortWithinPartitions("doc_id"),
     Some(s"""WITH $bpeEncCtesSql
         SELECT doc_id, n_words, n_symbols, enc_first
         FROM cnt ORDER BY doc_id"""))
@@ -1329,28 +1341,37 @@ object SelectionQueries {
     * oracle-checked stages. */
   val pipelineSelect = QueryDef("pipeline_select",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .withColumn("toks", tokens(col("text")))
+      import graft.plans.Once.once
+      // r15: range-distribute the doc scan first (the gopher HOFs, the
+      // per-token md5 DSIR fold, and the plan-time ratio-fit collect all
+      // ran on the single scan core), pin the multiply-referenced heavy
+      // verdict inputs (gate, weight, temp bucket) with Once — each was
+      // inlined into up to 3 output columns — and restore the doc_id
+      // order in-partition. Same rows, same order.
+      val docs = graft.ops.Parallelism.byRange(
+          table(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
+        .withColumn("toks", once(tokens(col("text"))))
         .withColumn("is_target", dsirIsTarget(col("toks")))
       val m = GopherMetrics(col("toks"))
       val ratios = dsirRatioTable(docs)
-      val wt = dsirWeightCol(col("toks"), ratios)
       val thresholds = temperatureThresholds(
         docs.select(col("source"), tokenCount(col("text")).as("nt")))
-      val tempBucket = hashBucket(col("doc_id"), "graft-temp", 1000000)
       docs.join(broadcast(thresholds.select("source", "thresh")), "source")
+        .withColumn("g_ok", once(m.gateOk))
+        .withColumn("wt", once(dsirWeightCol(col("toks"), ratios)))
+        .withColumn("tbkt", once(hashBucket(col("doc_id"), "graft-temp", 1000000)))
         .select(col("doc_id"),
-          when(m.gateOk, 1).otherwise(0).as("gate_ok"),
-          when(wt > 1.0, 1).otherwise(0).as("dsir_ok"),
-          when(tempBucket < col("thresh"), 1).otherwise(0).as("temp_ok"),
-          when(m.gateOk && wt > 1.0 && tempBucket < col("thresh"), 1)
+          when(col("g_ok"), 1).otherwise(0).as("gate_ok"),
+          when(col("wt") > 1.0, 1).otherwise(0).as("dsir_ok"),
+          when(col("tbkt") < col("thresh"), 1).otherwise(0).as("temp_ok"),
+          when(col("g_ok") && col("wt") > 1.0 && col("tbkt") < col("thresh"), 1)
             .otherwise(0).as("selected"),
-          when(!m.gateOk, "gate")
-            .when(wt <= 1.0, "dsir")
-            .when(tempBucket >= col("thresh"), "mix")
+          when(!col("g_ok"), "gate")
+            .when(col("wt") <= 1.0, "dsir")
+            .when(col("tbkt") >= col("thresh"), "mix")
             .otherwise("kept").as("reason"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     },
     Some(s"""WITH d AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id, source, toks, $gopherMetricsSqlBody

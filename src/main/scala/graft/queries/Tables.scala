@@ -82,6 +82,23 @@ object Tables {
       format_string("/data/videos/video_%d.mp4", col("event_id")).as("file_path"),
       (col("value") * 60).as("total_duration"))
 
+  /** [[manifest]] with the video_id RANGE partitioning established first,
+    * on the bare events scan columns (r15 sort-early shape): consumers
+    * that fan out (tiling, samplers) and end in a `(video_id, ...)` total
+    * order finish with `sortWithinPartitions` over the disjoint video_id
+    * ranges instead of a final global sort — so the explode and any
+    * derived strings run ONCE, distributed, rather than twice (range
+    * sampling re-executes the sort child) on the single scan core. The
+    * file_path/total_duration projection sits ABOVE the exchange: only
+    * (event_id, value) cross the wire. */
+  def manifestRanged(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").select(col("event_id"), col("value"))
+      .transform(df => graft.ops.Parallelism.byRange(df, col("event_id")))
+      .select(
+        col("event_id").as("video_id"),
+        format_string("/data/videos/video_%d.mp4", col("event_id")).as("file_path"),
+        (col("value") * 60).as("total_duration"))
+
   /** DuckDB CTE body equivalent to [[manifest]] — prepend as
     * `WITH manifest AS (<this>) ...` in oracle SQL. */
   val manifestSql: String =

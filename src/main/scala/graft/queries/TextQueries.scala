@@ -818,7 +818,15 @@ object TextQueries {
     * replay ONE model definition. */
   def lmScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val d = docs.filter(length(col("text")) >= 2)
+    // r15: distribute the doc scan BEFORE the ~500-bigrams-per-doc explode
+    // — both the (plan-time) model-count aggregation and the (exec-time)
+    // scoring explode + broadcast probes + partial agg otherwise run on
+    // the single scan core. Range by doc_id: the scoring groupBy(doc_id)
+    // partial-aggregates within disjoint doc ranges (every doc's rows are
+    // in ONE partition, so partials collapse to one row per doc before
+    // the agg exchange). 3x exec on the sf0.1 bench.
+    val d = graft.ops.Parallelism.byRange(
+      docs.filter(length(col("text")) >= 2), col("doc_id"))
     val bgs = d.select(col("doc_id"),
       explode(charNgrams(col("text"), 2, distinct = false)).as("bg"))
     // The trained model is ~1.6k rows; checkpoint it so the corpus-wide
