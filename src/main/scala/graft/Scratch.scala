@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
@@ -91,11 +94,55 @@ object Scratch {
           .filter(col("area_ratio") <= 0.4)
           .select("event_id", "h", "w", "max_area", "area_ratio")
       }),
+      "ad_approx_hash" -> (() => graft.ops.Parallelism.byHash(
+          table(spark, dir, "events").select(col("event_type"), col("user_id")),
+          col("user_id"))
+        .groupBy("event_type").agg(approx_count_distinct(col("user_id"), 0.015).as("a"))),
+      "ad_approx_plain" -> (() => table(spark, dir, "events")
+        .groupBy("event_type").agg(approx_count_distinct(col("user_id"), 0.015).as("a"))),
+      "ad_approx_rsd05" -> (() => table(spark, dir, "events")
+        .groupBy("event_type").agg(approx_count_distinct(col("user_id"), 0.05).as("a"))),
+      "ad_exact_hash" -> (() => graft.ops.Parallelism.byHash(
+          table(spark, dir, "events").select(col("event_type"), col("user_id")),
+          col("user_id"))
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("e"))),
       "scan_only" -> (() => table(spark, dir, "events").select(col("event_id"))),
       "scan_sort" -> (() => table(spark, dir, "events").select(col("event_id"))
         .orderBy("event_id"))
     )
 
+    // JOBS mode: build (and once noop-exec) a REGISTERED query while a
+    // listener tallies job count / task count / job wall — attributes a
+    // checkpoint-chain's plan seconds to scheduling vs compute.
+    if (sys.env.contains("SPARK_GRAFT_JOBS")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val jobNanos = new java.util.concurrent.atomic.AtomicLong
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); starts.put(j.jobId, System.nanoTime())
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(starts.remove(j.jobId)).foreach(t0 =>
+            jobNanos.addAndGet(System.nanoTime() - t0))
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet(); ()
+        }
+      })
+      for (name <- args.tail) {
+        jobs.set(0); tasks.set(0); jobNanos.set(0)
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        val t1 = System.nanoTime()
+        val bJobs = jobs.get; val bTasks = tasks.get; val bNanos = jobNanos.get
+        df.write.mode("overwrite").format("noop").save()
+        val t2 = System.nanoTime()
+        println(f"$name%-28s plan=${(t1 - t0) / 1e9}%6.2fs (jobs=$bJobs tasks=$bTasks jobWall=${bNanos / 1e9}%6.2fs) " +
+          f"exec=${(t2 - t1) / 1e9}%6.2fs (jobs=${jobs.get - bJobs} tasks=${tasks.get - bTasks})")
+      }
+      spark.stop(); return
+    }
     val names = if (args.length > 1) args.tail.toSeq else variants.keys.toSeq.sorted
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       for (name <- names) {

@@ -86,6 +86,8 @@ object MeasurementKnobs {
       "generic extra-session-conf passthrough for probe A/Bs (session config)",
     "SPARK_GRAFT_EXPLAIN" ->
       "Scratch dev-tool mode switch: print plans instead of timing (harness config)",
+    "SPARK_GRAFT_JOBS" ->
+      "Scratch dev-tool mode switch: per-query job/task tally instead of timing (harness config)",
     "SPARK_GRAFT_SALT_ALIASED" ->
       "swaps in the deliberately period-aliased probe corpus — changes the INPUT by design (negative-control geometry), so value-identity cannot apply")
 }

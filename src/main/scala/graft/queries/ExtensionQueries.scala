@@ -308,12 +308,17 @@ object ExtensionQueries {
         quantile_cont(n_chars, 0.5) AS median_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
-  /** JSON property extraction from the events props column. */
+  /** JSON property extraction from the events props column.
+    * r15 sort-early: range the bare (event_id, props) scan first — the
+    * per-row JSON parse otherwise runs twice (range sampling) on the
+    * single scan core — and restore order in-partition. */
   val parseJsonProps = QueryDef("parse_json_props",
-    (s, dir) => table(s, dir, "events")
+    (s, dir) => graft.ops.Parallelism.byRange(
+        table(s, dir, "events").select(col("event_id"), col("props")),
+        col("event_id"))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy("event_id"),
+      .sortWithinPartitions("event_id"),
     Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
       FROM events ORDER BY event_id"""))
 

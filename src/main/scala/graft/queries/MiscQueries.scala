@@ -159,8 +159,14 @@ object MiscQueries {
       // NOT checkpointed: both consumers (candidate agg + exact join) re-run
       // the scan + bloom filter — a narrow codegen'd map (the md5s CSE to
       // one per row) that costs less than materializing the candidate set.
-      val cands = table(s, dir, "orders")
-        .filter(BloomPrune.mightContain(col("o_custkey"), bits, nH, m))
+      // r15: parallelism floor + Once on the probe predicate — a
+      // deterministic filter pushes straight through the repartition back
+      // onto the single scan core; the barrier keeps the md5 double-hash
+      // probes on the distributed side (no-op placement change at scale,
+      // where the scan is already parallel).
+      val cands = graft.ops.Parallelism.ensure(table(s, dir, "orders"))
+        .filter(graft.plans.Once.once(
+          BloomPrune.mightContain(col("o_custkey"), bits, nH, m)))
       val exact = cands.join(small, col("o_custkey") === col("key"), "left_semi")
       val cAgg = cands.groupBy("o_orderstatus").agg(count(lit(1)).as("n_candidates"))
       val eAgg = exact.groupBy("o_orderstatus")

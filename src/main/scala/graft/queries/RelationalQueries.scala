@@ -605,19 +605,35 @@ object RelationalQueries {
     * sketch estimate, and the 5%-accuracy verdict side by side. The
     * verdict is a VALUE, not a filter — a sketch regression shows up as
     * `within_bound = false`, never as a silently missing row. */
-  def approxDistinctFull(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"),
-        // rsd 0.015: the default 0.05 sketch breaches the 5% gate at the
-        // bench scale's ~2k distinct users/group; a 1.5%-rsd sketch holds
-        // it with 3σ margin at every test scale at half the register cost
-        // of rsd 0.01 (measured 2.1 s → ~1 s steady at sf0.1)
-        approx_count_distinct(col("user_id"), 0.015).as("approx_users"))
+  def approxDistinctFull(s: SparkSession, dir: String): DataFrame = {
+    // r15: exact and approx counts in SEPARATE aggregates joined on the
+    // ~5 group rows. Combining a distinct agg with a non-distinct one
+    // forces the Expand-based distinct rewrite, which keys the PARTIAL
+    // phase by (event_type, user_id) — every one of the ~10k partial
+    // groups then carries its own multi-KB HLL register buffer (measured
+    // 1.4-2.1 s; the exact count alone runs in 0.25 s). Split, each agg
+    // keeps its natural shape: per-type HLL buffers only, and the HLL
+    // estimate is identical either way (register merge is max —
+    // order/partitioning-independent). NO parallelism floor here: the
+    // rsd-0.015 sketch's partial buffers are ~1.4k longs per group, and
+    // a 32-way repartition was measured to DOUBLE the agg cost (wide
+    // partial buffers × partitions) — the single-core scan update is the
+    // cheaper side of that trade at this precision.
+    val ev = table(s, dir, "events").select(col("event_type"), col("user_id"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // rsd 0.015: the default 0.05 sketch breaches the 5% gate at the
+    // bench scale's ~2k distinct users/group; a 1.5%-rsd sketch holds
+    // it with 3σ margin at every test scale at half the register cost
+    // of rsd 0.01 (measured 2.1 s → ~1 s steady at sf0.1)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.015).as("approx_users"))
+    exact.join(approx, Seq("event_type"))
       .withColumn("within_bound",
         abs(col("approx_users") - col("exact_users")) <=
           col("exact_users").cast("double") * 0.05)
       .orderBy("event_type")
+  }
 
   /** HyperLogLog approximate distinct counting, under the FULL hash-oracle
     * gate: the registered output is (group, exact count, bound verdict) —

@@ -262,7 +262,14 @@ object TextQueries {
     (s, dir) => {
       val W = 8
       val span = "alpha bravo charlie delta echo foxtrot golf hotel"
-      val base = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+      // r15: range by doc_id (instead of the round-robin floor) so the
+      // final reassembly can ride the base partitioning, and checkpoint
+      // the window frame — its two consumers (dup-gram count + covered
+      // join) otherwise each re-run the 8-token string assembly per
+      // window position.
+      val base = graft.ops.Parallelism.byRange(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(lit(span + " "), col("text")))
             .otherwise(col("text")).as("t"))
@@ -276,6 +283,7 @@ object TextQueries {
               element_at(col("toks"), (i + o).cast("int"))): _*)))
           .as(Seq("pos0", "gram")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("start"), col("gram"))
+        .localCheckpoint() // two consumers: dup-gram agg + covered join
       val dupGrams = wins.groupBy("gram").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("gram")
       val covered = wins.join(dupGrams, "gram")
@@ -285,7 +293,10 @@ object TextQueries {
       val coveredAgg = covered.groupBy("doc_id")
         .agg(count(lit(1)).as("n_dup_tok"), collect_set("pos").as("cov"))
       val cov = coalesce(col("cov"), array().cast("array<bigint>"))
+      // sort first, reassemble above (the gen_save_path discipline): the
+      // heavy token-filter/concat runs once, after the sort exchange
       base.join(coveredAgg, Seq("doc_id"), "left")
+        .orderBy("doc_id")
         .select(col("doc_id"), col("n_tok"),
           coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"),
           when(col("n_tok") > 0,
@@ -293,7 +304,6 @@ object TextQueries {
               filter(sequence(lit(1L), col("n_tok")), i => !array_contains(cov, i)),
               i => element_at(col("toks"), i.cast("int")))))
             .otherwise(lit("")).as("clean"))
-        .orderBy("doc_id")
     },
     Some("""WITH p AS (SELECT doc_id,
           CASE WHEN doc_id % 7 = 0
@@ -654,7 +664,11 @@ object TextQueries {
     (s, dir) => {
       val W = 10
       val nav = "home about contact privacy terms sitemap login search menu footer"
-      val base = graft.ops.Parallelism.ensure(table(s, dir, "documents"))
+      // r15: range by doc_id (see dedup_spans) — the floor doubles as the
+      // exchange the final per-doc reassembly sorts within.
+      val base = graft.ops.Parallelism.byRange(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 4 === 0, concat(lit(nav + " "), col("text")))
             .otherwise(col("text")).as("t"))
@@ -675,14 +689,15 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_removed"), collect_set("line_idx").as("rem"))
       val rem = coalesce(col("rem"), array().cast("array<bigint>"))
+      // sort first, reassemble above (the gen_save_path discipline)
       base.join(removed, Seq("doc_id"), "left")
+        .orderBy("doc_id")
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("n_removed"), lit(0L)).as("n_removed"),
           concat_ws(" ", transform(
             filter(sequence(lit(1L), col("n_lines")),
               i => !array_contains(rem, i)),
             i => lineAt(i))).as("clean"))
-        .orderBy("doc_id")
     },
     Some("""WITH p AS (SELECT doc_id,
           CASE WHEN doc_id % 4 = 0
