@@ -94,6 +94,27 @@ object Scratch {
           .filter(col("area_ratio") <= 0.4)
           .select("event_id", "h", "w", "max_area", "area_ratio")
       }),
+      "q1_plain" -> (() => {
+        import org.apache.spark.sql.types.DecimalType
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+      "q1_ensure" -> (() => {
+        import org.apache.spark.sql.types.DecimalType
+        graft.ops.Parallelism.ensure(table(spark, dir, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
       "ad_approx_hash" -> (() => graft.ops.Parallelism.byHash(
           table(spark, dir, "events").select(col("event_type"), col("user_id")),
           col("user_id"))

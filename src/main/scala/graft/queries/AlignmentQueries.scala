@@ -219,6 +219,8 @@ object AlignmentQueries {
     * divide. */
   val oovRateQ = QueryDef("oov_rate",
     (s, dir) => {
+      // r15: a ranged scan was A/B'd here and did not pay (0.62->0.66 s;
+      // both passes end in their own aggregation exchanges) — left plain
       val docs = table(s, dir, "documents")
       val vocabArr = docs.select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))

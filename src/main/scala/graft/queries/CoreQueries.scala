@@ -97,7 +97,9 @@ object CoreQueries {
     * zero-segment files. Ref: pipeline/cut_30min.py:50-51. */
   val projectSummary = QueryDef("project_summary",
     (s, dir) => {
-      val m = manifest(s, dir)
+      // r15: pre-ranged manifest shared by both join sides (one reused
+      // exchange; the tile explode runs distributed)
+      val m = Tables.manifestRanged(s, dir)
       val counts = Tiling.tileSegments(m, "total_duration", 300.0, 60.0)
         .groupBy("video_id").agg(count(lit(1)).as("segments_count"))
       m.join(counts, Seq("video_id"), "left")

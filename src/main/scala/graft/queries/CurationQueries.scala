@@ -22,15 +22,20 @@ object CurationQueries {
     * corpus itself is clean, so both sides inject `user<id>@example.com`
     * + a numeric id into every third doc, then the masks must agree). */
   val piiScrubQ = QueryDef("pii_scrub",
-    (s, dir) => table(s, dir, "documents")
+    // r15 sort-early + Once: the double regex pass ran TWICE per row
+    // (clean + masked_chars both inlined piiScrub), below the sort, on
+    // the single scan core
+    (s, dir) => Tables.documentsRanged(s, dir)
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0,
           format_string("%s contact user%d@example.com id 9%07d", col("text"),
             col("doc_id"), col("doc_id")))
           .otherwise(col("text")).as("raw"))
-      .select(col("doc_id"), piiScrub(col("raw")).as("clean"),
-        (length(col("raw")) - length(piiScrub(col("raw")))).cast("long").as("masked_chars"))
-      .orderBy("doc_id"),
+      .select(col("doc_id"), col("raw"),
+        graft.plans.Once.once(piiScrub(col("raw"))).as("clean"))
+      .select(col("doc_id"), col("clean"),
+        (length(col("raw")) - length(col("clean"))).cast("long").as("masked_chars"))
+      .sortWithinPartitions("doc_id"),
     Some("""WITH r AS (SELECT doc_id,
         CASE WHEN doc_id % 3 = 0
              THEN printf('%s contact user%d@example.com id 9%07d', text, doc_id, doc_id)
@@ -59,10 +64,13 @@ object CurationQueries {
 
   /** Token-repetition quality gate (1 − distinct/total tokens). */
   val repetitionRatioQ = QueryDef("repetition_ratio",
-    (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"), repetitionRatio(col("text")).as("rep_ratio"))
+    // r15 sort-early + Once: the filter on the derived ratio otherwise
+    // inlines the token-distinct computation and drags it to the scan
+    (s, dir) => Tables.documentsRanged(s, dir)
+      .select(col("doc_id"),
+        graft.plans.Once.once(repetitionRatio(col("text"))).as("rep_ratio"))
       .filter(col("rep_ratio") < lit(0.9)) // gate out degenerate repeats
-      .orderBy("doc_id"),
+      .sortWithinPartitions("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id,
         CASE WHEN len(toks) > 0

@@ -36,7 +36,10 @@ object PipelineQueries {
     * retried cut → per-file summary (dead-letter rows kept). */
   val pipelineE1 = QueryDef("pipeline_e1_summary",
     (s, dir) => {
-      val manifest = Tables.manifest(s, dir)
+      // r15: pre-ranged manifest — gate/tile/path stages run distributed
+      // instead of on the single scan core (the pipeline's own ensure()
+      // floors only the segments branch, not the summary side)
+      val manifest = Tables.manifestRanged(s, dir)
       new VideoSlicing(() => new Models.FakeVideoTool, segDur = 300.0, minDur = 60.0)
         .runWithKnownDurations(manifest)
         .orderBy("video_id")
@@ -59,7 +62,7 @@ object PipelineQueries {
     (s, dir) => {
       val vs = new VideoSlicing(() => new Models.FakeVideoTool,
         segDur = 300.0, minDur = 60.0)
-      val gated = vs.gate(Tables.manifest(s, dir)
+      val gated = vs.gate(Tables.manifestRanged(s, dir)
         .withColumn("probe_error", lit(null).cast("string")))
       // mis-ordered authoring: tile + path-gen EVERYTHING…
       val segsAll = graft.operators.Tiling.tileSegments(

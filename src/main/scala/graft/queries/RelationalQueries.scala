@@ -119,10 +119,15 @@ object RelationalQueries {
 
   /** Ref: pipeline/video_extract_frame.py:171-172 (1 <= persons <= 2). */
   val filterCountRange = QueryDef("filter_count_range",
-    (s, dir) => boxesDf(s, dir)
-      .filter(size(col("boxes")).between(1, 2))
-      .select(col("event_id"), size(col("boxes")).cast("long").as("n"))
-      .orderBy("event_id"),
+    // r15: size(boxes) == n_boxes whenever n_boxes >= 1 (and 0 otherwise),
+    // so the gate reads the count directly — the pushed filter otherwise
+    // inlined the whole box-array construction twice; sort-early shape.
+    (s, dir) => graft.ops.Parallelism.byRange(
+        table(s, dir, "events").select(col("event_id")), col("event_id"))
+      .select(col("event_id"), (col("event_id") % 4).as("n_boxes"))
+      .filter(col("n_boxes").between(1, 2))
+      .select(col("event_id"), col("n_boxes").cast("long").as("n"))
+      .sortWithinPartitions("event_id"),
     Some("""SELECT event_id, n_boxes AS n
       FROM (SELECT event_id, event_id % 4 AS n_boxes FROM events)
       WHERE n_boxes BETWEEN 1 AND 2 ORDER BY event_id"""))

@@ -312,22 +312,39 @@ object SelectionQueries {
     * all metrics from the materialized token array. */
   val qualityGopher = QueryDef("quality_gopher",
     (s, dir) => {
-      val base = table(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      import graft.plans.Once.once
+      // r15 sort-early + Once: each HOF metric (sumLen fold, stopword
+      // filter, per-token rlike, distinct) is computed into ONE pinned
+      // column; the rules and the final `pass` read the columns instead
+      // of re-inlining the HOFs (gateOk alone re-evaluated all five).
+      val base = Tables.documentsRanged(s, dir)
+        .select(col("doc_id"), once(tokens(col("text"))).as("toks"))
       val m = GopherMetrics(col("toks"))
       def verdict(c: Column) = when(c, 1).otherwise(0)
-      base.select(
-        col("doc_id"),
-        m.n.as("n_words"),
-        when(m.n > 0, round(m.sumLen.cast("double") / m.n.cast("double"), 4))
-          .otherwise(lit(0.0)).as("mean_word_len"),
-        verdict(m.ruleWords).as("rule_words"),
-        verdict(m.ruleMeanWl).as("rule_mean_wl"),
-        verdict(m.ruleStop).as("rule_stopwords"),
-        verdict(m.ruleAlpha).as("rule_alpha"),
-        verdict(m.ruleRep).as("rule_repetition"),
-        verdict(m.gateOk).as("pass"))
-        .orderBy("doc_id")
+      base
+        .withColumn("n_w", m.n)
+        .withColumn("sl", once(m.sumLen))
+        .withColumn("nstop", once(m.nStop))
+        .withColumn("nalpha", once(m.nAlpha))
+        .withColumn("ndist", once(m.nDistinct))
+        .withColumn("r_words", col("n_w") >= 50 && col("n_w") <= 100000)
+        .withColumn("r_meanwl", col("sl") >= col("n_w") * 3 && col("sl") <= col("n_w") * 10)
+        .withColumn("r_stop", col("nstop") >= 2)
+        .withColumn("r_alpha", col("nalpha") * 5 >= col("n_w") * 4)
+        .withColumn("r_rep", (col("n_w") - col("ndist")) * 5 <= col("n_w") * 3)
+        .select(
+          col("doc_id"),
+          col("n_w").as("n_words"),
+          when(col("n_w") > 0, round(col("sl").cast("double") / col("n_w").cast("double"), 4))
+            .otherwise(lit(0.0)).as("mean_word_len"),
+          verdict(col("r_words")).as("rule_words"),
+          verdict(col("r_meanwl")).as("rule_mean_wl"),
+          verdict(col("r_stop")).as("rule_stopwords"),
+          verdict(col("r_alpha")).as("rule_alpha"),
+          verdict(col("r_rep")).as("rule_repetition"),
+          verdict(col("r_words") && col("r_meanwl") && col("r_stop") &&
+            col("r_alpha") && col("r_rep")).as("pass"))
+        .sortWithinPartitions("doc_id")
     },
     Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id, $gopherMetricsSqlBody
@@ -1643,7 +1660,10 @@ object SelectionQueries {
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val w = Window.partitionBy()
-      val docs = table(s, dir, "documents")
+      // r15: floor before the per-doc qualityScore partial agg — the
+      // HOF-heavy map-side aggregation ran on the single scan core
+      val docs = graft.ops.Parallelism.ensure(
+          table(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"), col("text"),
           tokenCount(col("text")).as("nt"))
       val bySrc = docs.groupBy("source").agg(

@@ -99,6 +99,14 @@ object Tables {
         format_string("/data/videos/video_%d.mp4", col("event_id")).as("file_path"),
         (col("value") * 60).as("total_duration"))
 
+  /** The documents scan with the doc_id RANGE partitioning established
+    * first (r15 sort-early shape — see [[manifestRanged]]): the shared
+    * base for narrow per-doc queries that end in a doc_id total order.
+    * Column pruning inserts the needed-columns projection BELOW the
+    * exchange, so each consumer shuffles only what it reads. */
+  def documentsRanged(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Parallelism.byRange(table(spark, sfDir, "documents"), col("doc_id"))
+
   /** DuckDB CTE body equivalent to [[manifest]] — prepend as
     * `WITH manifest AS (<this>) ...` in oracle SQL. */
   val manifestSql: String =

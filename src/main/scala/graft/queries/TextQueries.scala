@@ -35,10 +35,15 @@ object TextQueries {
 
   /** Stopword-density language-ID heuristic. */
   val langIdQ = QueryDef("lang_id",
-    (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"), wordlistRatio(col("text"), enStopwords).as("en_ratio"),
-        langIdHeuristic(col("text")).as("lang_pred"))
-      .orderBy("doc_id"),
+    // r15 sort-early + Once: tokenize once, derive the prediction from
+    // the pinned ratio column (the heuristic is the same >= 0.08 rule)
+    (s, dir) => Tables.documentsRanged(s, dir)
+      .select(col("doc_id"), graft.plans.Once.once(tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), graft.plans.Once.once(
+        wordlistRatioTokens(col("ts"), enStopwords)).as("en_ratio"))
+      .select(col("doc_id"), col("en_ratio"),
+        when(col("en_ratio") >= 0.08, lit("en")).otherwise(lit("und")).as("lang_pred"))
+      .sortWithinPartitions("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id,
         CASE WHEN len(toks) > 0
@@ -51,9 +56,13 @@ object TextQueries {
 
   /** Composite quality score (length/punct/stopword ratios). */
   val qualityScoreQ = QueryDef("quality_score",
-    (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id"),
+    // r15 sort-early: tokenize once behind the range exchange
+    (s, dir) => Tables.documentsRanged(s, dir)
+      .select(col("doc_id"), col("text"),
+        graft.plans.Once.once(tokens(col("text"))).as("ts"))
+      .select(col("doc_id"),
+        qualityScoreTokens(col("text"), col("ts")).as("quality"))
+      .sortWithinPartitions("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       m AS (SELECT doc_id,
         CAST(len(toks) AS DOUBLE) AS ntok,
@@ -1020,6 +1029,9 @@ object TextQueries {
   }
 
   val dupNgramFractionQ = QueryDef("dup_ngram_fraction",
+    // r15: a ranged scan was A/B'd here and REGRESSED (0.64->0.83 s) —
+    // the gram explode feeds hash aggs that distribute at their own
+    // exchange, so the extra range shuffle of full text is pure cost
     (s, dir) => dupNgramVerdicts(
         table(s, dir, "documents").select(col("doc_id"), col("text")))
       .orderBy("doc_id"),
@@ -1098,15 +1110,19 @@ object TextQueries {
         .when(col("doc_id") % 5 === 1,
           concat(expr("repeat('你好 ', 60)"), substring(col("text"), 1, 30)))
         .otherwise(col("text"))
-      table(s, dir, "documents")
-        .select(col("doc_id"), page.as("pg"))
+      // r15 sort-early + Once: pg and the three regex counts are each
+      // referenced by several output columns — pin them so the char-class
+      // regexes run once per row, distributed
+      Tables.documentsRanged(s, dir)
+        .select(col("doc_id"), graft.plans.Once.once(page).as("pg"))
         .select(col("doc_id"),
           length(col("pg")).cast("long").as("n_chars"),
-          length(regexp_replace(col("pg"), "[^a-z]", "")).cast("long").as("lat"),
-          (length(col("pg")) - length(regexp_replace(col("pg"), "[привет]", "")))
-            .cast("long").as("cyr"),
-          (length(col("pg")) - length(regexp_replace(col("pg"), "[你好]", "")))
-            .cast("long").as("cjk"))
+          graft.plans.Once.once(
+            length(regexp_replace(col("pg"), "[^a-z]", "")).cast("long")).as("lat"),
+          graft.plans.Once.once((length(col("pg")) - length(regexp_replace(col("pg"), "[привет]", "")))
+            .cast("long")).as("cyr"),
+          graft.plans.Once.once((length(col("pg")) - length(regexp_replace(col("pg"), "[你好]", "")))
+            .cast("long")).as("cjk"))
         .select(col("doc_id"), col("n_chars"),
           expr("lat * 1000000 div n_chars").as("latin_ppm"),
           expr("cyr * 1000000 div n_chars").as("cyr_ppm"),
@@ -1118,7 +1134,7 @@ object TextQueries {
               - greatest(col("lat"), col("cyr"), col("cjk"))
               - least(col("lat"), col("cyr"), col("cjk"))) * 20 >= col("n_chars"), 1)
             .otherwise(0).as("mixed"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     },
     Some("""WITH pg AS (SELECT doc_id,
         CASE WHEN doc_id % 5 = 0 THEN repeat('привет ', 40) || substring(text, 1, 30)
