@@ -44,12 +44,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape at 100 TB: everything after the one corpus-sized
   * word-count aggregation is bounded by the DISTINCT vocabulary (the
-  * corpus enters only through word frequencies, as in [[Bpe]]); the
-  * piece table is seed-bounded and broadcast into every DP step; DP
-  * states are one row per (word, position); steps localCheckpoint so
-  * lineage never nests the unrolled DP. No udf, no driver-side loop
-  * over data — the only driver action is orchestration of a fixed,
-  * data-independent number of steps.
+  * corpus enters only through word frequencies, as in [[Bpe]]). The
+  * unrolled relational DP below (vocab-bounded join + per-word window
+  * per step, localCheckpoint per step) is the REFERENCE implementation;
+  * since r15 [[train]]/[[trainEm]] run the bit-identical NARROW forms
+  * ([[viterbiNarrow]]/[[fbArrays]]/[[expectedCountsNarrow]]): the piece
+  * table is bounded by configuration (singles + seedMulti), so each
+  * round collects it once (the IVF-centroid bounded-collect class) and
+  * bakes it into a single zero-shuffle projection chain — per round only
+  * the piece-count aggregation runs as a Spark job. No udf, no
+  * driver-side loop over data.
   */
 object Unigram {
 
@@ -128,6 +132,172 @@ object Unigram {
       .select(col("piece"), coalesce(col("u"), lit(0L)).as("n"))
   }
 
+  // ── narrow (zero-job) DP implementations — r15 ─────────────────────────
+  //
+  // The unrolled relational DP above is the REFERENCE implementation
+  // (property-spec'd, and the shape the DuckDB oracles replay). Its cost
+  // is orchestration, not data: each of the ~8 steps per pass is a
+  // broadcast build + an AQE shuffle stage + a localCheckpoint job over a
+  // vocabulary-bounded frame (~5-6 driver jobs per step, measured 198
+  // jobs / 11 s job-wall for one trainEm chain at sf0.1). But the piece
+  // table every step joins is BOUNDED BY CONFIGURATION (all single chars
+  // + seedMulti multi-char pieces), i.e. the same bounded-driver-collect
+  // class as the IVF centroid load and the DSIR ratio fit — so the model
+  // can be collected ONCE per round and baked into the step expressions
+  // as a map literal, turning the whole DP pass into a single narrow
+  // projection: no join, no shuffle, no checkpoint, ZERO jobs per step.
+  // Every arithmetic/compare below replicates the relational form's
+  // expression trees exactly (same operand order, same coalesce-to-0.0
+  // padding, same tie-break comparator), so outputs are BIT-IDENTICAL —
+  // pinned by UnigramNarrowSpec against the relational reference on the
+  // real corpus vocabulary.
+
+  /** [[probs]] as a bounded driver map: p = (n+1)/(Σn + |V|) with the
+    * same long→double conversions and ONE IEEE division. */
+  def probsMap(cnt: DataFrame): Map[String, Double] = {
+    val rows = cnt.select(col("piece"), col("n").cast("long"))
+      .collect() // bounded: seed-vocab-sized piece table (config-capped)
+    val tv = rows.map(_.getLong(1)).sum + rows.length
+    rows.map(r => r.getString(0) -> (r.getLong(1) + 1).toDouble / tv.toDouble).toMap
+  }
+
+  /** [[probsMicro]] as a bounded driver map: p = (n+U)/(Σn + |V|·U) over
+    * exact DECIMAL(38,0) micro-counts; the double conversions go through
+    * BigDecimal.doubleValue — the identical path Spark's decimal→double
+    * cast takes. */
+  def probsMicroMap(cnt: DataFrame): Map[String, Double] = {
+    import java.math.BigDecimal
+    val rows = cnt.select(col("piece"), col("n"))
+      .collect() // bounded: seed-vocab-sized piece table (config-capped)
+    val u = BigDecimal.valueOf(EmUnit)
+    val tv = rows.map(_.getDecimal(1)).foldLeft(BigDecimal.ZERO)(_.add(_))
+      .add(u.multiply(BigDecimal.valueOf(rows.length.toLong)))
+    rows.map(r => r.getString(0) ->
+      r.getDecimal(1).add(u).doubleValue() / tv.doubleValue()).toMap
+  }
+
+  import org.apache.spark.sql.Column
+  import graft.plans.Once.once
+
+  private def pmLookup(pmLit: Column, piece: Column): Column =
+    // try_element_at: missing piece → NULL (ANSI element_at throws)
+    try_element_at(pmLit, piece)
+
+  /** Narrow [[viterbi]]: best segmentation per word as ONE projection
+    * chain — position states are Once-pinned struct columns, candidates
+    * compare with the (prob desc, k asc, path asc) total order. Output
+    * schema/rows/values identical to [[viterbi]] (spec-pinned). */
+  def viterbiNarrow(words: DataFrame, pm: Map[String, Double],
+                    maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    val pmLit = typedlit(pm)
+    // argmax via array_sort with an explicit comparator: each candidate
+    // subtree appears ONCE in the array — a pairwise when()-fold would
+    // re-embed the accumulated tree (and its map literals) in every
+    // branch, exploding the serialized plan (observed 20+ MiB task
+    // binaries). Comparator = the relational pass's exact total order
+    // (prob desc, k asc, path asc), nulls (absent candidates) last.
+    def best(cands: Seq[Column]): Column = {
+      val sorted = array_sort(array(cands: _*), (l, r) =>
+        when(l.isNull && r.isNull, 0).when(l.isNull, 1).when(r.isNull, -1)
+          .when(l.getField("prob") > r.getField("prob"), -1)
+          .when(l.getField("prob") < r.getField("prob"), 1)
+          .when(l.getField("k") < r.getField("k"), -1)
+          .when(l.getField("k") > r.getField("k"), 1)
+          .when(l.getField("path") < r.getField("path"), -1)
+          .when(l.getField("path") > r.getField("path"), 1)
+          .otherwise(0))
+      element_at(sorted, 1)
+    }
+    var df = words
+      .filter(length(col("w")) >= 1 && length(col("w")) <= maxWordLen)
+      .withColumn("v0", struct(
+        lit(1.0).as("prob"), lit(0L).as("k"), lit("").as("path")))
+    for (i <- 1 to maxWordLen) {
+      val cands = (1 to math.min(maxPieceLen, i)).map { d =>
+        val prev = col(s"v${i - d}")
+        val piece = substring(col("w"), i - d + 1, d)
+        val p = pmLookup(pmLit, piece)
+        when(prev.isNotNull && p.isNotNull, struct(
+          (prev.getField("prob") * p).as("prob"),
+          (prev.getField("k") + 1).as("k"),
+          when(prev.getField("path") === "", piece)
+            .otherwise(concat(prev.getField("path"), lit("|"), piece)).as("path")))
+      }
+      df = df.withColumn(s"v$i", once(when(length(col("w")) >= i, best(cands))))
+    }
+    val fin = (1 to maxWordLen)
+      .map(i => when(length(col("w")) === i, col(s"v$i")))
+      .reduce((a, b) => coalesce(a, b))
+    df.select(col("w"), col("wc"), length(col("w")).as("pos"),
+        fin.getField("prob").as("prob"), fin.getField("k").as("k"),
+        fin.getField("path").as("path"))
+  }
+
+  /** Narrow fused forward+backward: one frame per word carrying
+    * `alphas`/`betas` arrays (index j holds α(j−1)/β(j−1); entries past
+    * the word length are null and never read). Values bit-identical to
+    * [[forward]]/[[backward]] — each position sums its ≤ maxPieceLen
+    * predecessor terms through the same static left-assoc add chain with
+    * the same coalesce-to-0.0 padding for absent/over-length terms. */
+  def fbArrays(words: DataFrame, pm: Map[String, Double],
+               maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    val pmLit = typedlit(pm)
+    var df = words
+      .filter(length(col("w")) >= 1 && length(col("w")) <= maxWordLen)
+      .withColumn("a0", lit(1.0)).withColumn("b0", lit(1.0))
+    for (i <- 1 to maxWordLen) {
+      val aTerms = (1 to maxPieceLen).map { d =>
+        if (d > i) lit(0.0)
+        else coalesce(
+          col(s"a${i - d}") * pmLookup(pmLit, substring(col("w"), i - d + 1, d)),
+          lit(0.0))
+      }
+      val bTerms = (1 to maxPieceLen).map { d =>
+        if (d > i) lit(0.0)
+        else coalesce(
+          col(s"b${i - d}") * pmLookup(pmLit,
+            col("w").substr(length(col("w")) - i + 1, lit(d))),
+          lit(0.0))
+      }
+      df = df
+        .withColumn(s"a$i", once(when(length(col("w")) >= i, aTerms.reduce(_ + _))))
+        .withColumn(s"b$i", once(when(length(col("w")) >= i, bTerms.reduce(_ + _))))
+    }
+    df.select(col("w"), col("wc"),
+      array((0 to maxWordLen).map(i => col(s"a$i")): _*).as("alphas"),
+      array((0 to maxWordLen).map(i => col(s"b$i")): _*).as("betas"))
+  }
+
+  /** Narrow [[expectedCounts]]: span posterior mass from the
+    * [[fbArrays]] frame — the four vocab-bounded joins collapse to array
+    * reads + one map-literal probe; only the per-piece SUM shuffles.
+    * Same em expression tree, same DECIMAL accumulation. */
+  def expectedCountsNarrow(fb: DataFrame, pm: Map[String, Double],
+                           kept: DataFrame, maxPieceLen: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pmLit = typedlit(pm)
+    val spans = fb
+      .select(col("w"), col("wc"), col("alphas"), col("betas"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("wc"), col("alphas"), col("betas"), col("i"),
+        explode(sequence(lit(1), least(lit(maxPieceLen), col("i")))).as("d"))
+      .withColumn("p", pmLookup(pmLit,
+        col("w").substr(col("i") - col("d") + 1, col("d"))))
+      .filter(col("p").isNotNull)
+      .withColumn("a", element_at(col("alphas"), col("i") - col("d") + 1))
+      .withColumn("b", element_at(col("betas"), length(col("w")) - col("i") + 1))
+      .withColumn("af", element_at(col("alphas"), length(col("w")) + 1))
+    val em = spans.select(
+      col("w").substr(col("i") - col("d") + 1, col("d")).as("piece"),
+      floor((((col("wc").cast("double") * col("a")) * col("p")) * col("b")
+          / col("af")) * lit(1000000.0))
+        .cast(DecimalType(38, 0)).as("em"))
+    kept.select("piece")
+      .join(em.groupBy("piece").agg(sum(col("em")).as("u")), Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("u"), lit(0L).cast(DecimalType(38, 0))).as("n"))
+  }
+
   /** Full training run: seed → `emRounds` hard-EM rounds → prune (all
     * single chars + top `pruneMulti` multi-char by count) → final EM
     * pass. Returns (final piece counts over the pruned vocabulary,
@@ -139,15 +309,19 @@ object Unigram {
     val words = wordsIn.localCheckpoint() // corpus-sized agg runs once
     var pieceCnt = seed(words, maxPieceLen, seedMulti).localCheckpoint()
     var fin: DataFrame = null
+    // r15: each Viterbi pass is the narrow zero-job form over the
+    // bounded collected model (bit-identical to the unrolled relational
+    // [[viterbi]] — UnigramNarrowSpec); per round only the piece-count
+    // aggregation runs as a job.
     for (_ <- 1 to emRounds) {
-      fin = viterbi(words, probs(pieceCnt), maxWordLen, maxPieceLen)
+      fin = viterbiNarrow(words, probsMap(pieceCnt), maxWordLen, maxPieceLen)
       pieceCnt = counts(fin, pieceCnt).localCheckpoint()
     }
     val multi = pieceCnt.filter(length(col("piece")) >= 2)
       .orderBy(col("n").desc, col("piece").asc).limit(pruneMulti)
     val pruned = pieceCnt.filter(length(col("piece")) === 1)
       .unionByName(multi).localCheckpoint()
-    fin = viterbi(words, probs(pruned), maxWordLen, maxPieceLen)
+    fin = viterbiNarrow(words, probsMap(pruned), maxWordLen, maxPieceLen)
     (counts(fin, pruned).localCheckpoint(), fin)
   }
 
@@ -342,10 +516,14 @@ object Unigram {
     import org.apache.spark.sql.types.DecimalType
     require(emRounds >= 1 && seedMulti >= 1 && pruneMulti >= 1)
     val words = wordsIn.localCheckpoint() // corpus-sized agg runs once
+    // r15: the forward/backward DP and the span-mass join chain run as
+    // the narrow zero-job forms over the bounded collected model
+    // (bit-identical — UnigramNarrowSpec); per round only the expected-
+    // count aggregation runs as a job.
     def emRound(kept: DataFrame): DataFrame = {
-      val p = probsMicro(kept).localCheckpoint() // read by fwd, bwd, span join
-      val (f, b) = forwardBackward(words, p, maxWordLen, maxPieceLen)
-      expectedCounts(words, p, f, b, kept, maxPieceLen).localCheckpoint()
+      val pm = probsMicroMap(kept)
+      val fb = fbArrays(words, pm, maxWordLen, maxPieceLen)
+      expectedCountsNarrow(fb, pm, kept, maxPieceLen).localCheckpoint()
     }
     var cnt = seed(words, maxPieceLen, seedMulti)
       .select(col("piece"),

@@ -675,9 +675,11 @@ object SelectionQueries {
       val cnt = graft.operators.Unigram.trainEm(
         trainerVocab(s, dir, Some(ugMaxWordLen)),
         ugMaxWordLen, ugMaxPieceLen, ugSeedMulti, ugEmRounds, ugPruneMulti)
-      val p = graft.operators.Unigram.probsMicro(cnt).localCheckpoint()
-      val fin = graft.operators.Unigram.viterbi(
-        trainerVocab(s, dir, Some(ugMaxWordLen)), p, ugMaxWordLen, ugMaxPieceLen)
+      // r15: narrow zero-job Viterbi decode over the bounded collected
+      // model (bit-identical to the relational pass — UnigramNarrowSpec)
+      val fin = graft.operators.Unigram.viterbiNarrow(
+        trainerVocab(s, dir, Some(ugMaxWordLen)).localCheckpoint(),
+        graft.operators.Unigram.probsMicroMap(cnt), ugMaxWordLen, ugMaxPieceLen)
       (cnt, fin)
     }
 
