@@ -428,16 +428,21 @@ object SelectionQueries {
     * the identical double). */
   val dsirWeights = QueryDef("dsir_weights",
     (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-        .withColumn("toks", tokens(col("text")))
+      import graft.plans.Once.once
+      // r15 sort-early + Once (the pipeline_select shape): the per-token
+      // md5 weight fold was inlined into both weight and hi_weight and
+      // ran on the single scan core, as did the plan-time ratio fit
+      val docs = Tables.documentsRanged(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("toks", once(tokens(col("text"))))
         .withColumn("is_target", dsirIsTarget(col("toks")))
       val ratios = dsirRatioTable(docs)
-      val wt = dsirWeightCol(col("toks"), ratios)
-      docs.select(col("doc_id"),
-        when(col("is_target"), 1).otherwise(0).as("is_target"),
-        round(wt, 6).as("weight"),
-        when(wt > 1.0, 1).otherwise(0).as("hi_weight"))
-        .orderBy("doc_id")
+      docs
+        .withColumn("wt", once(dsirWeightCol(col("toks"), ratios)))
+        .select(col("doc_id"),
+          when(col("is_target"), 1).otherwise(0).as("is_target"),
+          round(col("wt"), 6).as("weight"),
+          when(col("wt") > 1.0, 1).otherwise(0).as("hi_weight"))
+        .sortWithinPartitions("doc_id")
     },
     Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
       t2 AS (SELECT doc_id, toks,
