@@ -94,6 +94,10 @@ object Scratch {
           .filter(col("area_ratio") <= 0.4)
           .select("event_id", "h", "w", "max_area", "area_ratio")
       }),
+      "di_full" -> (() => graft.queries.TextQueries.incrementalVerdicts(
+        graft.ops.Parallelism.ensure(table(spark, dir, "documents"))).orderBy("doc_id")),
+      "di_nosort" -> (() => graft.queries.TextQueries.incrementalVerdicts(
+        graft.ops.Parallelism.ensure(table(spark, dir, "documents")))),
       "q1_plain" -> (() => {
         import org.apache.spark.sql.types.DecimalType
         table(spark, dir, "lineitem")

@@ -506,7 +506,10 @@ object TextQueries {
           sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4, replayable = true)
         .select(col("doc_id"), col("band_idx"), col("band_hash"))
       // bare-id band join + distinct, signatures attached once per
-      // surviving pair (the lshCandidatePairs ship-arrays-late shape)
+      // surviving pair (the lshCandidatePairs ship-arrays-late shape).
+      // r15: checkpointing the corpus band index here was A/B'd and LOST
+      // (exec 2.2->3.0 s: the materialization + checkpoint read cost more
+      // than the 8-band md5 explode it saved) — left live.
       val cands = banded(sigB).withColumnRenamed("doc_id", "b_id")
         .join(banded(sigE).withColumnRenamed("doc_id", "e_id"),
           Seq("band_idx", "band_hash"))
