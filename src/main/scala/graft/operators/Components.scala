@@ -61,17 +61,25 @@ object Components {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("nid"))
-        .agg(min(col("comp")).as("ncomp"))
-      // Carry the previous label through the checkpoint so convergence is
-      // a filter+count over the materialized rows — NOT a second full
-      // labels join per round (which would double the per-round shuffles).
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(labels("id"), labels("comp").as("prev"),
-          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"))
-        .localCheckpoint()
-      val changed = updated.filter(col("comp") =!= col("prev")).count()
+      // min(self ∪ neighbors) in ONE aggregation: the self label rides the
+      // union (every node has exactly one self row, so the groupBy covers
+      // isolated nodes and `prev` = the self label) — r16, guide §2.4:
+      // this replaces the old groupBy(neighbor-min) + second labels join
+      // per round with a single keyed exchange.
+      val neighbor = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"), lit(false).as("self"))
+      val updatedPlan = neighbor
+        .union(labels.select(col("id"), col("comp"), lit(true).as("self")))
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("self"), col("comp"))).as("prev"))
+        // Carry a changed FLAG through the checkpoint so convergence is the
+        // materializing job's own sum (CheckpointOps fusion) — NOT a second
+        // count job per round.
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("prev")).cast("int").as("chg"))
+      val (updated, changed) =
+        graft.ops.CheckpointOps.localCheckpointWithIntSum(updatedPlan, 2)
       labels = updated.select("id", "comp")
       converged = changed == 0
       round += 1
@@ -93,12 +101,11 @@ object Components {
                                       maxRounds: Int): DataFrame = {
     // Canonical undirected edges (u > v), self-loops dropped, ONE pass
     // over the (possibly expensive) upstream edge derivation.
-    var e = edges
+    var (e, cnt) = graft.ops.CheckpointOps.localCheckpointWithCount(edges
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
-    var cnt = e.count()
+      .distinct())
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -107,33 +114,44 @@ object Components {
           struct(col("u").as("s"), col("v").as("d")),
           struct(col("v").as("s"), col("u").as("d")))).as("e"))
         .select(col("e.s").as("s"), col("e.d").as("d"))
+      // Both star steps need every neighbor row TOGETHER with its node's
+      // neighborhood min — a window min over the s partition, not a
+      // groupBy+self-join (r16, guide §2.4: the window reuses the ONE
+      // exchange on s; the agg+join form paid an extra exchange + join
+      // stage per step, ~2 more AQE stage jobs per round). min() over an
+      // unordered bounded partition is deterministic; values identical.
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
       // Large-star: neighbors larger than s attach to m = min(N(s) ∪ {s}).
       // NOT distinct'd/checkpointed: duplicate (u,m) rows are harmless —
-      // the small-star min-aggregate absorbs them and `small.distinct()`
-      // canonicalizes — and at bench scale the two extra per-round jobs
+      // the small-star min absorbs them and `small.distinct()`
+      // canonicalizes — and at bench scale the extra per-round jobs
       // (a distinct shuffle + a materialization barrier) cost more than
       // recomputing this narrow subtree into both small-star consumers.
-      val symE = sym(e)
-      val minL = symE.groupBy("s").agg(min(col("d")).as("mn"))
-      val large = symE.join(minL, "s")
-        .withColumn("m", least(col("s"), col("mn")))
+      val large = sym(e)
+        .withColumn("m", least(col("s"), min(col("d")).over(wS)))
         .filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
       // Small-star: neighbors smaller than s (and s itself) attach to m.
+      // The self row rides the SAME window pass: row_number picks one row
+      // per s partition to emit (s, m) — no second aggregate.
       val symL = sym(large)
-      val minS = symL.groupBy("s").agg(min(col("d")).as("mn"))
-      val smallNbrs = symL.join(minS, "s")
-        .withColumn("m", least(col("s"), col("mn")))
+        .withColumn("m", least(col("s"), min(col("d")).over(wS)))
+        .withColumn("rn", row_number().over(wS.orderBy("d")))
+      val smallNbrs = symL
         .filter(col("d") < col("s"))
         .select(col("d").as("u"), col("m").as("v"))
-      val smallSelf = minS
-        .select(col("s").as("u"), least(col("s"), col("mn")).as("v"))
-      val small = smallNbrs.union(smallSelf)
-        .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
-      // Exact fixpoint: same cardinality and no new edge → same set.
-      val newCnt = small.count()
+      val smallSelf = symL
+        .filter(col("rn") === 1)
+        .select(col("s").as("u"), col("m").as("v"))
+      // Exact fixpoint: same cardinality and no new edge → same set. The
+      // cardinality comes out of the materializing checkpoint job itself
+      // (CheckpointOps fusion), so only rounds whose counts match pay the
+      // anti-join probe.
+      val (small, newCnt) = graft.ops.CheckpointOps.localCheckpointWithCount(
+        smallNbrs.union(smallSelf)
+          .filter(col("u") =!= col("v"))
+          .distinct())
       converged = newCnt == cnt &&
         small.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = small
