@@ -111,20 +111,11 @@ object Dedup {
     * by id (survivors of an exact-dedup groupBy or a per-doc signature
     * select), which is also what makes the banding itself meaningful. */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
-                        bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame = {
-    val bd = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
-      .select(col(idCol), col("band_idx"), col("band_hash"))
-    val ids = bd.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-      .join(bd.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    ids
+                        bands: Int, rowsPerBand: Int, replayable: Boolean = false): DataFrame =
+    lshCandidateIdPairs(df, idCol, sigCol, bands, rowsPerBand, replayable)
       .join(df.select(col(idCol).as("id_a"), col(sigCol).as("sig_a")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(sigCol).as("sig_b")), "id_b")
       .select("id_a", "id_b", "sig_a", "sig_b")
-  }
 
   // ── Oracle-replayable (md5-keyed) variants ─────────────────────────────
   //
@@ -177,6 +168,44 @@ object Dedup {
         array_min(transform(col("_hs"),
           h => h.getField("h1") + lit(j.toLong) * h.getField("h2")))): _*)))
       .drop("_hs")
+  }
+
+  /** [[withMinhashSignatureMd5]] that ALSO emits the sorted-distinct
+    * [[md5Hash60]] shingle hashes (`hashedName`) from the SAME per-shingle
+    * md5 pass — for callers that build both the signature and a hashed
+    * shingle-set column (the exact-Jaccard verify side): one md5 per
+    * shingle instead of two. Bit-identical to computing
+    * `array_sort(array_distinct(transform(shingles, md5Hash60)))`
+    * separately — `_hs` preserves shingle order and h1 IS md5Hash60. */
+  def withMinhashSigAndHashesMd5(df: DataFrame, shingles: Column, k: Int,
+                                 sigName: String = "sig",
+                                 hashedName: String = "shh"): DataFrame = {
+    val hs = transform(shingles, t =>
+      struct(md5Hash60(t).as("h1"), md5Hash56(t).as("h2")))
+    df.withColumn("_hs", hs)
+      .withColumn(sigName, when(size(col("_hs")) > 0, array((0 until k).map(j =>
+        array_min(transform(col("_hs"),
+          h => h.getField("h1") + lit(j.toLong) * h.getField("h2")))): _*)))
+      .withColumn(hashedName, array_sort(array_distinct(
+        transform(col("_hs"), h => h.getField("h1")))))
+      .drop("_hs")
+  }
+
+  /** The bare-id candidate-pair half of [[lshCandidatePairs]] — distinct
+    * (id_a, id_b) sharing any band, NO signature attach. For callers that
+    * never read the signatures off the pairs (or attach their own per-doc
+    * features once), skipping the two sig-attach joins entirely. */
+  def lshCandidateIdPairs(df: DataFrame, idCol: String, sigCol: String,
+                          bands: Int, rowsPerBand: Int,
+                          replayable: Boolean = false): DataFrame = {
+    val bd = lshBands(df, idCol, sigCol, bands, rowsPerBand, replayable)
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+    bd.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+      .join(bd.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** 64-bit SimHash per row. Native path: one per-row expression

@@ -53,4 +53,50 @@ object CheckpointOps {
     }.fold(0L)(_ + _)
     (CheckpointBridge.wrap(df, rdd), s)
   }
+
+  /** Eager local checkpoint that returns (checkpointed frame, max of the
+    * long column at `ordinal`, None when every row is null/absent) in the
+    * single materializing job — for iterative chains whose per-round
+    * normalizer is a max over the frame they just materialized. */
+  def localCheckpointWithLongMax(df: DataFrame, ordinal: Int): (DataFrame, Option[Long]) = {
+    val rdd = CheckpointBridge.checkpointRdd(df)
+    val m = rdd.mapPartitions { it =>
+      var acc = Option.empty[Long]
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(ordinal)) {
+          val v = r.getLong(ordinal)
+          if (acc.forall(_ < v)) acc = Some(v)
+        }
+      }
+      Iterator.single(acc)
+    }.fold(Option.empty[Long]) {
+      case (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => Some(math.max(x, y))
+        case (x, None) => x
+        case (None, y) => y
+      }
+    }
+    (CheckpointBridge.wrap(df, rdd), m)
+  }
+
+  /** Eager local checkpoint that returns (checkpointed frame, exact sum of
+    * the DECIMAL(precision, 0) column at `ordinal`, skipping nulls) in the
+    * single materializing job — integer-exact via BigInteger, matching a
+    * `sum(decimal)` aggregate's value for scale-0 columns. */
+  def localCheckpointWithDecimalSum(df: DataFrame, ordinal: Int,
+                                    precision: Int): (DataFrame, java.math.BigInteger) = {
+    val rdd = CheckpointBridge.checkpointRdd(df)
+    val s = rdd.mapPartitions { it =>
+      var acc = java.math.BigInteger.ZERO
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(ordinal))
+          acc = acc.add(r.getDecimal(ordinal, precision, 0)
+            .toJavaBigDecimal.toBigInteger)
+      }
+      Iterator.single(acc)
+    }.fold(java.math.BigInteger.ZERO)(_.add(_))
+    (CheckpointBridge.wrap(df, rdd), s)
+  }
 }

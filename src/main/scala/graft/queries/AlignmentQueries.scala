@@ -397,14 +397,18 @@ object AlignmentQueries {
           when(col("a_wins"), col("nt")).otherwise(col("event_type")).as("loser"))
         .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
         .localCheckpoint() // the single corpus-sized pass; the fit below is #player²
+      // pairs is re-read every fit round (two rating attaches) — checkpoint
+      // once (r16); players rides the fused checkpoint+count so k inlines
+      // as a literal instead of a per-round broadcast 1-row frame.
       val pairs = matches.select(col("winner").as("a"), col("loser").as("b"), col("n"))
         .union(matches.select(col("loser").as("a"), col("winner").as("b"), col("n")))
         .groupBy("a", "b").agg(sum(col("n")).as("n"))
+        .localCheckpoint()
       val wins = matches.groupBy("winner").agg(sum(col("n")).as("w"))
-      val players = pairs.select(col("a")).distinct()
-        .join(wins.withColumnRenamed("winner", "a"), Seq("a"), "left")
-        .select(col("a"), coalesce(col("w"), lit(0L)).as("w"))
-      val kFrame = players.agg(count(lit(1)).as("k")) // one row, broadcast below
+      val (players, kVal) = graft.ops.CheckpointOps.localCheckpointWithCount(
+        pairs.select(col("a")).distinct()
+          .join(wins.withColumnRenamed("winner", "a"), Seq("a"), "left")
+          .select(col("a"), coalesce(col("w"), lit(0L)).as("w")))
       var p = players.withColumn("p", lit(1000000L))
       // Micro-unit numerators accumulate in DECIMAL(38,0), never BIGINT:
       // n·10¹² and w·10¹² overflow signed 64-bit once any pair logs
@@ -427,17 +431,24 @@ object AlignmentQueries {
             "CAST(n AS DECIMAL(38,0)) * 1000000000000",
             "CAST(greatest(pa + pb, 1) AS DECIMAL(38,0))")))
           .groupBy("a").agg(sum(col("t")).as("denom"))
-        val praw = p.join(denom, "a")
-          .withColumn("praw", expr(decFloorDiv(
-            "CAST(w AS DECIMAL(38,0)) * 1000000000000",
-            "greatest(denom, CAST(1 AS DECIMAL(38,0)))")))
-        val sFrame = praw.agg(sum(col("praw")).as("s"))
-        p = praw.crossJoin(broadcast(sFrame)).crossJoin(broadcast(kFrame))
+        // ONE materialization per round (r16): praw checkpoints with its
+        // renormalizer sum taken from the SAME job — the old shape
+        // executed the join+agg subtree twice (once under the s-sum
+        // broadcast, once under the p checkpoint). s and k become exact
+        // integer literals in the floor-div (same DECIMAL(38,0) math,
+        // bit-identical ratings); the normalized p is a narrow projection
+        // over the checkpoint, so the next round's lineage stays O(1).
+        val (praw, sVal) = graft.ops.CheckpointOps.localCheckpointWithDecimalSum(
+          p.join(denom, "a")
+            .select(col("a"), col("w"), expr(decFloorDiv(
+              "CAST(w AS DECIMAL(38,0)) * 1000000000000",
+              "greatest(denom, CAST(1 AS DECIMAL(38,0)))")).as("praw")),
+          ordinal = 2, precision = 38)
+        val sLit = s"CAST(${sVal.max(java.math.BigInteger.ONE)} AS DECIMAL(38,0))"
+        p = praw
           .withColumn("p", expr(decFloorDiv(
-            "praw * CAST(k AS DECIMAL(38,0)) * 1000000",
-            "greatest(s, CAST(1 AS DECIMAL(38,0)))")).cast("long"))
+            s"praw * CAST($kVal AS DECIMAL(38,0)) * 1000000", sLit)).cast("long"))
           .select("a", "w", "p")
-          .localCheckpoint()
       }
       val losses = matches.groupBy("loser").agg(sum(col("n")).as("l"))
       val nm = pairs.groupBy("a").agg(sum(col("n")).as("n_matches"))

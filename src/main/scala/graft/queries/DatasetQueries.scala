@@ -550,17 +550,27 @@ object DatasetQueries {
       .select(col("doc_id"), col("text"))
     val keyed = docs.withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
     val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
-    val withKeep = keyed.join(groups, "content_hash").localCheckpoint()
+    // ONE barrier (r16, was withKeep + shingles + signatures = three
+    // checkpoints): survivors' signature and 60-bit-hashed shingle set
+    // ride the SAME checkpoint, both from a single md5 pass (null for
+    // exact-dups — withMinhashSigAndHashesMd5 propagates the null shw).
+    // The band join reads the materialized sig column directly (the old
+    // reason to checkpoint signatures — the doubled 32-permutation tree
+    // in the self-join — no longer exists), and the verification joins
+    // ship 8-byte longs instead of shingle strings (the lsh_calibration
+    // discipline); hashed-distinct cardinalities equal string
+    // cardinalities, so every tj — and every edge/component — is
+    // unchanged.
+    val withKeep = Dedup.withMinhashSigAndHashesMd5(
+        keyed.join(groups, "content_hash")
+          .withColumn("shw", when(col("doc_id") === col("keep_id"),
+            array_sort(wordShingles(col("text"), 2)))),
+        col("shw"), 32, sigName = "sig", hashedName = "sh")
+      .drop("shw")
+      .localCheckpoint()
     val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("text"))
-    val sh = survivors
-      .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-      .localCheckpoint() // read by signatures + both verification joins
-    // Checkpoint the signatures: the band self-join otherwise carries the
-    // 32-permutation signature tree on BOTH sides and Catalyst analysis
-    // of the doubled tree dominates construction (measured +6 s plan).
-    val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-      .select("doc_id", "sig").localCheckpoint()
+    val sh = survivors.select(col("doc_id"), col("sh"))
+    val sigs = survivors.select(col("doc_id"), col("sig"))
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
         bands = 8, rowsPerBand = 4, replayable = true)
       .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))

@@ -276,28 +276,34 @@ object MiscQueries {
     * deterministic link graph over `ids(doc_id)`, run `prIters` integer
     * power iterations, return every node's (id, outd, rank_scaled). */
   def pagerankRanked(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val docs = ids.select(col("doc_id")).localCheckpoint()
-    val cnt = docs.agg(count(lit(1)).as("n")).localCheckpoint() // 1 row
-    val withN = docs.crossJoin(broadcast(cnt))
-    val e1 = withN.select(col("doc_id").as("src"),
-      ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
-    val e2 = withN.select(col("doc_id").as("src"),
-      ((col("doc_id") * 17 + 3) % col("n")).as("dst"))
+    // Fused checkpoint+count (r16): n is the materializing job's own count,
+    // inlined as a LITERAL below — the old 1-row count frame, its
+    // checkpoint, and the crossJoin(broadcast) it rode into every edge
+    // projection and every round all disappear.
+    val (docs, n) = graft.ops.CheckpointOps.localCheckpointWithCount(
+      ids.select(col("doc_id")))
+    val e1 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 31 + 7) % n).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 17 + 3) % n).as("dst"))
     val hub = docs.select(col("doc_id").as("src"), lit(0L).as("dst"))
     val edges = e1.union(e2).union(hub)
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val out = edges.groupBy("src").agg(count(lit(1)).as("outd"))
     val edgesOut = edges.join(out, "src").localCheckpoint()
-    val base = expr(s"(15 * ($prScale div n)) div 100")
-    var ranks = withN.select(col("doc_id").as("id"),
-      expr(s"$prScale div n").as("r")).localCheckpoint()
+    val base = lit((15L * (prScale / math.max(n, 1L))) / 100L)
+    var ranks = docs.select(col("doc_id").as("id"),
+      lit(prScale / math.max(n, 1L)).as("r")).localCheckpoint()
     for (_ <- 1 to prIters) {
-      val sums = edgesOut.join(ranks, col("src") === col("id"))
-        .select(col("dst"), expr("r div outd").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("sc"))
-      ranks = withN.join(sums, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id").as("id"),
-          (base + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+      // Dangling nodes get their zero via a union row instead of a second
+      // left join per round (r16, guide §2.4): sum(contribs ∪ {0}) ≡
+      // coalesce(sum(contribs), 0), one keyed exchange per round.
+      val contribs = edgesOut.join(ranks, col("src") === col("id"))
+        .select(col("dst").as("id"), expr("r div outd").as("c"))
+      ranks = contribs
+        .union(docs.select(col("doc_id").as("id"), lit(0L).as("c")))
+        .groupBy("id").agg(sum(col("c")).as("sc"))
+        .select(col("id"), (base + expr("(85 * sc) div 100")).as("r"))
         .localCheckpoint()
     }
     ranks.join(out.select(col("src").as("id"), col("outd")), Seq("id"), "left")
@@ -799,35 +805,41 @@ object MiscQueries {
     * round (the components_star discipline). */
   def hitsScored(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val S = 1000000000L
-    val docs = ids.select(col("doc_id")).localCheckpoint()
-    val cnt = docs.agg(count(lit(1)).as("n")).localCheckpoint()
-    val withN = docs.crossJoin(broadcast(cnt))
-    val e1 = withN.select(col("doc_id").as("src"),
-      ((col("doc_id") * 31 + 7) % col("n")).as("dst"))
-    val e2 = withN.select(col("doc_id").as("src"),
-      ((col("doc_id") * 17 + 3) % col("n")).as("dst"))
+    // Fused checkpoint+count (r16): n inlines as a literal — no 1-row count
+    // frame, no crossJoin(broadcast) in the edge projections. Each
+    // half-iteration materializes its raw-score frame ONCE (the old shape
+    // executed the join+sum subtree twice: once under the max broadcast,
+    // once under the normalized checkpoint) and takes the max normalizer
+    // out of the SAME materializing job; every node gets its zero via a
+    // union row instead of a per-step left join (sum(x ∪ {0}) ≡
+    // coalesce(sum(x), 0)); the normalized scores are then a narrow
+    // projection over the checkpoint — no second materialization.
+    val (docs, n) = graft.ops.CheckpointOps.localCheckpointWithCount(
+      ids.select(col("doc_id")))
+    val e1 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 31 + 7) % n).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 17 + 3) % n).as("dst"))
     val hub = docs.select(col("doc_id").as("src"), lit(0L).as("dst"))
     val edges = e1.union(e2).union(hub)
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     var auth = docs.select(col("doc_id").as("id"), lit(S).as("a"))
     var hubs: org.apache.spark.sql.DataFrame = null
+    def step(scores: org.apache.spark.sql.DataFrame, inCol: String,
+             edgeFrom: String, edgeTo: String, outCol: String)
+        : org.apache.spark.sql.DataFrame = {
+      val raw = edges.join(scores, edges(edgeFrom) === scores("id"))
+        .select(edges(edgeTo).as("id"), col(inCol).as("raw"))
+        .union(docs.select(col("doc_id").as("id"), lit(0L).as("raw")))
+        .groupBy("id").agg(sum(col("raw")).as("raw"))
+      val (rawCk, mx) =
+        graft.ops.CheckpointOps.localCheckpointWithLongMax(raw, 1)
+      val norm = math.max(mx.getOrElse(0L) / S, 1L)
+      rawCk.select(col("id"), expr(s"raw div $norm").as(outCol))
+    }
     for (_ <- 1 to 2) {
-      val hraw = edges.join(auth, edges("dst") === auth("id"))
-        .groupBy("src").agg(sum(col("a")).as("hr"))
-      val hmax = hraw.agg(max(col("hr")).as("hm"))
-      hubs = docs.join(hraw, col("doc_id") === col("src"), "left")
-        .crossJoin(broadcast(hmax))
-        .select(col("doc_id").as("id"),
-          expr(s"coalesce(hr, 0) div greatest(hm div $S, 1)").as("h"))
-        .localCheckpoint()
-      val araw = edges.join(hubs, edges("src") === hubs("id"))
-        .groupBy("dst").agg(sum(col("h")).as("ar"))
-      val amax = araw.agg(max(col("ar")).as("am"))
-      auth = docs.join(araw, col("doc_id") === col("dst"), "left")
-        .crossJoin(broadcast(amax))
-        .select(col("doc_id").as("id"),
-          expr(s"coalesce(ar, 0) div greatest(am div $S, 1)").as("a"))
-        .localCheckpoint()
+      hubs = step(auth, "a", "dst", "src", "h")
+      auth = step(hubs, "h", "src", "dst", "a")
     }
     auth.join(hubs, "id")
       .select(col("id"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))

@@ -590,14 +590,23 @@ object PipelineQueries {
       val keyed = docs
         .withColumn("content_hash", md5(Dedup.bagOfWordsKey(col("text"))))
       val groups = keyed.groupBy("content_hash").agg(min(col("doc_id")).as("keep_id"))
-      val withKeep = ckpt(keyed.join(groups, "content_hash")
+      // r16: the barrier carries the survivors' SIGNATURE and 60-bit-hashed
+      // shingle set (one md5 pass, nulls for exact-dups) instead of raw
+      // shingle strings — the signature checkpoint disappears (the sig is
+      // a materialized column now, not a 32-permutation tree doubled into
+      // the band self-join) and every downstream read of `sh` moves 8-byte
+      // longs. Hashed-distinct cardinalities equal string cardinalities,
+      // so every tj — and every verdict — is unchanged.
+      val withKeep = ckpt(Dedup.withMinhashSigAndHashesMd5(
+          keyed.join(groups, "content_hash")
+            .withColumn("shw", when(col("doc_id") === col("keep_id"),
+              array_sort(wordShingles(col("text"), 2)))),
+          col("shw"), 32, sigName = "sig", hashedName = "sh")
         .select(col("doc_id"), col("source"), col("keep_id"),
-          when(col("doc_id") === col("keep_id"),
-            array_sort(wordShingles(col("text"), 2))).as("sh")))
-      val sh = withKeep.filter(col("doc_id") === col("keep_id"))
-        .select(col("doc_id"), col("sh"))
-      val sigs = ckpt(Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-        .select("doc_id", "sig"))
+          col("sig"), col("sh")))
+      val survivors = withKeep.filter(col("doc_id") === col("keep_id"))
+      val sh = survivors.select(col("doc_id"), col("sh"))
+      val sigs = survivors.select(col("doc_id"), col("sig"))
       // Estimate pre-screen BEFORE the exact-verify join: the signature
       // estimate lives on the pair rows already (zero extra shuffle), and
       // the verify join ships two full shingle arrays per surviving pair

@@ -347,22 +347,27 @@ object TextQueries {
     * ([[Dedup.minhashSignature]], bit-compat spec'd). */
   val dedupMinhashLsh = QueryDef("dedup_minhash_lsh",
     (s, dir) => {
-      val docs = graft.ops.Parallelism.ensure(
-          table(s, dir, "documents").filter(col("doc_id") < 500))
-        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint() // reused by the signatures and both verification joins
-      // Zero-shuffle narrow-map signature (same md5 math the oracle
-      // replays); checkpointed because banding references it twice (a/b
-      // sides) — materializing computes the k minima once.
-      val sigs = Dedup.withMinhashSignatureMd5(docs, col("sh"), 32)
-        .select("doc_id", "sig")
+      // ONE feature checkpoint (doc_id, sh, sig) — the zero-shuffle
+      // narrow-map signature (same md5 math the oracle replays) rides the
+      // shingle build, so banding, est, and both verification sides read
+      // one materialized frame (r16: was two checkpoints; and the pairs
+      // attach sig+sh together, one join per side instead of two —
+      // there is no est pre-screen here, so nothing ships early).
+      val feat = Dedup.withMinhashSignatureMd5(
+          graft.ops.Parallelism.ensure(
+            table(s, dir, "documents").filter(col("doc_id") < 500))
+            .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh")),
+          col("sh"), 32)
+        .select("doc_id", "sh", "sig")
         .localCheckpoint()
-      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
-          bands = 8, rowsPerBand = 4, replayable = true)
+      val ids = Dedup.lshCandidateIdPairs(feat, "doc_id", "sig",
+        bands = 8, rowsPerBand = 4, replayable = true)
+      ids
+        .join(feat.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+          col("sig").as("sig_a")), "id_a")
+        .join(feat.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+          col("sig").as("sig_b")), "id_b")
         .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b"), 32))
-      val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      pairs.join(shA, "id_a").join(shB, "id_b")
         .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("true_jaccard", col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -386,17 +391,21 @@ object TextQueries {
     * geometry. */
   val mineContrastivePairs = QueryDef("mine_contrastive_pairs",
     (s, dir) => {
-      val docs = graft.ops.Parallelism.ensure(
-          table(s, dir, "documents").filter(col("doc_id") < 500))
-        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint() // reused by the signatures and both pair joins
-      val sigs = Dedup.withMinhashSignatureMd5(docs, col("sh"), 32)
-        .select("doc_id", "sig")
+      // ONE feature checkpoint (r16, was two); the mining never reads the
+      // signatures off the pairs (no est column in the output), so the
+      // candidate pairs stay BARE IDS and only the shingle arrays attach,
+      // once per side — two fewer joins and no wasted sig shipping.
+      val feat = Dedup.withMinhashSignatureMd5(
+          graft.ops.Parallelism.ensure(
+            table(s, dir, "documents").filter(col("doc_id") < 500))
+            .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh")),
+          col("sh"), 32)
+        .select("doc_id", "sh", "sig")
         .localCheckpoint()
-      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", "sig",
+      val pairs = Dedup.lshCandidateIdPairs(feat, "doc_id", "sig",
         bands = 16, rowsPerBand = 2, replayable = true)
-      val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val shA = feat.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = feat.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       pairs.join(shA, "id_a").join(shB, "id_b")
         .withColumn("inter", Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("true_jaccard", col("inter").cast("double") /
@@ -494,33 +503,42 @@ object TextQueries {
         .select(col("doc_id"), col("text"), col("ex_id"))
         .localCheckpoint() // read by the near-dup stage and final assembly
       val rest = exactMatch.filter(col("ex_id").isNull).select("doc_id", "text")
-      def shingled(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-        .localCheckpoint()
-      val shE = shingled(existing); val shB = shingled(rest)
-      def sigsOf(sh: org.apache.spark.sql.DataFrame) =
-        Dedup.withMinhashSignatureMd5(sh, col("sh"), 32).select("doc_id", "sig")
+      // ONE feature checkpoint per side (r16, was shingles + signatures =
+      // two each): signature and 60-bit-hashed shingle set from a SINGLE
+      // md5 pass. The verify join ships 8-byte longs instead of 8-word
+      // shingle strings (the lsh_calibration discipline — ~3× lighter
+      // through the join); hashed-distinct cardinalities equal the string
+      // cardinalities, so every tj — and every verdict — is unchanged.
+      def feat(df: org.apache.spark.sql.DataFrame) =
+        Dedup.withMinhashSigAndHashesMd5(
+            df.select(col("doc_id"),
+              array_sort(wordShingles(col("text"), 2)).as("shw")),
+            col("shw"), 32, sigName = "sig", hashedName = "sh")
+          .select("doc_id", "sig", "sh")
           .localCheckpoint()
-      val sigB = sigsOf(shB); val sigE = sigsOf(shE)
+      val featE = feat(existing); val featB = feat(rest)
       def banded(sigs: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
           sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4, replayable = true)
         .select(col("doc_id"), col("band_idx"), col("band_hash"))
       // bare-id band join + distinct, signatures attached once per
-      // surviving pair (the lshCandidatePairs ship-arrays-late shape).
+      // surviving pair (the lshCandidatePairs ship-arrays-late shape);
+      // the est pre-screen still runs BEFORE the shingle arrays attach —
+      // at scale the screen is what keeps the array shuffle linear
+      // (the pipeline_dedup_corpus 10× probe measured 15× without it).
       // r15: checkpointing the corpus band index here was A/B'd and LOST
       // (exec 2.2->3.0 s: the materialization + checkpoint read cost more
       // than the 8-band md5 explode it saved) — left live.
-      val cands = banded(sigB).withColumnRenamed("doc_id", "b_id")
-        .join(banded(sigE).withColumnRenamed("doc_id", "e_id"),
+      val cands = banded(featB).withColumnRenamed("doc_id", "b_id")
+        .join(banded(featE).withColumnRenamed("doc_id", "e_id"),
           Seq("band_idx", "band_hash"))
         .select("b_id", "e_id").distinct()
-        .join(sigB.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
-        .join(sigE.select(col("doc_id").as("e_id"), col("sig").as("sig_e")), "e_id")
+        .join(featB.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+        .join(featE.select(col("doc_id").as("e_id"), col("sig").as("sig_e")), "e_id")
         .withColumn("est", Dedup.estJaccard(col("sig_b"), col("sig_e"), 32))
         .filter(col("est") >= 0.35)
       val near = cands
-        .join(shB.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
-        .join(shE.select(col("doc_id").as("e_id"), col("sh").as("sh_e")), "e_id")
+        .join(featB.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+        .join(featE.select(col("doc_id").as("e_id"), col("sh").as("sh_e")), "e_id")
         .withColumn("inter", Dedup.sortedIntersectCount(col("sh_b"), col("sh_e")))
         .filter(col("inter").cast("double") /
           (size(col("sh_b")) + size(col("sh_e")) - col("inter")).cast("double") >= 0.5)
@@ -1206,24 +1224,28 @@ object TextQueries {
   def lshCalibrationReport(docs: org.apache.spark.sql.DataFrame,
                            chunks: Int = 0): org.apache.spark.sql.DataFrame = {
     require(chunks >= 0, s"chunks must be >= 0 (0 = auto), got $chunks")
-    val sh = docs
-      .select(col("doc_id"), array_sort(wordShingles(col("text"), 2)).as("sh"))
-      .localCheckpoint() // read by the signature build and the hash projection
-    val sigs = Dedup.withMinhashSignatureMd5(sh, col("sh"), 32)
-      .select("doc_id", "sig").localCheckpoint()
-    // 60-bit-hashed shingle sets for the verify join — the one stage that
-    // ships arrays per candidate pair moves 8-byte longs, never 8-word
-    // strings (the dup_ngrams discipline). Measured: the string-array
-    // verify spilled its 20×-probe sort (cpu ~80× vs linear 20 — the
-    // candidate count itself is exactly linear, 21.4× at 20×); the hashed
-    // form is ~3× lighter through the join and compares longs in the
-    // intersect. distinct-AFTER-hash keeps both engines identical even if
-    // md5-60 ever collided within a doc (both sides dedupe the same way);
-    // tj values are unchanged — md5 is replayed exactly in the oracle. */
-    val shh = sh.select(col("doc_id"),
-        array_sort(array_distinct(transform(col("sh"), t => Dedup.md5Hash60(t))))
-          .as("sh"))
-      .localCheckpoint() // read by both verify-join sides
+    // ONE feature checkpoint carrying signature AND 60-bit-hashed shingle
+    // set, both derived from a SINGLE md5 pass over the shingles (r16,
+    // guide §1.2/§2.3: the old sh → sigs + sh → shh shape paid two
+    // checkpoints and hashed every shingle twice). The hashed sets keep
+    // the verify join shipping 8-byte longs, never 8-word strings (the
+    // dup_ngrams discipline; string-array verify spilled the 20×-probe
+    // sort). distinct-AFTER-hash keeps both engines identical even if
+    // md5-60 ever collided within a doc; tj values are unchanged — md5 is
+    // replayed exactly in the oracle.
+    // ensure(): the corpus arrives as one row group on the registered
+    // path, so without the floor the whole md5/signature build runs on a
+    // single core (r16 — the F1 lesson applied here; measured 8.4 s plan
+    // isolated before, the build distributes across the session's cores
+    // after).
+    val feat = Dedup.withMinhashSigAndHashesMd5(
+        graft.ops.Parallelism.ensure(docs).select(col("doc_id"),
+          array_sort(wordShingles(col("text"), 2)).as("shw")),
+        col("shw"), 32, sigName = "sig", hashedName = "sh")
+      .select("doc_id", "sig", "sh")
+      .localCheckpoint() // read by the band join and both verify-join sides
+    val sigs = feat.select("doc_id", "sig")
+    val shh = feat.select("doc_id", "sh")
     // bare-id candidate pairs per config (no signature attach -- the
     // calibration never reads them). The configs NEST (strict subset of
     // permissive, spec'd), so pairs are tagged per config and the
@@ -1232,20 +1254,24 @@ object TextQueries {
     // and this ships each pair's arrays exactly once (measured
     // 10.5 s -> ~4 s at sf0.1). tj is a pure function of the pair, so
     // the per-config rows are value-identical and the oracle replay is
-    // untouched.
-    def candIds(b: Int, r: Int) = {
-      val bd = Dedup.lshBands(sigs, "doc_id", "sig", b, r, replayable = true)
-        .select(col("doc_id"), col("band_idx"), col("band_hash"))
-      bd.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
-        .join(bd.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b")),
-          Seq("band_idx", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-    }
-    val tagged = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
-      candIds(b, r).select(lit(b).as("bands"), lit(r).as("rpb"),
-        col("id_a"), col("id_b"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    // untouched. r16: the three per-config band self-joins + distincts
+    // fuse into ONE join + distinct keyed on (bands, rpb, band_idx,
+    // band_hash) — within-config collisions only, identical pair rows,
+    // a third of the exchange stages (guide §2.4).
+    val bdAll = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      Dedup.lshBands(sigs, "doc_id", "sig", b, r, replayable = true)
+        .select(lit(b).as("bands"), lit(r).as("rpb"),
+          col("doc_id"), col("band_idx"), col("band_hash"))
+    }.reduce(_ unionByName _)
+    val tagged = bdAll
+      .select(col("bands"), col("rpb"), col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_a"))
+      .join(bdAll.select(col("bands"), col("rpb"), col("band_idx"),
+          col("band_hash"), col("doc_id").as("id_b")),
+        Seq("bands", "rpb", "band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("bands", "rpb", "id_a", "id_b").distinct()
+      .localCheckpoint()
     val nChunks = if (chunks >= 1) chunks
       else math.max(1L, (graft.operators.Similarity.corpusCount(docs)
         + lshVerifyChunkDocs - 1) / lshVerifyChunkDocs).toInt
