@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+
 
 /** Token-balanced shard assignment — a training corpus is consumed as S
   * parallel shards, and data loaders stall on the heaviest one, so shards
@@ -50,12 +50,11 @@ object Sharding {
     * would funnel the corpus through a single task. Deterministic iff
     * `sortCols` is a total order over the rows (same caller-owned
     * precondition as [[snakeShards]]). */
-  def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add("rank", LongType, nullable = false)
-    spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-  }
+  def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    // r16: internal-row zipWithIndex (same sort, same partition-offset
+    // ranks) — the old public-API form deserialized every row to an
+    // external Row and re-encoded it, a corpus-wide decode/encode
+    // round-trip per call (guide §1.2 per-task work).
+    org.apache.spark.sql.graft.CheckpointBridge.zipWithRank(
+      df.orderBy(sortCols: _*), "rank")
 }

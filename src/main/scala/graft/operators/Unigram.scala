@@ -158,6 +158,11 @@ object Unigram {
     val rows = cnt.select(col("piece"), col("n").cast("long"))
       .collect() // bounded: seed-vocab-sized piece table (config-capped)
     val tv = rows.map(_.getLong(1)).sum + rows.length
+    // The relational twin saturates through the SQL cast; a silent Long
+    // wrap here would produce wrong probabilities instead. <2^53 also
+    // guards the exactness of the long→double conversion below.
+    require(tv >= 0 && tv < (1L << 53),
+      s"probsMap count total $tv outside the exact-double range [0, 2^53)")
     rows.map(r => r.getString(0) -> (r.getLong(1) + 1).toDouble / tv.toDouble).toMap
   }
 
@@ -186,7 +191,16 @@ object Unigram {
   /** Narrow [[viterbi]]: best segmentation per word as ONE projection
     * chain — position states are Once-pinned struct columns, candidates
     * compare with the (prob desc, k asc, path asc) total order. Output
-    * schema/rows/values identical to [[viterbi]] (spec-pinned). */
+    * schema/rows/values identical to [[viterbi]] (spec-pinned).
+    *
+    * PRECONDITION (shared with [[fbArrays]]): every single character of
+    * every word must be in `pm` — the seed/prune pipeline always retains
+    * all single chars, which is what makes these bit-identical to the
+    * relational forms. With an externally supplied piece map missing a
+    * character, [[viterbi]] emits NO row for the affected word while this
+    * form emits one with null prob/k/path (and [[fbArrays]] yields 0.0
+    * alphas → NaN span mass); callers with external maps must guarantee
+    * the all-singles cover themselves. */
   def viterbiNarrow(words: DataFrame, pm: Map[String, Double],
                     maxWordLen: Int, maxPieceLen: Int): DataFrame = {
     val pmLit = typedlit(pm)
@@ -238,7 +252,10 @@ object Unigram {
     * the word length are null and never read). Values bit-identical to
     * [[forward]]/[[backward]] — each position sums its ≤ maxPieceLen
     * predecessor terms through the same static left-assoc add chain with
-    * the same coalesce-to-0.0 padding for absent/over-length terms. */
+    * the same coalesce-to-0.0 padding for absent/over-length terms.
+    * PRECONDITION: the all-singles piece-map cover documented on
+    * [[viterbiNarrow]] (an uncovered character gives 0.0 alphas and
+    * 0/0 = NaN span mass where [[forward]] drops the word). */
   def fbArrays(words: DataFrame, pm: Map[String, Double],
                maxWordLen: Int, maxPieceLen: Int): DataFrame = {
     val pmLit = typedlit(pm)

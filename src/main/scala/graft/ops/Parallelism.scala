@@ -24,7 +24,13 @@ object Parallelism {
     val min =
       if (minPartitions > 0) minPartitions
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < min) df.repartition(min) else df
+    // Read the partition count off the EXECUTED plan's RDD (r16): `.rdd`
+    // builds a second QueryExecution with a row deserializer just to ask
+    // for a count — an extra full plan compile at every pipeline-stage
+    // entrance (this helper is called unconditionally). `toRdd` reuses the
+    // frame's own QueryExecution; no job runs either way.
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts < min) df.repartition(min) else df
   }
 
   /** The session's configured shuffle-partition count (the number

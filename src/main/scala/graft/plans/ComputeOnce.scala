@@ -26,6 +26,13 @@ import org.apache.spark.sql.types.DataType
   * to the unwrapped expression. Use it ONLY on expensive derivations whose
   * placement was chosen deliberately: the same flag also blocks legitimate
   * pushes of OTHER cheap filters past the projection.
+  *
+  * ALLOWED POSITIONS: because the expression is flagged non-deterministic,
+  * CheckAnalysis only permits it where Spark permits non-deterministic
+  * expressions — Project/Filter/Aggregate(-adjacent) positions, i.e.
+  * `withColumn`/`select` projections and `filter` predicates (every
+  * in-repo use). Wrapping a JOIN condition, groupBy/repartition KEY, or
+  * sort key with `once(...)` fails analysis at runtime.
   */
 case class ComputeOnce(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType
