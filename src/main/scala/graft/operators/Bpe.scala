@@ -60,10 +60,16 @@ object Bpe {
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
+      // idx and nsym ride ONE window pass (r16): row_number and lead share
+      // the (w, pos) spec — idx order IS pos order, so lead-over-pos ≡
+      // lead-over-idx and one WindowExec/sort serves both (the old shape
+      // sorted twice per round per consumer).
       val wWin = Window.partitionBy("w").orderBy("pos")
-      val dense = rows.withColumn("idx", row_number().over(wWin)).drop("pos")
       val iWin = Window.partitionBy("w").orderBy("idx")
-      val adj = dense.withColumn("nsym", lead("sym", 1).over(iWin))
+      val adj = rows
+        .withColumn("idx", row_number().over(wWin))
+        .withColumn("nsym", lead("sym", 1).over(wWin))
+        .drop("pos")
       val best = adj.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("sym").asc, col("nsym").asc)
@@ -128,12 +134,18 @@ object Bpe {
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
+      // idx AND nsym ride one window pass INTO the per-round checkpoint
+      // (r16): the old shape checkpointed only idx and re-ran the lead
+      // window over the checkpoint once per consumer (pair counts, merge
+      // match, rewrite).
       val wWin = Window.partitionBy("w").orderBy("pos")
-      val dense = rows.withColumn("idx", row_number().over(wWin)).drop("pos")
-        .localCheckpoint() // read by adjacency, singles, and the rewrite
       val iWin = Window.partitionBy("w").orderBy("idx")
-      val adj = dense.withColumn("nsym", lead("sym", 1).over(iWin))
-      val singles = dense.groupBy("sym").agg(sum(col("wc")).as("occ"))
+      val adj = rows
+        .withColumn("idx", row_number().over(wWin))
+        .withColumn("nsym", lead("sym", 1).over(wWin))
+        .drop("pos")
+        .localCheckpoint() // read by pair counts, singles, and the rewrite
+      val singles = adj.groupBy("sym").agg(sum(col("wc")).as("occ"))
       val pairs = adj.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum(col("wc")).as("n"))
       val num = col("n").cast(DecimalType(38, 0)) *

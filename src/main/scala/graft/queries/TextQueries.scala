@@ -819,15 +819,30 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val eps = 0.0005
-      val toks = table(s, dir, "documents")
+      // ensure(): the token explode + both aggregates otherwise run on the
+      // single row-group scan's one partition (r16, the F1 floor).
+      val toks = graft.ops.Parallelism.ensure(
+          table(s, dir, "documents").select(col("text")))
         .select(explode(tokens(col("text"))).as("token"))
       val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // read by top-k, the total, and the sketch gate
-      val skBytes = toks
-        .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-        .head().getAs[Array[Byte]](0) // bounded: 1-row sketch agg
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      // Build the CMS from the CHECKPOINTED counts instead of a second
+      // full pass over every token (r16, guide §1.2): CMS cells are sums,
+      // so one weighted add per distinct token produces the bit-identical
+      // sketch (same impl, eps, confidence, seed) the streaming
+      // count_min_sketch aggregate built — at vocab cost, not corpus cost.
+      val cms = counts.select(col("token"), col("cnt")).as[(String, Long)]
+        .mapPartitions { it =>
+          val sk = org.apache.spark.util.sketch.CountMinSketch.create(eps, 0.99, 42)
+          it.foreach { case (t, c) => sk.add(t, c) }
+          val bos = new java.io.ByteArrayOutputStream()
+          sk.writeTo(bos)
+          Iterator.single(bos.toByteArray)
+        }
+        .collect() // bounded: one eps-sized (~¼ MB) sketch per partition
+        .map(b => org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(b)))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
       // top-20 + corpus total in ONE bounded report (20 rows collected —
       // the only driver-side state beside the sketch)
       val top = graft.operators.TopShare.report(counts, "token", "cnt", 20)
