@@ -452,7 +452,10 @@ object Similarity {
     val adjAll = fwd.union(rev).distinct()
     // bare-id adjacency (2nk rows) is read by every slice — checkpoint
     // once when slicing so the union+distinct doesn't re-run per slice
-    val adj = if (chunks > 1) adjAll.localCheckpoint() else adjAll
+    // r16 A/B: checkpoint the adjacency ALWAYS — both proposal-join sides
+    // read it, so unmaterialized it re-runs the rev window + distinct per
+    // side (ReuseExchange only shares the distinct exchange, not the tail)
+    val adj = adjAll.localCheckpoint()
     def scoreSlice(slice: Option[Int]): DataFrame = {
       val own = slice.fold(adj)(c => adj.filter(pmod(col("a"), lit(chunks)) === c))
       // The proposal dedup is the round's DOMINANT exchange (n·(2k)²

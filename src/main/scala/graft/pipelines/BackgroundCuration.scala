@@ -218,9 +218,18 @@ class BackgroundCuration(
   }
 
   /** Full per-image E4: gate → detect → gate → per-box models → paths →
-    * persons. Returns one row per gate-surviving image. */
+    * persons. Returns one row per gate-surviving image.
+    *
+    * `gated` is checkpointed (r16 — the FrameMining refs discipline, one
+    * level earlier): both consumers (the per-box model stage and the
+    * persons re-assembly) read the materialized frame, so the opaque
+    * detect barrier runs its inference ONCE per run instead of once per
+    * consumer — and a caller's output sort samples the checkpoint, not a
+    * second pass through the detector. The frame is narrow (ids, dims,
+    * boxes — no pixels). */
   def run(records: DataFrame, tag: String = "in"): DataFrame = {
     val gated = boxGates(detect(resolutionGate(records.withColumn("tag", lit(tag)))))
+      .localCheckpoint()
     val perBox = withSavePaths(modelStage(explodeBoxes(gated)))
     personsOf(gated, perBox)
   }
@@ -258,7 +267,8 @@ class BackgroundCuration(
     }.toDF("image_path", "tag", "h", "w")
       .withColumn("image_id", abs(xxhash64(col("image_path"))))
 
-    val gated = boxGates(detect(resolutionGate(withDims)))
+    // checkpointed for the same two-consumer reason as [[run]]
+    val gated = boxGates(detect(resolutionGate(withDims))).localCheckpoint()
     val perBox = withSavePaths(modelStage(explodeBoxes(gated)))
     val imgPersons = personsOf(gated, perBox)
       .select(col("image_path"), col("tag"), col("persons"))

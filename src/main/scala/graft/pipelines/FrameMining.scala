@@ -157,7 +157,12 @@ class FrameMining(person: () => Models.PersonDetector,
 
   /** Full E3: manifest(video_id, total_frames) → selected GT frames with
     * per-video ref counts. */
-  def run(manifest: DataFrame): DataFrame = {
+  /** `sortCheckpoint = false` keeps the whole chain a single optimizable
+    * plan — required by callers that write a gate AFTER run() and rely on
+    * Catalyst + GateHoist carrying it below the model barriers (the
+    * mis-ordered E3 query / PlansSpec contract); a checkpoint here would
+    * be an optimization fence the gate cannot cross. */
+  def run(manifest: DataFrame, sortCheckpoint: Boolean = true): DataFrame = {
     // Phase 1 executes ONCE: the ref set is tiny (≤ maxRefs rows/video) so
     // an eager localCheckpoint materializes it for O(KB) and both
     // consumers (the broadcast correlation and the n_refs join) read the
@@ -165,8 +170,12 @@ class FrameMining(person: () => Models.PersonDetector,
     // inference with real detectors — a scale-killer; a lazy cache() was
     // measured worse on the cold run than this eager cut of the lineage.
     val refs = mineRefs(manifest).localCheckpoint()
-    mineCandidates(manifest, refs)
+    val selected = mineCandidates(manifest, refs)
       .join(refs.select("video_id", "n_refs").distinct(), "video_id")
+    // ckpt before the output sort (r16): the selected-frame set is tiny
+    // (top-1 per bin) while the sort's range sampling would re-run the
+    // phase-2 scoring tail a second time
+    (if (sortCheckpoint) selected.localCheckpoint() else selected)
       .orderBy("video_id", "frame_idx")
   }
 

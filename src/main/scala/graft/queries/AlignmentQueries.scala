@@ -310,6 +310,10 @@ object AlignmentQueries {
           coalesce(col("n_turns"), lit(0L)).as("n_turns"),
           coalesce(col("assistant_chars"), lit(0L)).as("assistant_chars"),
           coalesce(col("shard"), lit(-1L)).as("shard"))
+        // ckpt before the output sort (r16): the narrow per-doc verdict
+        // frame materializes once; without it the sort's range sampling
+        // re-executes the gate/dedup/turn subtrees a second time
+        .localCheckpoint()
         .orderBy("doc_id")
   }
 

@@ -290,7 +290,10 @@ object PipelineQueries {
         () => new Models.Md5FaceQualityScorer,
         () => new Models.Md5FaceEmbedder(refMaxFrame = 300L),
         modelKeyPrefix = "graft-md5")
-        .run(manifest)
+        // sortCheckpoint = false: the late gate below must stay in ONE
+        // optimizable plan so Catalyst + GateHoist can carry it below the
+        // model barriers (PlansSpec pins the collapsed shape)
+        .run(manifest, sortCheckpoint = false)
         .filter(col("video_id") % 200 === 0) // the mis-ordered gate
     },
     Some(frameMiningOracleSql))

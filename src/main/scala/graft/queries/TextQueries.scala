@@ -373,6 +373,9 @@ object TextQueries {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
         .filter(col("true_jaccard") >= 0.3)
         .select("id_a", "id_b", "est_jaccard", "true_jaccard")
+        // ckpt before the output sort — same double-intersect reasoning
+        // as mine_contrastive_pairs (r16)
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     },
     Some(minhashOracleSql))
@@ -414,6 +417,11 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), col("true_jaccard"),
           when(col("true_jaccard") >= 0.5, lit("positive"))
             .otherwise(lit("hard_negative")).as("label"))
+        // ckpt before the output sort (r16): AQE broadcasts the bare-id
+        // pair frame into the attach joins, which leaves the per-pair
+        // intersect NARROW above the feature scan — the sort's range
+        // sampling would execute every intersect twice
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     },
     Some(minhashPairSql(32, 16, 2,
@@ -480,6 +488,10 @@ object TextQueries {
   val dedupIncrementalQ = QueryDef("dedup_incremental",
     (s, dir) => incrementalVerdicts(
         graft.ops.Parallelism.ensure(table(s, dir, "documents")))
+      // ckpt before the output sort (r16): the verdict frame is one row
+      // per batch doc (bounded by the batch), while the sort's range
+      // sampling would re-execute the near-dup verify tail
+      .localCheckpoint()
       .orderBy("doc_id"),
     Some(incrementalOracleSql))
 
